@@ -1,0 +1,131 @@
+package graft.kernel
+
+/** Frequency-domain cross-correlation with the exact semantics of the
+  * reference kernel (/root/reference/xcorr/util/cc.py:22-141):
+  *
+  *  - both inputs are left zero-padded to `nn = 2n-1` (`xx[nn-n:] = x`),
+  *  - `Rxy = fftshift(Re(ifft(fft(xx) * conj(fft(yy)))))`,
+  *  - optional normalization by `‖x‖·‖y‖`,
+  *  - optional unbias weights `w[k] = n/(n-|k|)` over lag index
+  *    `k = i-(n-1)` (cc.py:111-141 documents this; its arange stop is
+  *    off-by-two and truncates the last two weights — we implement the
+  *    documented full-length semantics, which is also what
+  *    `unbias_weights` slices from in practice).
+  *
+  * Both real-input FFTs are computed with a single complex FFT (pack x in
+  * the real part, y in the imaginary part, split by Hermitian symmetry), so
+  * one correlation costs one forward + one inverse transform.
+  */
+object Cc {
+
+  /** Cross-correlate x and y. Returns the fftshift-ed estimate of length
+    * 2n-1 (pad=true) or n (pad=false).
+    */
+  def cc(
+      x: Array[Double],
+      y: Array[Double],
+      normalize: Boolean = true,
+      pad: Boolean = true,
+      unbiased: Boolean = false
+  ): Array[Double] = {
+    val n = x.length
+    require(y.length == n, "x and y must have the same length")
+    val nn = if (pad) 2 * n - 1 else n
+    // packed complex buffer: re = xx (left zero-pad), im = yy
+    val re = new Array[Double](nn)
+    val im = new Array[Double](nn)
+    val off = nn - n
+    var i = 0
+    while (i < n) { re(off + i) = x(i); im(off + i) = y(i); i += 1 }
+    Fft.fft(re, im)
+    // Z[k] = Fx[k] + i*Fy[k]; by symmetry of real signals:
+    //   Fx[k] = (Z[k] + conj(Z[n-k]))/2, Fy[k] = (Z[k] - conj(Z[n-k]))/(2i)
+    // G[k] = Fx[k] * conj(Fy[k])
+    val gRe = new Array[Double](nn)
+    val gIm = new Array[Double](nn)
+    var k = 0
+    while (k < nn) {
+      val j = if (k == 0) 0 else nn - k
+      val zr = re(k); val zi = im(k)
+      val wr = re(j); val wi = im(j)
+      val fxr = 0.5 * (zr + wr)
+      val fxi = 0.5 * (zi - wi)
+      val fyr = 0.5 * (zi + wi)
+      val fyi = 0.5 * (wr - zr)
+      // G = Fx * conj(Fy)
+      gRe(k) = fxr * fyr + fxi * fyi
+      gIm(k) = fxi * fyr - fxr * fyi
+      k += 1
+    }
+    if (normalize) {
+      var nx = 0.0; var ny = 0.0
+      i = 0
+      while (i < n) { nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      val norm = math.sqrt(nx) * math.sqrt(ny)
+      val s = if (norm == 0.0) 0.0 else 1.0 / norm
+      k = 0
+      while (k < nn) { gRe(k) *= s; gIm(k) *= s; k += 1 }
+    }
+    Fft.ifft(gRe, gIm)
+    val shifted = Fft.fftshift(gRe)
+    if (unbiased) {
+      val w = weight(nn, pad = false)
+      k = 0
+      while (k < nn) { shifted(k) *= w(k); k += 1 }
+    }
+    shifted
+  }
+
+  /** Lag axis in seconds: fftshift(fftfreq(nn, 1/(nn*delta)))
+    * (cc.py:82-108). For nn = 2n-1 this is (i-(n-1))*delta.
+    */
+  def lagAxis(n: Int, delta: Double, pad: Boolean = true): Array[Double] = {
+    val nn = if (pad) 2 * n - 1 else n
+    Fft.fftshift(Fft.fftfreq(nn, 1.0 / (nn * delta)))
+  }
+
+  /** Unbias weight vector over the full lag axis: w[i] = N/(N-|i-(N-1)|)
+    * with N = (nn+1)/2 (cc.py:111-141 documented semantics, full length).
+    */
+  def weight(n: Int, pad: Boolean = true, clip: Double = Double.NaN): Array[Double] = {
+    val nn = if (pad) 2 * n - 1 else n
+    val nc = (nn + 1) / 2
+    val w = new Array[Double](nn)
+    var i = 0
+    while (i < nn) {
+      w(i) = nc.toDouble / (nc - math.abs(i - (nc - 1)))
+      if (!clip.isNaN && w(i) > clip) w(i) = clip
+      i += 1
+    }
+    w
+  }
+
+  /** Sample (or time) shift at the maximum of Rxy (cc.py:144-206):
+    * zero index = len/2 (integer division), ties → first maximum.
+    */
+  def extractShift(rxy: Array[Double], delta: Double = 1.0): Double = {
+    val zero = rxy.length / 2
+    (argmax(rxy) - zero) * delta
+  }
+
+  def extractShiftAndMax(rxy: Array[Double], delta: Double = 1.0): (Double, Double) = {
+    val zero = rxy.length / 2
+    val idx = argmax(rxy)
+    ((idx - zero) * delta, rxy(idx))
+  }
+
+  def computeShiftAndMax(
+      x: Array[Double],
+      y: Array[Double],
+      delta: Double = 1.0,
+      normalize: Boolean = true
+  ): (Double, Double) =
+    extractShiftAndMax(cc(x, y, normalize = normalize), delta)
+
+  private def argmax(a: Array[Double]): Int = {
+    var best = 0
+    var i = 1
+    while (i < a.length) { if (a(i) > a(best)) best = i; i += 1 }
+    best
+  }
+}

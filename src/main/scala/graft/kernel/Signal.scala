@@ -1,0 +1,198 @@
+package graft.kernel
+
+/** Vector signal operators mirroring the reference's `xcorr/signal` package
+  * semantics on plain arrays. Each is the per-row kernel the Spark layer
+  * applies inside `Dataset.mapPartitions` / `transform(...)` — one row holds
+  * one core-dim vector, exactly how `xr.apply_ufunc(input_core_dims=[[dim]])`
+  * vectorizes in the reference.
+  */
+object Signal {
+
+  /** Subtract the mean (reference detrend type 'constant',
+    * /root/reference/xcorr/signal/detrend.py:31-124; NaN-skipping).
+    */
+  def demean(x: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var n = 0
+    var i = 0
+    while (i < x.length) { val v = x(i); if (!v.isNaN) { s += v; n += 1 }; i += 1 }
+    val m = if (n == 0) 0.0 else s / n
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) - m; i += 1 }
+    out
+  }
+
+  /** Remove a least-squares linear trend fit on (t, x) with NaNs excluded
+    * from the fit (reference detrend type 'linear', detrend.py:87-99).
+    */
+  def detrendLinear(x: Array[Double], t: Array[Double]): Array[Double] = {
+    var n = 0
+    var st = 0.0; var sx = 0.0; var stt = 0.0; var stx = 0.0
+    var i = 0
+    while (i < x.length) {
+      val v = x(i)
+      if (!v.isNaN) { n += 1; st += t(i); sx += v; stt += t(i) * t(i); stx += t(i) * v }
+      i += 1
+    }
+    val denom = n * stt - st * st
+    val slope = if (n < 2 || denom == 0) 0.0 else (n * stx - st * sx) / denom
+    val icept = if (n == 0) 0.0 else (sx - slope * st) / n
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) - (slope * t(i) + icept); i += 1 }
+    out
+  }
+
+  /** Divide by the L2 norm (reference norm1d,
+    * /root/reference/xcorr/signal/normalize.py:33-93).
+    */
+  def normalizeL2(x: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val norm = math.sqrt(s)
+    val inv = if (norm == 0) 0.0 else 1.0 / norm
+    x.map(_ * inv)
+  }
+
+  /** sqrt(mean(x^2)) skipping NaNs (/root/reference/xcorr/signal/rms.py:23-68). */
+  def rms(x: Array[Double]): Double = {
+    var s = 0.0
+    var n = 0
+    var i = 0
+    while (i < x.length) { val v = x(i); if (!v.isNaN) { s += v * v; n += 1 }; i += 1 }
+    if (n == 0) Double.NaN else math.sqrt(s / n)
+  }
+
+  /** Symmetric Hann window of length m (scipy.signal.windows.hann(m, sym=True)). */
+  def hann(m: Int): Array[Double] = {
+    if (m == 1) return Array(1.0)
+    val w = new Array[Double](m)
+    var i = 0
+    while (i < m) { w(i) = 0.5 - 0.5 * math.cos(2 * math.Pi * i / (m - 1)); i += 1 }
+    w
+  }
+
+  /** Cosine edge taper: interior = 1, each edge multiplied by the rising /
+    * falling half of a Hann window sized by `maxPercentage` of the vector
+    * length (capped at 0.5) or `maxLength` samples — the reference's window
+    * sizing rule (/root/reference/xcorr/signal/window.py:74-106) applied to
+    * both edges (taper.py:23-85).
+    */
+  def taper(x: Array[Double], maxPercentage: Double = 0.05, maxLength: Int = -1): Array[Double] = {
+    val n = x.length
+    val pct = math.min(maxPercentage, 0.5)
+    var m = (pct * n).toInt
+    if (maxLength > 0) m = math.min(m, maxLength)
+    if (m < 1) return java.util.Arrays.copyOf(x, n)
+    val w = hann(2 * m + 1)
+    val out = java.util.Arrays.copyOf(x, n)
+    var i = 0
+    while (i < m) {
+      out(i) *= w(i)
+      out(n - 1 - i) *= w(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Analytic signal via the FFT method (reference hilbert,
+    * /root/reference/xcorr/signal/hilbert.py:29-88): zero the negative
+    * frequencies, double the positive ones. Returns (re, im).
+    */
+  def hilbert(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val re = java.util.Arrays.copyOf(x, n)
+    val im = new Array[Double](n)
+    Fft.fft(re, im)
+    val h = new Array[Double](n)
+    h(0) = 1.0
+    if (n % 2 == 0) {
+      h(n / 2) = 1.0
+      var i = 1
+      while (i < n / 2) { h(i) = 2.0; i += 1 }
+    } else {
+      var i = 1
+      while (i <= (n - 1) / 2) { h(i) = 2.0; i += 1 }
+    }
+    var i = 0
+    while (i < n) { re(i) *= h(i); im(i) *= h(i); i += 1 }
+    Fft.ifft(re, im)
+    (re, im)
+  }
+
+  /** Envelope = |analytic signal| (hilbert.py:91-120). */
+  def envelope(x: Array[Double]): Array[Double] = {
+    val (re, im) = hilbert(x)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < out.length) { out(i) = math.hypot(re(i), im(i)); i += 1 }
+    out
+  }
+
+  /** Phase-shift x by `delay` seconds in the frequency domain via rfft
+    * (reference timeshift fast path,
+    * /root/reference/xcorr/signal/timeshift.py:23-117: odd n is trimmed by
+    * one sample before the rfft — reproduced here for fixture parity).
+    */
+  def timeshift(x: Array[Double], delay: Double, delta: Double): Array[Double] = {
+    val n0 = x.length
+    val n = if (n0 % 2 == 1) n0 - 1 else n0
+    val xin = if (n == n0) x else java.util.Arrays.copyOf(x, n)
+    val (re, im) = Fft.rfft(xin)
+    val h = re.length
+    var k = 0
+    while (k < h) {
+      val f = k / (n * delta)
+      val ang = -2.0 * math.Pi * delay * f
+      val cr = math.cos(ang)
+      val ci = math.sin(ang)
+      val r = re(k) * cr - im(k) * ci
+      val i2 = re(k) * ci + im(k) * cr
+      re(k) = r
+      im(k) = i2
+      k += 1
+    }
+    Fft.irfft(re, im, n)
+  }
+
+  /** Power spectral density spectrogram over a sliding window
+    * (reference spectrogram, /root/reference/xcorr/signal/spectrogram.py:
+    * 27-197 — scipy mode='psd', onesided, density scaling with a Hann
+    * window; this variant uses hop >= 1 like `spectrogram_mtc`).
+    * Returns (nSegments x nFreqBins) row-major matrix and the freq axis.
+    */
+  def spectrogram(
+      x: Array[Double],
+      fs: Double,
+      nperseg: Int,
+      hop: Int
+  ): (Array[Array[Double]], Array[Double]) = {
+    val win = hann(nperseg)
+    var winSumSq = 0.0
+    win.foreach(w => winSumSq += w * w)
+    val scale = 1.0 / (fs * winSumSq)
+    val nBins = nperseg / 2 + 1
+    val nSeg = math.max((x.length - nperseg) / hop + 1, 0)
+    val out = Array.ofDim[Double](nSeg, nBins)
+    var s = 0
+    while (s < nSeg) {
+      val seg = new Array[Double](nperseg)
+      var i = 0
+      while (i < nperseg) { seg(i) = x(s * hop + i) * win(i); i += 1 }
+      val (re, im) = Fft.rfft(seg)
+      var k = 0
+      while (k < nBins) {
+        var p = (re(k) * re(k) + im(k) * im(k)) * scale
+        // one-sided: double everything except DC and (even n) Nyquist
+        if (k != 0 && !(nperseg % 2 == 0 && k == nBins - 1)) p *= 2
+        out(s)(k) = p
+        k += 1
+      }
+      s += 1
+    }
+    val freq = Array.tabulate(nBins)(k => k * fs / nperseg)
+    (out, freq)
+  }
+}
