@@ -1,0 +1,641 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kernel.Cc
+import graft.meta.Hasher
+import graft.ops.{Correlate, Ingest, Rollup}
+import graft.synth.Transcripts
+
+/** The driver-checked operator surface: each entry is one operator from
+  * SURVEY.md §2 (or a training-data-pipeline extension) as a Spark query
+  * over /root/testdata tables, with a DuckDB-equivalent oracle where the
+  * semantics are SQL-expressible. Column names/aliases match the oracle
+  * exactly (the driver sorts columns by name before hashing).
+  *
+  * Determinism discipline:
+  *  - integer-valued aggregates wherever possible (exact under any
+  *    partitioning / engine);
+  *  - double aggregates that reorder sums are rounded to 6 decimals on
+  *    BOTH sides;
+  *  - per-row double arithmetic (no reordering) is left exact — IEEE ops
+  *    on identical inputs are engine-independent.
+  */
+object Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QFn, oracle: Option[String])
+
+  private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+  private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def ord(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def cust(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def nat(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
+  private def reg(s: SparkSession, dir: String) = s.read.parquet(s"$dir/region.parquet")
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** DuckDB emits naive timestamps; Spark must too (TIMESTAMP_NTZ) so the
+    * driver's value compare sees identical types. Session TZ is pinned UTC,
+    * so TZ<->NTZ casts are wall-clock identities.
+    */
+  private def ntz(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+
+  // ---------------------------------------------------------------- A. relational
+
+  val q01 = Q("q01_pricing_summary",
+    (s, d) => li(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")
+      ),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           | sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty,
+           | max(l_quantity) AS max_qty,
+           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM lineitem GROUP BY 1, 2""".stripMargin))
+
+  val q02 = Q("q02_filter_pushdown",
+    (s, d) => li(s, d)
+      .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_quantity > 45""".stripMargin))
+
+  val q03 = Q("q03_join_nation_region",
+    (s, d) => ord(s, d)
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total")),
+    Some("""SELECT r_name, n_name, count(*) AS n_orders,
+           | round(sum(o_totalprice), 2) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2""".stripMargin))
+
+  val q04 = Q("q04_topk_orders",
+    (s, d) => ord(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  val q05 = Q("q05_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      li(s, d).withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    },
+    Some("""SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+           | SELECT *, row_number() OVER (PARTITION BY l_returnflag
+           |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+           | FROM lineitem) WHERE rk <= 3""".stripMargin))
+
+  val q06 = Q("q06_distinct",
+    (s, d) => li(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  val q07 = Q("q07_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("running_qty"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+           | sum(l_quantity) OVER (PARTITION BY l_suppkey
+           |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+           |FROM lineitem""".stripMargin))
+
+  val q08 = Q("q08_anti_semi_join",
+    (s, d) => {
+      val o = ord(s, d)
+      val l = li(s, d).select(col("l_orderkey")).distinct()
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_no_lines"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_no_lines FROM orders
+           |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+           |GROUP BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- B. time-series
+
+  val q10 = Q("q10_rollup_1m",
+    (s, d) => ev(s, d)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("chunk_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        min_by(col("value"), col("ts")).as("first_v"),
+        max_by(col("value"), col("ts")).as("last_v")
+      ).transform(d => ntz(d, "chunk_start")),
+    Some("""SELECT user_id, date_trunc('minute', ts) AS chunk_start, count(*) AS n,
+           | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+           | min_by(value, ts) AS first_v, max_by(value, ts) AS last_v
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val q11 = Q("q11_rollup_compose_1h",
+    (s, d) => {
+      // hierarchical: 1h tier folded FROM the 1m tier (tests composition);
+      // the oracle aggregates the raw events directly — equal iff the tiers
+      // compose exactly
+      val m1 = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
+          lit("value").as("metric"), col("ts"), col("value"))
+      val tier1m = Rollup.fromPoints(m1, "minute")
+      Rollup.fromLower(tier1m, "hour")
+        .select(col("conv_id").cast("long").as("user_id"), col("chunk_start"),
+          col("n"), round(col("sum"), 6).as("sum_v"), col("min").as("min_v"), col("max").as("max_v"))
+        .transform(d => ntz(d, "chunk_start"))
+    },
+    Some("""SELECT user_id, date_trunc('hour', ts) AS chunk_start, count(*) AS n,
+           | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val q12 = Q("q12_gapfill_1h",
+    (s, d) => {
+      val b = ev(s, d).groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val spans = b.groupBy(col("user_id")).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = spans.select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("ts"))
+      grid.join(b, grid("user_id") === b("user_id") && grid("ts") === b("h"), "left")
+        .select(grid("user_id"), grid("ts"), coalesce(col("c"), lit(0L)).as("n_events"))
+        .transform(d => ntz(d, "ts"))
+    },
+    Some("""WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |s AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1),
+           |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM s)
+           |SELECT g.user_id, g.ts, coalesce(b.c, 0) AS n_events
+           |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.ts = b.h""".stripMargin))
+
+  val q13 = Q("q13_gap_detect",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("gap_us", unix_micros(col("ts").cast("timestamp")) - lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("gap_us") > 3600000000L, 1).otherwise(0)).as("n_gaps"),
+          max(col("gap_us")).as("max_gap_us"))
+    },
+    Some("""WITH g AS (SELECT user_id,
+           |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           |  FROM events)
+           |SELECT user_id,
+           | sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS n_gaps,
+           | max(gap_us) AS max_gap_us
+           |FROM g GROUP BY 1""".stripMargin))
+
+  val q14 = Q("q14_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = ev(s, d)
+        .withColumn("gap_us", unix_micros(col("ts").cast("timestamp")) - lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") <= 1800000000L, 0).otherwise(1))
+      val sess = flagged
+        .withColumn("session_id", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .transform(d => ntz(d, "session_start", "session_end"))
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+           |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           |    OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+           |   THEN 0
+           |   WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |   THEN 0 ELSE 1 END AS new_s
+           |  FROM events),
+           |se AS (SELECT user_id, ts,
+           |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM g)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           | min(ts) AS session_start, max(ts) AS session_end
+           |FROM se GROUP BY 1, 2""".stripMargin))
+
+  val q15 = Q("q15_trigger_islands",
+    (s, d) => {
+      // coincidence trigger (gaps-and-islands): minutes where >= 3 distinct
+      // users exceed the threshold; islands of consecutive minutes; drop
+      // islands shorter than 3 minutes (reference drops periods < 3*step,
+      // /root/reference/xcorr/signal/trigger.py:96-99,166-168)
+      val active = ev(s, d).where(col("value") > 100)
+        .groupBy(date_trunc("hour", col("ts")).as("m"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .where(col("n_active") >= 3)
+      val w = Window.orderBy(col("m"))
+      active
+        .withColumn("grp", expr("unix_micros(m) div 3600000000") - row_number().over(w))
+        .groupBy(col("grp"))
+        .agg(min(col("m")).as("island_start"), max(col("m")).as("island_end"), count(lit(1)).as("n_hours"))
+        .where(col("n_hours") >= 3)
+        .drop("grp")
+        .transform(d => ntz(d, "island_start", "island_end"))
+    },
+    Some("""WITH a AS (SELECT date_trunc('hour', ts) AS m, count(DISTINCT user_id) AS n_active
+           |  FROM events WHERE value > 100 GROUP BY 1 HAVING count(DISTINCT user_id) >= 3),
+           |g AS (SELECT m, epoch_us(m) // 3600000000 - row_number() OVER (ORDER BY m) AS grp FROM a)
+           |SELECT min(m) AS island_start, max(m) AS island_end, count(*) AS n_hours
+           |FROM g GROUP BY grp HAVING count(*) >= 3""".stripMargin))
+
+  val q16 = Q("q16_running_rms",
+    (s, d) => ev(s, d)
+      .groupBy(col("user_id"),
+        expr("cast(timestamp_seconds((unix_micros(cast(ts as timestamp)) div 600000000) * 600) as timestamp_ntz)").as("bucket"))
+      .agg(round(sqrt(avg(col("value") * col("value"))), 6).as("rms")),
+    Some("""SELECT user_id, time_bucket(INTERVAL 10 MINUTE, ts) AS bucket,
+           | round(sqrt(avg(value * value)), 6) AS rms
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val q17 = Q("q17_demean",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      ev(s, d).where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - avg(col("value")).over(w), 6).as("demeaned"))
+    },
+    Some("""SELECT user_id, event_id,
+           | round(value - avg(value) OVER (PARTITION BY user_id), 6) AS demeaned
+           |FROM events WHERE event_type = 'click'""".stripMargin))
+
+  val q18 = Q("q18_snr",
+    (s, d) => ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        round(max(when(col("event_type") === "error", abs(col("value")))), 6).as("s"),
+        round(sqrt(avg(when(col("event_type") === "view", col("value") * col("value")))), 6).as("n"),
+        round(
+          max(when(col("event_type") === "error", abs(col("value")))) /
+            sqrt(avg(when(col("event_type") === "view", col("value") * col("value")))), 6).as("snr"),
+        max_by(col("event_id"), when(col("event_type") === "error", abs(col("value"))).otherwise(lit(null))).as("peak_event")
+      ),
+    Some("""SELECT user_id,
+           | round(max(abs(value)) FILTER (event_type = 'error'), 6) AS s,
+           | round(sqrt(avg(value * value) FILTER (event_type = 'view')), 6) AS n,
+           | round(max(abs(value)) FILTER (event_type = 'error')
+           |   / sqrt(avg(value * value) FILTER (event_type = 'view')), 6) AS snr,
+           | max_by(event_id, abs(value)) FILTER (event_type = 'error') AS peak_event
+           |FROM events GROUP BY 1""".stripMargin))
+
+  val q19 = Q("q19_cc_pair_lags",
+    (s, d) => {
+      import s.implicits._
+      // hourly count series of users 1 and 2 on the COMMON gap-filled grid,
+      // cross-correlated with the FFT kernel; integer-valued series → the
+      // raw CC estimate is integral, so the kernel output rounds exactly to
+      // the time-domain oracle sum
+      val both = ev(s, d).where(col("user_id").isin(1L, 2L))
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val span = both.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val counts = both.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("c"))
+      def seriesOf(uid: Long) = grid
+        .join(counts.where(col("user_id") === uid), Seq("h"), "left")
+        .select(col("h"), coalesce(col("c"), lit(0L)).cast("double").as("v"))
+        .agg(expr("transform(array_sort(collect_list(struct(h, v))), p -> p.v)").as("vs"))
+      val xa = seriesOf(1L).as[Array[Double]].head()
+      val yb = seriesOf(2L).as[Array[Double]].head()
+      val rxy = Cc.cc(xa, yb, normalize = false)
+      val zero = rxy.length / 2
+      val rows = (-6 to 6).map(k => (k, math.round(rxy(zero + k))))
+      s.createDataset(rows).toDF("lag_k", "cc_raw")
+    },
+    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+           |  WHERE user_id IN (1, 2)),
+           |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM bth),
+           |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+           |idx AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS j FROM grid),
+           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+           |xa AS (SELECT idx.j, coalesce(cnt.c, 0) AS c FROM idx
+           |  LEFT JOIN cnt ON cnt.h = idx.h AND cnt.user_id = 1),
+           |yb AS (SELECT idx.j, coalesce(cnt.c, 0) AS c FROM idx
+           |  LEFT JOIN cnt ON cnt.h = idx.h AND cnt.user_id = 2),
+           |lags AS (SELECT unnest(generate_series(-6, 6)) AS k)
+           |SELECT lags.k AS lag_k, coalesce(sum(xa.c * yb.c), 0) AS cc_raw
+           |FROM lags JOIN xa ON true JOIN yb ON yb.j = xa.j - lags.k
+           |GROUP BY 1""".stripMargin))
+
+  val q20 = Q("q20_lag_axis",
+    (s, d) => {
+      import s.implicits._
+      val lags = Cc.lagAxis(64, 0.5)
+      s.createDataset(lags.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("i", "lag")
+    },
+    Some("""SELECT i, round((i - 63) * 0.5, 9) AS lag
+           |FROM (SELECT unnest(generate_series(0, 126)) AS i)""".stripMargin))
+
+  val q21 = Q("q21_unbias_weights",
+    (s, d) => {
+      import s.implicits._
+      val w = Cc.weight(32)
+      s.createDataset(w.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }).toDF("i", "w")
+    },
+    Some("""SELECT i, 32.0 / (32 - abs(i - 31)) AS w
+           |FROM (SELECT unnest(generate_series(0, 62)) AS i)""".stripMargin))
+
+  val q22 = Q("q22_gorilla_roundtrip",
+    (s, d) => {
+      // events → per-(user, day) delta-of-delta+Gorilla chunk blobs → decode
+      // → original points; oracle is the identity query, so the DuckDB
+      // compare proves the codec loses nothing on real data
+      val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
+        lit("value").as("metric"), col("ts"), col("value"))
+      val chunks = Rollup.toChunks(pts, "day")
+      Rollup.fromChunks(chunks)
+        .select(col("conv_id").cast("long").as("user_id"), col("ts"), col("value"))
+        .transform(d => ntz(d, "ts"))
+    },
+    Some("SELECT user_id, ts, value FROM events"))
+
+  val q23 = Q("q23_lttb_downsample",
+    (s, d) => {
+      val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
+        lit("value").as("metric"), col("ts"), col("value"))
+      Rollup.lttbTier(pts, 50)
+        .select(col("conv_id").cast("long").as("user_id"), col("ts"), col("value"))
+        .transform(d => ntz(d, "ts"))
+    },
+    None) // LTTB is not SQL-expressible; driver records rows-only check
+
+  // ---------------------------------------------------------------- C. documents
+
+  private val tokensSpark = "split(trim(text), '\\\\s+')"
+  private val tokensDuck = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  val q30 = Q("q30_dedup_exact",
+    (s, d) => docs(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper")),
+    Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY 1"))
+
+  val q31 = Q("q31_dedup_prefix",
+    (s, d) => docs(s, d)
+      .groupBy(md5(expr(s"array_join(slice($tokensSpark, 1, 5), ' ')")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .where(col("n") > 1),
+    Some(s"""SELECT md5(array_to_string($tokensDuck[1:5], ' ')) AS fp,
+            | count(*) AS n, min(doc_id) AS keeper
+            |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin))
+
+  val q32 = Q("q32_token_count",
+    (s, d) => docs(s, d).select(col("doc_id"), expr(s"size($tokensSpark)").as("n_tokens")),
+    Some(s"SELECT doc_id, len($tokensDuck) AS n_tokens FROM documents"))
+
+  val q33 = Q("q33_quality_score",
+    (s, d) => docs(s, d).select(
+      col("doc_id"),
+      expr(s"size($tokensSpark)").as("n_tokens"),
+      length(col("text")).as("n_chars_m"),
+      expr(s"size(filter($tokensSpark, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in'))").as("n_stop"),
+      (expr(s"size(filter($tokensSpark, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in'))") * 5
+        >= expr(s"size($tokensSpark)")).as("is_quality")),
+    Some(s"""SELECT doc_id, len($tokensDuck) AS n_tokens, length(text) AS n_chars_m,
+            | len(list_filter($tokensDuck, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS n_stop,
+            | len(list_filter($tokensDuck, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) * 5
+            |   >= len($tokensDuck) AS is_quality
+            |FROM documents""".stripMargin))
+
+  val q34 = Q("q34_lang_guess",
+    (s, d) => docs(s, d).select(
+      col("doc_id"),
+      expr(s"size(filter($tokensSpark, x -> x = 'the' OR x = 'a' OR x = 'of'))").as("en_n"),
+      expr(s"size(filter($tokensSpark, x -> x = 'scan' OR x = 'join' OR x = 'query'))").as("sql_n"))
+      .withColumn("pred", when(col("en_n") >= col("sql_n"), lit("en")).otherwise(lit("dsl"))),
+    Some(s"""SELECT doc_id,
+            | len(list_filter($tokensDuck, x -> x = 'the' OR x = 'a' OR x = 'of')) AS en_n,
+            | len(list_filter($tokensDuck, x -> x = 'scan' OR x = 'join' OR x = 'query')) AS sql_n,
+            | CASE WHEN len(list_filter($tokensDuck, x -> x = 'the' OR x = 'a' OR x = 'of'))
+            |   >= len(list_filter($tokensDuck, x -> x = 'scan' OR x = 'join' OR x = 'query'))
+            |  THEN 'en' ELSE 'dsl' END AS pred
+            |FROM documents""".stripMargin))
+
+  val q35 = Q("q35_fingerprint",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp")),
+    Some(raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents"))
+
+  val q36 = Q("q36_ngram_jaccard",
+    (s, d) => {
+      val sh = docs(s, d).where(expr(s"size($tokensSpark) >= 3"))
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size($tokensSpark) - 2), i -> concat_ws(' ', slice($tokensSpark, i, 3)))")).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+        .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .where(col("jaccard") >= 0.2)
+        .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents WHERE len($tokensDuck) >= 3),
+            |sh AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, len(a) - 2),
+            |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS sh FROM toks),
+            |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+            |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |SELECT d1, d2, inter,
+            |  inter / (s1.n_sh + s2.n_sh - inter) AS jaccard
+            |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+            |WHERE inter / (s1.n_sh + s2.n_sh - inter) >= 0.2""".stripMargin))
+
+  val q37 = Q("q37_minhash_lsh",
+    (s, d) => {
+      // min-wise hashing in the STRING domain (lexicographic min of
+      // md5(seed || shingle)) → identical in any engine with md5; 8 hashes,
+      // 4 bands of 2 → candidate pairs sharing >= 1 band
+      val sh = docs(s, d).where(expr(s"size($tokensSpark) >= 3"))
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size($tokensSpark) - 2), i -> concat_ws(' ', slice($tokensSpark, i, 3)))")).as("sh"))
+        .distinct()
+      val seedDf = s.range(0, 8).select(col("id").cast("int").as("seed"))
+      val sig = sh.crossJoin(broadcast(seedDf))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("h"))
+      val bands = sig
+        .withColumn("band", (col("seed") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(md5(array_join(array_sort(collect_list(col("h"))), "")).as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents WHERE len($tokensDuck) >= 3),
+            |sh AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, len(a) - 2),
+            |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS sh FROM toks),
+            |sig AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS h
+            |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) GROUP BY 1, 2),
+            |bands AS (SELECT doc_id, seed // 2 AS band,
+            |  md5(string_agg(h, '' ORDER BY h)) AS bv FROM sig GROUP BY 1, 2)
+            |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            |FROM bands x JOIN bands y
+            |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin))
+
+  val q38 = Q("q38_simhash",
+    (s, d) => {
+      // 8-bit simhash: bit j = sign of sum over token occurrences of ±1,
+      // where the ±1 is the high bit of the j-th hex digit of md5(token)
+      val toks = docs(s, d).select(col("doc_id"), explode(expr(tokensSpark)).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bitCols = (1 to 8).map { j =>
+        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")
+      }
+      toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 8).map(j => when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+    },
+    Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
+            |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
+            |s AS (SELECT doc_id,
+            |  ${(1 to 8).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+            |  FROM toks GROUP BY 1)
+            |SELECT doc_id, ${(1 to 8).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
+            |FROM s""".stripMargin))
+
+  // ---------------------------------------------------------------- D. embeddings
+
+  private val dotSpark = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  private def vCast = "transform(embedding, x -> cast(x as double))"
+
+  val q40 = Q("q40_knn_brute",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val dot = expr(dotSpark.format("qv", "v"))
+      val nq = expr(dotSpark.format("qv", "qv"))
+      val nv = expr(dotSpark.format("v", "v"))
+      val scored = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(dot / (sqrt(nq) * sqrt(nv)), 9).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+           |scored AS (SELECT q_id, e.vec_id AS neighbor_id,
+           |  round(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+           |      * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 9) AS cosine
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id)
+           |SELECT q_id, neighbor_id, cosine, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+           |WHERE rk <= 3""".stripMargin))
+
+  val q41 = Q("q41_embedding_norms",
+    (s, d) => emb(s, d).select(col("vec_id"), col("label"),
+      round(sqrt(expr(dotSpark.format(vCast, vCast))), 9).as("l2_norm")),
+    Some("""SELECT vec_id, label,
+           | round(sqrt(list_sum(list_transform(range(1, 65),
+           |   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 9) AS l2_norm
+           |FROM embeddings""".stripMargin))
+
+  /** Deterministic random-hyperplane signs: plane j, dim i → ±1 from the
+    * first hex digit of md5("j:i") — computable identically in Scala here
+    * and inlined as literals in the oracle SQL.
+    */
+  private lazy val lshPlanes: Array[Array[Int]] =
+    Array.tabulate(8, 64) { (j, i) =>
+      if (Hasher.sha256Hex(s"$j:$i").charAt(0) <= '7') 1 else -1
+    }
+
+  val q42 = Q("q42_lsh_buckets",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
+      val bitExprs = lshPlanes.map { plane =>
+        val planeLit = plane.mkString("array(", "D,", "D)")
+        when(expr(dotSpark.format("v", planeLit)) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      e.select(col("vec_id"), concat(bitExprs.toIndexedSeq: _*).as("bucket"))
+    },
+    Some {
+      val bitSqls = lshPlanes.map { plane =>
+        val planeLit = plane.mkString("[", ".0,", ".0]")
+        s"""CASE WHEN list_sum(list_transform(range(1, 65),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ($planeLit)[i])) >= 0
+           | THEN '1' ELSE '0' END""".stripMargin
+      }
+      s"SELECT vec_id, ${bitSqls.mkString(" || ")} AS bucket FROM embeddings"
+    })
+
+  val q43 = Q("q43_lsh_candidates",
+    (s, d) => {
+      val b = q42.fn(s, d)
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), col("x.bucket").as("bucket"))
+    },
+    q42.oracle.map(bucketSql =>
+      s"""WITH b AS ($bucketSql)
+         |SELECT x.vec_id AS v1, y.vec_id AS v2, x.bucket AS bucket
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id""".stripMargin))
+
+  // ---------------------------------------------------------------- E. flagship pipeline
+
+  val q50 = Q("q50_xcorr_e2e",
+    (s, d) => {
+      // synthetic transcripts → gap-filled series → pairwise windowed FFT CC
+      // (the engine's flagship path; golden-tested against the single-node
+      // reference in PipelineSpec — not SQL-expressible)
+      import s.implicits._
+      val t = Transcripts.generate(s, nConvs = 24, baseTurns = 150, hotConvs = 2, hotFactor = 8).toDF()
+      val series = Ingest.series(t, 60)
+      val wins = Correlate.windows(series, windowSec = 1800, strideSec = 900, stepSec = 60)
+      val pairs = Correlate.allPairs(series).where(col("conv_a") < col("conv_b")).limit(50)
+      Correlate.ccPairs(wins, pairs, stepSec = 60, windowSec = 1800).toDF()
+        .select(col("pair"), col("metric"), col("win_start"), col("shift"), col("cc_max"), col("status"))
+    },
+    None)
+
+  val q51 = Q("q51_rollup_pipeline",
+    (s, d) => {
+      // synthetic transcripts → ingest → 1m/1h/1d cascade; returns the 1d
+      // tier (golden-tested vs refimpl; not DuckDB-expressible since the
+      // input is generated)
+      import s.implicits._
+      val t = Transcripts.generate(s, nConvs = 64, baseTurns = 200, hotConvs = 4, hotFactor = 10).toDF()
+      val (m1, h1, d1) = Rollup.cascade(Ingest.series(t, 60))
+      d1
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q40, q41, q42, q43,
+    q50, q51
+  )
+}

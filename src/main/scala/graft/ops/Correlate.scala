@@ -1,0 +1,153 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{CcRow, SeriesWindow}
+import graft.kernel.Cc
+
+/** Pairwise windowed cross-correlation — the engine's flagship operator
+  * (reference inner loop: /root/reference/xcorr/core/process.py:82-172,
+  * kernel /root/reference/xcorr/util/cc.py:22-79).
+  *
+  * Execution shape (SURVEY.md §3.1 Spark shape):
+  *   series → overlapping-window explode → per-(conv, metric, window) value
+  *   arrays → pair join → mapPartitions FFT kernel.
+  *
+  * Scale notes:
+  *  - The window explode fans each point out `window/stride` ways (the
+  *    reference's 86400 s window at 21/24 overlap = 8×,
+  *    /root/reference/xcorr/scripts/cc.py:28) — a narrow map, no shuffle.
+  *  - Window assembly shuffles once on (conv_id, metric, win_start).
+  *  - The pair join broadcasts the (small) pair list and shuffles windows
+  *    on the join key — keys include conv_id, so hot windows spread.
+  *  - Before the kernel we repartition by (pair, win_start) hash: the FFT
+  *    is the expensive stage, and this is the explicit conv_id-hash
+  *    partitioning + skew spreading the north rule asks for (a hot conv
+  *    appearing in many pairs lands on many partitions, since the hash
+  *    covers BOTH conv ids and the window start).
+  *  - Incomplete windows are dropped (count == npts), mirroring the
+  *    reference's strict sample-count gate
+  *    (/root/reference/xcorr/stream/client.py:1019-1050).
+  */
+object Correlate {
+
+  /** Explode the gap-filled series into complete overlapping windows with
+    * time-ordered value arrays.
+    */
+  def windows(
+      series: DataFrame,
+      windowSec: Long,
+      strideSec: Long,
+      stepSec: Long
+  ): DataFrame = {
+    require(windowSec % stepSec == 0, "window must be a multiple of the grid step")
+    require(strideSec % stepSec == 0, "stride must be a multiple of the grid step")
+    require(strideSec <= windowSec, "stride must not exceed the window (no gaps)")
+    val npts = (windowSec / stepSec).toInt
+    // window starts w (aligned to stride) with w <= ts < w + window:
+    //   ceil((ts - window + step) / stride) .. floor(ts / stride)
+    val winExpr =
+      s"""sequence(
+         |  CAST(ceil((unix_timestamp(ts) - $windowSec + $stepSec) / $strideSec) AS BIGINT) * $strideSec,
+         |  (unix_timestamp(ts) DIV $strideSec) * $strideSec,
+         |  $strideSec)""".stripMargin
+    series
+      .withColumn("win_start_s", explode(expr(winExpr)))
+      .groupBy(col("conv_id"), col("metric"), timestamp_seconds(col("win_start_s")).as("win_start"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .where(size(col("pts")) === npts)
+      .select(
+        col("conv_id"), col("metric"), col("win_start"),
+        expr("transform(pts, p -> p.value)").as("values")
+      )
+  }
+
+  /** All unordered conv pairs (convA < convB) present in the series — the
+    * reference's `triu_indices` co-array / tri_mask "compute half" trick
+    * (/root/reference/xcorr/signal/tri.py:19-55,
+    * /root/reference/xcorr/signal/beamform.py:109-117).
+    */
+  def allPairs(series: DataFrame): DataFrame = {
+    val convs = series.select(col("conv_id")).distinct()
+    convs.as("a")
+      .join(convs.as("b"), col("a.conv_id") < col("b.conv_id"))
+      .select(col("a.conv_id").as("conv_a"), col("b.conv_id").as("conv_b"))
+  }
+
+  /** Cross-correlate the given conversation pairs per (metric, window).
+    *
+    * @param pairs DataFrame(conv_a, conv_b) with conv_a < conv_b — small,
+    *              broadcast to both joins.
+    * @param clipLagSec keep only |lag| <= clip (reference lag clipping at
+    *                   init, /root/reference/xcorr/core/init.py:177-196 —
+    *                   a projection pushdown: store only the lag window of
+    *                   interest). Negative = keep all.
+    */
+  def ccPairs(
+      wins: DataFrame,
+      pairs: DataFrame,
+      stepSec: Long,
+      windowSec: Long,
+      normalize: Boolean = true,
+      unbiased: Boolean = false,
+      clipLagSec: Double = -1
+  ): Dataset[CcRow] = {
+    val spark = wins.sparkSession
+    import spark.implicits._
+    val a = wins.as("a")
+    val b = wins.as("b")
+    val joined = a
+      .join(broadcast(pairs), col("a.conv_id") === col("conv_a"))
+      .join(
+        b,
+        col("b.conv_id") === col("conv_b") &&
+          col("a.metric") === col("b.metric") &&
+          col("a.win_start") === col("b.win_start")
+      )
+      .select(
+        col("conv_a"), col("conv_b"), col("a.metric").as("metric"),
+        col("a.win_start").as("win_start"),
+        col("a.values").as("va"), col("b.values").as("vb")
+      )
+      // spread kernel work: hash over both conv ids AND the window, so a
+      // hot conversation's pairs do not pile on one partition
+      .repartition(col("conv_a"), col("conv_b"), col("win_start"))
+      .as[(String, String, String, Timestamp, Array[Double], Array[Double])]
+
+    val delta = stepSec.toDouble
+    val halfWin = windowSec / 2.0
+    joined.mapPartitions { it =>
+      it.map { case (ca, cb, metric, winStart, va, vb) =>
+        // a window with zero signal on either side carries no information:
+        // flag it missing_data like the reference's status=-1
+        // (/root/reference/xcorr/core/init.py:244-247) instead of emitting
+        // a spurious zero correlation
+        val degenerate = va.forall(_ == 0.0) || vb.forall(_ == 0.0)
+        val rxy = Cc.cc(va, vb, normalize = normalize, unbiased = unbiased)
+        val clipped =
+          if (clipLagSec < 0) rxy
+          else {
+            val lags = Cc.lagAxis(va.length, delta)
+            val keep = lags.indices.filter(i => math.abs(lags(i)) <= clipLagSec)
+            keep.map(rxy).toArray
+          }
+        val (shift, mx) = Cc.extractShiftAndMax(rxy, delta)
+        CcRow(
+          pair = s"$ca-$cb",
+          metric = metric,
+          win_start = winStart,
+          cc = clipped,
+          status = if (degenerate) -1 else 1,
+          // both series share the ingest grid → start-time difference 0
+          // (reference pair_offset, /root/reference/xcorr/core/init.py:275-287)
+          pair_offset = 0.0,
+          // first sample start vs window center (init.py:290-302)
+          time_offset = -halfWin,
+          shift = shift,
+          cc_max = mx
+        )
+      }
+    }
+  }
+}
