@@ -17,19 +17,117 @@ import graft.synth.Transcripts
   */
 object Bench {
 
-  /** Ingest→tier-1 throughput on a deterministic synthetic transcript table.
-    * Returns (points, seconds).
+  /** Materialize the deterministic synthetic transcript table to parquet
+    * (the bench input is a stored table, like the Iceberg table the north
+    * rule names — generation cost is setup, not ingest throughput).
     */
-  def rollupThroughput(spark: SparkSession, nConvs: Int, baseTurns: Int): (Long, Long, Double) = {
+  def materializeTranscripts(spark: SparkSession, nConvs: Int, baseTurns: Int, path: String): Unit = {
     import spark.implicits._
+    Transcripts.generate(spark, nConvs, baseTurns, hotConvs = math.max(nConvs / 100, 1), hotFactor = 50)
+      .toDF()
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Ingest→tier-1 throughput reading a stored transcript table.
+    * Returns (tier1 cells, tier0 points, seconds).
+    */
+  def rollupThroughput(spark: SparkSession, path: String): (Long, Long, Double) = {
     val t0 = System.nanoTime()
-    val t = Transcripts.generate(spark, nConvs, baseTurns, hotConvs = nConvs / 100, hotFactor = 50).toDF()
+    val t = spark.read.parquet(path)
     val series = Ingest.series(t, 60)
     val m1 = Rollup.fromPoints(series, "minute")
-    // count() forces the full pipeline; n sums = turns processed
     val agg = m1.agg(count(lit(1)).as("cells"), sum(col("n")).as("pts")).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
     (agg.getLong(0), agg.getLong(1), secs)
+  }
+
+  /** Convenience: generate + measure in one call (setup untimed). */
+  def rollupThroughput(spark: SparkSession, nConvs: Int, baseTurns: Int): (Long, Long, Double) = {
+    val path = s"/tmp/graft-bench-transcripts-$nConvs-$baseTurns"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      materializeTranscripts(spark, nConvs, baseTurns, path)
+    rollupThroughput(spark, path)
+  }
+
+  /** Pairwise-CC throughput (the flagship job, SURVEY.md §3.1): stored
+    * transcripts → gap-filled series → overlapping windows → ring-paired
+    * conversations → mapPartitions FFT kernel. Returns (cc cells, seconds).
+    * Compute-bound (FFT dominates), unlike the shuffle-bound rollup path.
+    */
+  def ccThroughput(
+      spark: SparkSession,
+      path: String,
+      nConvs: Int,
+      stepSec: Long = 10,
+      windowSec: Long = 28800,
+      strideSec: Long = 7200,
+      neighbors: Int = 8
+  ): (Long, Double) = {
+    import spark.implicits._
+    import graft.ops.Correlate
+    import graft.synth.Transcripts.convId
+    val t0 = System.nanoTime()
+    val t = spark.read.parquet(path)
+    val series = Ingest.series(t, stepSec)
+    val wins = Correlate.windows(series, windowSec, strideSec, stepSec)
+    val pairs = spark.range(0, nConvs.toLong)
+      .flatMap(i => (1 to neighbors).map(j => (convId(i), convId(i + j))).filter(_._2 <= convId(nConvs - 1)))
+      .toDF("conv_a", "conv_b")
+    val n = Correlate.ccPairs(wins, pairs, stepSec, windowSec).count()
+    ((n), (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Materialize the pre-joined pair-windows (the CC kernel's input) so the
+    * kernel stage can be measured in isolation: scan → mapPartitions FFT →
+    * count, zero shuffle. This is the reference's inner production loop
+    * (/root/reference/xcorr/core/process.py:155-162) as a standalone stage.
+    */
+  def materializePairWindows(
+      spark: SparkSession,
+      transcriptsPath: String,
+      outPath: String,
+      nConvs: Int,
+      stepSec: Long = 10,
+      windowSec: Long = 28800,
+      strideSec: Long = 14400,
+      neighbors: Int = 2
+  ): Unit = {
+    import spark.implicits._
+    import graft.ops.Correlate
+    import graft.synth.Transcripts.convId
+    val t = spark.read.parquet(transcriptsPath)
+    val series = Ingest.series(t, stepSec)
+    val wins = Correlate.windows(series, windowSec, strideSec, stepSec)
+    val pairs = spark.range(0, nConvs.toLong)
+      .flatMap(i => (1 to neighbors).map(j => (convId(i), convId(i + j))).filter(_._2 <= convId(nConvs - 1)))
+      .toDF("conv_a", "conv_b")
+    wins.as("a")
+      .join(broadcast(pairs), col("a.conv_id") === col("conv_a"))
+      .join(wins.as("b"),
+        col("b.conv_id") === col("conv_b") &&
+          col("a.metric") === col("b.metric") && col("a.win_start") === col("b.win_start"))
+      .select(col("conv_a"), col("conv_b"), col("a.metric").as("metric"),
+        col("a.win_start").as("win_start"), col("a.values").as("va"), col("b.values").as("vb"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Kernel-stage throughput: scan pair-windows → FFT CC → count. */
+  def ccKernelThroughput(spark: SparkSession, pairWindowsPath: String, stepSec: Long = 10): (Long, Double) = {
+    import spark.implicits._
+    import graft.kernel.Cc
+    val t0 = System.nanoTime()
+    val n = spark.read.parquet(pairWindowsPath)
+      .select(col("va"), col("vb"))
+      .as[(Array[Double], Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (va, vb) =>
+          val rxy = Cc.cc(va, vb, normalize = true)
+          Cc.extractShiftAndMax(rxy, stepSec.toDouble)._2
+        }
+      }
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {
@@ -39,6 +137,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // size-based partition coalescing serializes explode-heavy stages
+      // (a KB-scale spans shuffle fans out to millions of grid rows);
+      // on a real cluster tune minPartitionNum instead
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // local-mode shuffle I/O contention dominates at 32 threads (thread
+      // dumps: FileChannel map/unmap churn on /tmp) — put shuffle files on
+      // tmpfs; a real cluster uses per-executor NVMe spill dirs instead
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.kernel.Cc
-import graft.meta.Hasher
 import graft.ops.{Correlate, Ingest, Rollup}
 import graft.synth.Transcripts
 
@@ -474,14 +473,17 @@ object Queries {
         .select(col("doc_id"),
           explode(expr(s"transform(sequence(1, size($tokensSpark) - 2), i -> concat_ws(' ', slice($tokensSpark, i, 3)))")).as("sh"))
         .distinct()
-      val seedDf = s.range(0, 8).select(col("id").cast("int").as("seed"))
-      val sig = sh.crossJoin(broadcast(seedDf))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("h"))
-      val bands = sig
-        .withColumn("band", (col("seed") / 2).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(md5(array_join(array_sort(collect_list(col("h"))), "")).as("bv"))
+      // all 8 min-hashes in ONE aggregation pass (no seed cross-join, one
+      // shuffle of distinct shingles instead of 8)
+      val minCols = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until 4).map { b =>
+        val (a, c) = (col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+        md5(concat(least(a, c), greatest(a, c))).as(s"b$b")
+      }
+      val bands = sig.select(col("doc_id") +: bandCols: _*)
+        .selectExpr("doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bv)")
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -566,10 +568,7 @@ object Queries {
     * first hex digit of md5("j:i") — computable identically in Scala here
     * and inlined as literals in the oracle SQL.
     */
-  private lazy val lshPlanes: Array[Array[Int]] =
-    Array.tabulate(8, 64) { (j, i) =>
-      if (Hasher.sha256Hex(s"$j:$i").charAt(0) <= '7') 1 else -1
-    }
+  private lazy val lshPlanes: Array[Array[Int]] = graft.ops.Similarity.planes(8, 64)
 
   val q42 = Q("q42_lsh_buckets",
     (s, d) => {
@@ -613,7 +612,8 @@ object Queries {
       val t = Transcripts.generate(s, nConvs = 24, baseTurns = 150, hotConvs = 2, hotFactor = 8).toDF()
       val series = Ingest.series(t, 60)
       val wins = Correlate.windows(series, windowSec = 1800, strideSec = 900, stepSec = 60)
-      val pairs = Correlate.allPairs(series).where(col("conv_a") < col("conv_b")).limit(50)
+      val pairs = Correlate.allPairs(series)
+        .orderBy(col("conv_a"), col("conv_b")).limit(50) // ordered: a bare limit is nondeterministic
       Correlate.ccPairs(wins, pairs, stepSec = 60, windowSec = 1800).toDF()
         .select(col("pair"), col("metric"), col("win_start"), col("shift"), col("cc_max"), col("status"))
     },
@@ -631,11 +631,36 @@ object Queries {
     },
     None)
 
+  val q52 = Q("q52_timelapse_matrix",
+    (s, d) => {
+      // second-order analysis: per-window spectrograms -> (time1 x time2)
+      // 2-D CC matrix, lower triangle computed + mirrored (tri_mask trick;
+      // golden-tested in TimelapseSpec — not SQL-expressible)
+      import s.implicits._
+      val t = Transcripts.generate(s, nConvs = 3, baseTurns = 200).toDF()
+      val series = Ingest.series(t, 60)
+      val wins = Correlate.windows(series, windowSec = 1800, strideSec = 900, stepSec = 60)
+      val specs = graft.ops.Timelapse.spectrograms(wins, 60, npersegSamples = 16, hopSamples = 4)
+      graft.ops.Timelapse.matrix(specs, 60)
+    },
+    None)
+
+  val q60 = Q("q60_multimodal_features",
+    (s, d) => {
+      // binary media columns -> per-partition (stubbed) decode -> feature
+      // arrays; plumbing tested in MultimodalSpec — not SQL-expressible
+      val media = graft.ops.Multimodal.synthesize(s, 200)
+      graft.ops.Multimodal.extractFeatures(media)
+        .select(col("asset_id"), col("kind"),
+          round(expr("aggregate(features, 0D, (acc, v) -> acc + cast(v as double))"), 4).as("feat_sum"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q40, q41, q42, q43,
-    q50, q51
+    q50, q51, q52, q60
   )
 }

@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import graft.ops.{Correlate, Ingest, Postprocess, Preprocess, Rollup}
+
+/** Fluent accessor API — the Scala analog of the reference's xarray
+  * accessors (`ds.xcorr.*` at /root/reference/xcorr/core/accessors.py:37-139
+  * and `da.signal.*` at /root/reference/xcorr/signal/accessor.py:52-327):
+  * extension methods that chain the engine's operators off any DataFrame of
+  * the right shape.
+  *
+  * {{{
+  * import graft.core.Accessors._
+  * transcripts.xcorr.series(60)
+  *   .xcorr.preprocess(Seq("demean" -> Map.empty))
+  *   .xcorr.windows(3600, 1800, 60)
+  *   .xcorr.ccPairs(pairs, 60, 3600)
+  * }}}
+  */
+object Accessors {
+
+  final class XcorrOps(private val df: DataFrame) {
+
+    // ---- transcripts shape (conv_id, turn_idx, role, text, tool, ts)
+    def series(stepSec: Long = 60): DataFrame = Ingest.series(df, stepSec)
+    def bucketed(stepSec: Long = 60): DataFrame = Ingest.bucketed(df, stepSec)
+
+    // ---- series shape (conv_id, metric, ts, value)
+    def preprocess(ops: Seq[(String, Map[String, String])]): DataFrame =
+      Preprocess(df, ops)
+    def rollup(unit: String): DataFrame = Rollup.fromPoints(df, unit)
+    def rollupCascade: (DataFrame, DataFrame, DataFrame) = Rollup.cascade(df)
+    def toChunks(unit: String): DataFrame = Rollup.toChunks(df, unit)
+    def lttb(threshold: Int): DataFrame = Rollup.lttbTier(df, threshold)
+    def windows(windowSec: Long, strideSec: Long, stepSec: Long): DataFrame =
+      Correlate.windows(df, windowSec, strideSec, stepSec)
+    def allPairs: DataFrame = Correlate.allPairs(df)
+
+    // ---- rollup shape (conv_id, metric, chunk_start, stats…)
+    def rollupHigher(unit: String): DataFrame = Rollup.fromLower(df, unit)
+    def fromChunks: DataFrame = Rollup.fromChunks(df)
+
+    // ---- windows shape (conv_id, metric, win_start, values)
+    def ccPairs(pairs: DataFrame, stepSec: Long, windowSec: Long,
+                normalize: Boolean = true, clipLagSec: Double = -1): Dataset[CcRow] =
+      Correlate.ccPairs(df, pairs, stepSec, windowSec, normalize, unbiased = false, clipLagSec)
+
+    // ---- cc shape (pair, metric, win_start, cc, status, offsets…)
+    def postprocess(cfg: Postprocess.Config): DataFrame = Postprocess(df, cfg)
+    def snr(stepSec: Double, signalBand: (Double, Double), noiseBand: (Double, Double)): DataFrame =
+      Postprocess.snr(df, stepSec, signalBand, noiseBand)
+  }
+
+  implicit final class XcorrDataFrame(private val df: Dataset[_]) {
+    def xcorr: XcorrOps = new XcorrOps(df.toDF())
+  }
+
+  /** Column-level signal functions (the `da.signal.*` analog). */
+  object functions {
+    def token_count(c: Column): Column = graft.functions.TokenCount(c)
+  }
+}

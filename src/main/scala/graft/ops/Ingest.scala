@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** Whitespace token count; empty/blank text counts 0. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+  /** Whitespace token count; empty/blank text counts 0. Custom codegen'd
+    * Expression (graft.functions.TokenCount) — semantically equal to
+    * `size(split(trim(c), '\\s+'))` (equality asserted in QueriesSpec) but
+    * a zero-allocation single byte pass instead of a regex, which was the
+    * dominant ingest cost at high parallelism.
+    */
+  def tokenCount(c: Column): Column = graft.functions.TokenCount(c)
 
   /** Floor a timestamp onto a regular `stepSec` grid. */
   def bucket(ts: Column, stepSec: Long): Column =
@@ -42,20 +46,49 @@ object Ingest {
 
   /** Gap-filled long-form series: (conv_id, metric, ts, value) with value=0
     * in empty buckets (rate metrics: an empty minute is a real zero).
+    *
+    * Shape chosen for scale: instead of materializing a dense grid table
+    * and equi-joining it back (2 shuffles of grid-sized data), each
+    * occupied bucket looks at its successor via `lead()` and explodes the
+    * zero-fill range itself — ONE shuffle, sized by occupied buckets (≪
+    * grid points), and the output stays hash-partitioned by conv_id so the
+    * downstream rollup's groupBy(conv_id, metric, chunk) aggregates
+    * partition-locally with no further exchange.
+    *
+    * The explicit-N repartition before the window both pins the
+    * partitioning and is exempt from AQE size-based coalescing, which would
+    * otherwise see a KB-scale shuffle and serialize the row-exploding
+    * stage onto one task.
     */
   def series(transcripts: DataFrame, stepSec: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val b = bucketed(transcripts, stepSec)
-    val spans = b.groupBy(col("conv_id")).agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-    val grid = spans.select(
-      col("conv_id"),
-      explode(expr(s"sequence(t0, t1, interval $stepSec seconds)")).as("ts")
-    )
-    grid
-      .join(b, Seq("conv_id", "ts"), "left")
-      .na.fill(0.0, Seq("turn_rate", "token_volume"))
+    val n = transcripts.sparkSession.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"))
+    val stepUs = stepSec * 1000000L
+    b.repartition(n, col("conv_id"))
+      .withColumn("own_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("next_us", lead(col("own_us"), 1).over(w))
+      // salt AFTER the window: a hot conversation's buckets spread over all
+      // partitions for the row-multiplying explode (north-rule skew
+      // mitigation — without this the stage ends on 1-2 straggler tasks
+      // owning the hottest conv_ids)
+      .repartition(n, col("conv_id"), col("ts"))
+      // integer-sequence explode + codegen'd projection (a timestamp
+      // sequence with a struct lambda runs interpreted inside Generate —
+      // ~10x slower per row)
+      .select(
+        col("conv_id"), col("own_us"), col("turn_rate"), col("token_volume"),
+        explode(expr(s"sequence(0L, coalesce((next_us - own_us) DIV $stepUs - 1, 0L))")).as("i")
+      )
+      .select(
+        col("conv_id"),
+        expr(s"timestamp_seconds((own_us + i * $stepUs) DIV 1000000)").as("ts"),
+        when(col("i") === 0, col("turn_rate")).otherwise(lit(0.0)).as("turn_rate"),
+        when(col("i") === 0, col("token_volume")).otherwise(lit(0.0)).as("token_volume")
+      )
       .selectExpr(
-        "conv_id",
-        "ts",
+        "conv_id", "ts",
         "stack(2, 'turn_rate', turn_rate, 'token_volume', token_volume) as (metric, value)"
       )
       .select("conv_id", "metric", "ts", "value")

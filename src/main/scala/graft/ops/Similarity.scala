@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.meta.Hasher
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline and random-hyperplane LSH bucketing as the scale path (an IVF
+  * alternative would cluster first; LSH needs no training pass and its
+  * plane matrix is derived from a hash, so both engines — and both cluster
+  * sizes — agree bit-for-bit).
+  *
+  * All dot products are `aggregate(zip_with(...))` over double-cast arrays
+  * (codegen'd, deterministic left fold) — no UDFs.
+  */
+object Similarity {
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  val castVec = "transform(embedding, x -> cast(x as double))"
+
+  /** Exact cosine top-k neighbors for each query id (broadcast the query
+    * side — it is small by construction; the big side streams).
+    */
+  def cosineTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val q = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot("qv", "v") / (sqrt(dot("qv", "qv")) * sqrt(dot("v", "v")))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplanes from sha256 — identical on any engine. */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, dim)((j, i) =>
+      if (Hasher.sha256Hex(s"$j:$i").charAt(0) <= '7') 1 else -1)
+
+  /** Sign-bucket every embedding: bucket = bit string of sign(v · plane_j).
+    * One narrow projection — no shuffle.
+    */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bitCols = planes(nPlanes, dim).map { plane =>
+      val lit = plane.mkString("array(", "D,", "D)")
+      when(expr(s"aggregate(zip_with($castVec, $lit, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") >= 0,
+        org.apache.spark.sql.functions.lit("1")).otherwise(org.apache.spark.sql.functions.lit("0"))
+    }
+    embeddings.select(col("vec_id"), concat(bitCols.toIndexedSeq: _*).as("bucket"))
+  }
+
+  /** ANN candidate pairs: same-bucket self-join (vec_a < vec_b). At scale
+    * the join key is the bucket hash — uniform by construction of the
+    * random hyperplanes; multi-probe = union over Hamming-1 neighbors.
+    */
+  def lshCandidates(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(embeddings, nPlanes, dim)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), col("x.bucket").as("bucket"))
+  }
+}

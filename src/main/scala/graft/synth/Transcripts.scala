@@ -82,7 +82,14 @@ object Transcripts {
     }
   }
 
-  /** Distributed generation: one task range per slice of conv ids. */
+  /** Distributed generation. `spark.range` slices are contiguous, so a
+    * naive mapping would put every hot conversation (ids < hotConvs) into
+    * task 0 — one task would own hotFactor× the work. We spread them with a
+    * bijective index permutation i → (i·P) mod n (P coprime to n), which
+    * keeps the generated SET identical (partitioning-independence is
+    * asserted in PipelineSpec) while balancing per-task cost — the same
+    * salting idea the north rule demands for hot conv_id keys.
+    */
   def generate(
       spark: SparkSession,
       nConvs: Int,
@@ -93,9 +100,19 @@ object Transcripts {
       startEpochSec: Long = 1704067200L // 2024-01-01T00:00:00Z
   ): Dataset[Transcript] = {
     import spark.implicits._
+    val p = coprimeStride(nConvs)
     spark
       .range(0, nConvs.toLong, 1)
-      .flatMap(i => genConv(seed, i, baseTurns, hotConvs, hotFactor, startEpochSec))
+      .flatMap(i => genConv(seed, (i * p) % nConvs, baseTurns, hotConvs, hotFactor, startEpochSec))
+  }
+
+  private def coprimeStride(n: Int): Long = {
+    if (n <= 1) return 1L
+    var p = 48271L % n
+    if (p <= 1) p = 1L
+    while (java.math.BigInteger.valueOf(p).gcd(java.math.BigInteger.valueOf(n)).intValue != 1)
+      p += 1
+    p
   }
 
   /** Driver-side generation for golden tests / the single-node reference. */
