@@ -368,6 +368,29 @@ object Queries {
     },
     Some("SELECT user_id, ts, value FROM events"))
 
+  val q24 = Q("q24_outer_merge",
+    (s, d) => {
+      // dataset merge = full outer alignment on dim keys (reference
+      // combine_by_coords, /root/reference/xcorr/core/merge.py:58-63) —
+      // clicks and errors per (user, day) outer-joined with zero fill
+      def side(t: String, as: String) = ev(s, d).where(col("event_type") === t)
+        .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as(as))
+      side("click", "n_clicks")
+        .join(side("error", "n_errors"), Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    },
+    Some("""WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_clicks
+           |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           |e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_errors
+           |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+           |SELECT coalesce(c.user_id, e.user_id) AS user_id,
+           |  coalesce(c.day, e.day) AS day,
+           |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_errors, 0) AS n_errors
+           |FROM c FULL OUTER JOIN e ON c.user_id = e.user_id AND c.day = e.day""".stripMargin))
+
   val q23 = Q("q23_lttb_downsample",
     (s, d) => {
       val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
@@ -658,7 +681,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q40, q41, q42, q43,
     q50, q51, q52, q60

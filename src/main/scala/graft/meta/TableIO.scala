@@ -1,0 +1,69 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Validated dataset IO — the reference's read/validate/merge discipline:
+  *
+  *  - `read`: open + gatekeep (schema fields present, stored metadata hash
+  *    matches the recomputed one, preprocess-config hash matches the
+  *    expected one) and optionally null-mask the estimate where
+  *    status != 1 (/root/reference/xcorr/io/read.py:32-92,
+  *    /root/reference/xcorr/io/validate.py:35-219).
+  *  - `merge`: N datasets → one, outer alignment on the dimension key
+  *    columns with duplicate collapse (xr.combine_by_coords semantics,
+  *    /root/reference/xcorr/core/merge.py:21-89,
+  *    /root/reference/xcorr/io/read.py:95-203 mfread).
+  */
+object TableIO {
+
+  final case class ValidationError(msg: String) extends RuntimeException(msg)
+
+  /** Read a table dir written with TableFormat properties and validate it.
+    *
+    * @param requiredColumns schema gate (validate.py:124-130 mandates the
+    *                        dim coords)
+    * @param expectedConfigHash reject data produced under a different
+    *                           preprocess config (validate.py:185-194)
+    * @param maskStatus null the `cc` column where status != 1
+    *                   (read.py:90 `extract` semantics)
+    */
+  def read(
+      spark: SparkSession,
+      dir: String,
+      requiredColumns: Seq[String],
+      expectedConfigHash: Option[String] = None,
+      maskStatus: Boolean = false
+  ): DataFrame = {
+    val props = TableFormat.readProps(dir)
+    // metadata self-validation (validate.py:136-159): recompute the hash of
+    // everything but the hash keys and compare
+    props.get("sha256_hash_metadata").foreach { stored =>
+      val recomputed = Hasher.hashObj(props)
+      if (recomputed != stored)
+        throw ValidationError(s"metadata hash mismatch: stored=$stored recomputed=$recomputed")
+    }
+    expectedConfigHash.foreach { want =>
+      val got = props.getOrElse("job_config_sha256", "")
+      if (got != want)
+        throw ValidationError(s"preprocess/config hash mismatch: stored=$got expected=$want")
+    }
+    val df = spark.read.parquet(s"$dir/data")
+    val missing = requiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw ValidationError(s"missing required columns: ${missing.mkString(", ")}")
+    if (maskStatus && df.columns.contains("cc") && df.columns.contains("status"))
+      df.withColumn("cc", when(col("status") === 1, col("cc")))
+    else df
+  }
+
+  /** Outer-align N frames on `dimKeys`, collapsing duplicate cells
+    * (deterministic compute ⇒ duplicates are identical; any-row-per-key is
+    * exact — merge.py's combine_by_coords with data_vars='minimal').
+    */
+  def merge(frames: Seq[DataFrame], dimKeys: Seq[String]): DataFrame = {
+    require(frames.nonEmpty)
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      .dropDuplicates(dimKeys)
+  }
+}

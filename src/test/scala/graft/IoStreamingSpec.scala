@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jobs.ProcessJob
+import graft.meta.{Cf19, TableFormat, TableIO}
+import graft.streaming.StreamingRollup
+import graft.synth.Transcripts
+
+class IoStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("TableIO.read validates hashes, schema and masks status") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Transcripts.generate(spark, 6, 120).toDF()
+    val pairs = Seq(("conv-000000", "conv-000001"), ("conv-000002", "conv-000003")).toDF("conv_a", "conv_b")
+    val dir = java.nio.file.Files.createTempDirectory("ccio").toString
+    val cfg = ProcessJob.Config(stepSec = 60, windowSec = 1800, strideSec = 1800)
+    ProcessJob.run(spark, t, pairs, dir, cfg)
+
+    // happy path + status mask
+    val df = TableIO.read(spark, dir, Seq("pair", "metric", "win_start", "cc", "status"),
+      expectedConfigHash = Some(cfg.hash), maskStatus = true)
+    assert(df.count() > 0)
+    assert(df.where(col("status") =!= 1 && col("cc").isNotNull).count() == 0)
+
+    // wrong config hash rejected (validate.py:185-194 semantics)
+    intercept[TableIO.ValidationError] {
+      TableIO.read(spark, dir, Seq("pair"), expectedConfigHash = Some("deadbeef"))
+    }
+    // missing column rejected
+    intercept[TableIO.ValidationError] {
+      TableIO.read(spark, dir, Seq("no_such_column"))
+    }
+    // tampered metadata hash rejected (validate.py:136-159)
+    val props = TableFormat.readProps(dir)
+    TableFormat.writeProps(dir, props + ("title" -> "tampered"))
+    intercept[TableIO.ValidationError] {
+      TableIO.read(spark, dir, Seq("pair"))
+    }
+    // re-stamping with a consistent hash heals it
+    TableFormat.writeProps(dir, Cf19.props("healed", extra = Map("job_config_sha256" -> cfg.hash)))
+    assert(TableIO.read(spark, dir, Seq("pair")).count() > 0)
+  }
+
+  test("TableIO.merge outer-aligns frames and collapses duplicate cells") {
+    import spark.implicits._
+    val a = Seq(("k1", 1, 10.0), ("k2", 1, 20.0)).toDF("pair", "t", "v")
+    val b = Seq(("k2", 1, 20.0), ("k3", 2, 30.0)).toDF("pair", "t", "v")
+    val m = TableIO.merge(Seq(a, b), Seq("pair", "t"))
+    assert(m.count() == 3)
+    assert(m.where(col("pair") === "k2").count() == 1)
+    // allowMissingColumns: extra column in one frame survives as nulls
+    val c = Seq(("k4", 3, 40.0, "x")).toDF("pair", "t", "v", "extra")
+    val m2 = TableIO.merge(Seq(a, c), Seq("pair", "t"))
+    assert(m2.columns.contains("extra") && m2.count() == 3)
+  }
+
+  test("streaming tier-1 rollup equals the batch tier on the same data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    val t = Transcripts.generate(spark, 5, 80).toDF()
+    t.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(t.schema).parquet(dir)
+    val agg = StreamingRollup.tier1m(streamIn, lateness = "0 seconds")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_tier1m")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT conv_id, chunk_start, turn_rate, token_volume FROM stream_tier1m")
+    // batch equivalent over occupied buckets only (streaming emits no
+    // gap-fill rows), restricted to windows the watermark has CLOSED —
+    // append mode never emits windows still open at end-of-stream
+    val maxTs = t.agg(max("ts")).collect()(0).getTimestamp(0)
+    val want = graft.ops.Ingest.bucketed(t, 60)
+      .select(col("conv_id"), col("ts").as("chunk_start"), col("turn_rate"), col("token_volume"))
+      .where(col("chunk_start") + expr("interval 60 seconds") <= lit(maxTs))
+    val diff = got.union(want)
+      .groupBy("conv_id", "chunk_start", "turn_rate", "token_volume")
+      .count().where(col("count") =!= 2)
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(diff.count() == 0, "streaming tier differs from batch tier")
+  }
+}
