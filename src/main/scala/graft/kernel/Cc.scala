@@ -31,31 +31,46 @@ object Cc {
     val n = x.length
     require(y.length == n, "x and y must have the same length")
     val nn = if (pad) 2 * n - 1 else n
-    // packed complex buffer: re = xx (left zero-pad), im = yy
-    val re = new Array[Double](nn)
-    val im = new Array[Double](nn)
+    // packed complex buffer (thread-local scratch — only the returned array
+    // is freshly allocated): re = xx (left zero-pad), im = yy
+    val (re, im) = Fft.scratch(nn)
     val off = nn - n
     var i = 0
+    while (i < off) { re(i) = 0.0; im(i) = 0.0; i += 1 }
+    i = 0
     while (i < n) { re(off + i) = x(i); im(off + i) = y(i); i += 1 }
     Fft.fft(re, im)
     // Z[k] = Fx[k] + i*Fy[k]; by symmetry of real signals:
     //   Fx[k] = (Z[k] + conj(Z[n-k]))/2, Fy[k] = (Z[k] - conj(Z[n-k]))/(2i)
-    // G[k] = Fx[k] * conj(Fy[k])
-    val gRe = new Array[Double](nn)
-    val gIm = new Array[Double](nn)
-    var k = 0
-    while (k < nn) {
-      val j = if (k == 0) 0 else nn - k
-      val zr = re(k); val zi = im(k)
-      val wr = re(j); val wi = im(j)
+    // G[k] = Fx[k] * conj(Fy[k]) — computed IN PLACE over conjugate pairs
+    // (k, nn-k): both G values derive from the same two Z values, so write
+    // them together (nn is odd for pad=true, so k never equals nn-k > 0)
+    @inline def g(zr: Double, zi: Double, wr: Double, wi: Double): (Double, Double) = {
       val fxr = 0.5 * (zr + wr)
       val fxi = 0.5 * (zi - wi)
       val fyr = 0.5 * (zi + wi)
       val fyi = 0.5 * (wr - zr)
-      // G = Fx * conj(Fy)
-      gRe(k) = fxr * fyr + fxi * fyi
-      gIm(k) = fxi * fyr - fxr * fyi
+      (fxr * fyr + fxi * fyi, fxi * fyr - fxr * fyi)
+    }
+    locally {
+      val (g0r, g0i) = g(re(0), im(0), re(0), im(0))
+      re(0) = g0r; im(0) = g0i
+    }
+    var k = 1
+    var j = nn - 1
+    while (k < j) {
+      val zr = re(k); val zi = im(k)
+      val wr = re(j); val wi = im(j)
+      val (gkr, gki) = g(zr, zi, wr, wi)
+      val (gjr, gji) = g(wr, wi, zr, zi)
+      re(k) = gkr; im(k) = gki
+      re(j) = gjr; im(j) = gji
       k += 1
+      j -= 1
+    }
+    if (k == j) { // even nn (pad=false only): self-conjugate midpoint
+      val (gr, gi) = g(re(k), im(k), re(k), im(k))
+      re(k) = gr; im(k) = gi
     }
     if (normalize) {
       var nx = 0.0; var ny = 0.0
@@ -64,17 +79,21 @@ object Cc {
       val norm = math.sqrt(nx) * math.sqrt(ny)
       val s = if (norm == 0.0) 0.0 else 1.0 / norm
       k = 0
-      while (k < nn) { gRe(k) *= s; gIm(k) *= s; k += 1 }
+      while (k < nn) { re(k) *= s; im(k) *= s; k += 1 }
     }
-    Fft.ifft(gRe, gIm)
-    val shifted = Fft.fftshift(gRe)
+    Fft.ifft(re, im)
+    val shifted = Fft.fftshift(re)
     if (unbiased) {
-      val w = weight(nn, pad = false)
+      val w = weightCached(nn)
       k = 0
       while (k < nn) { shifted(k) *= w(k); k += 1 }
     }
     shifted
   }
+
+  private val weightCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def weightCached(nn: Int): Array[Double] =
+    weightCache.computeIfAbsent(nn, k => weight(k, pad = false))
 
   /** Lag axis in seconds: fftshift(fftfreq(nn, 1/(nn*delta)))
     * (cc.py:82-108). For nn = 2n-1 this is (i-(n-1))*delta.

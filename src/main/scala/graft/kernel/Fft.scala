@@ -67,6 +67,24 @@ object Fft {
   private val pow2Plans = new ConcurrentHashMap[Int, Pow2Plan]()
   private val bluePlans = new ConcurrentHashMap[Int, BluesteinPlan]()
 
+  /** Per-thread reusable scratch (re, im) pairs keyed by length — the CC
+    * kernel runs millions of same-length transforms per executor, and
+    * allocating ~1 MB of arrays per call dominated GC (SURVEY.md §4:
+    * "allocation-lean, reused scratch buffers per partition").
+    */
+  private val scratchTL = ThreadLocal.withInitial(
+    () => new java.util.HashMap[Int, (Array[Double], Array[Double])]())
+
+  private[kernel] def scratch(n: Int): (Array[Double], Array[Double]) = {
+    val m = scratchTL.get()
+    var s = m.get(n)
+    if (s == null) {
+      s = (new Array[Double](n), new Array[Double](n))
+      m.put(n, s)
+    }
+    s
+  }
+
   private def pow2Plan(n: Int): Pow2Plan =
     pow2Plans.computeIfAbsent(n, k => new Pow2Plan(k))
   private def bluePlan(n: Int): BluesteinPlan =
@@ -144,13 +162,17 @@ object Fft {
     while (i < n) { re(i) *= s; im(i) = -im(i) * s; i += 1 }
   }
 
-  /** Bluestein chirp-z transform for arbitrary n (forward only). */
+  /** Bluestein chirp-z transform for arbitrary n (forward only). Uses
+    * per-thread scratch for the size-m convolution buffers (zeroed here —
+    * every element is overwritten for k < n and must be 0 above).
+    */
   private def bluestein(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
     val p = bluePlan(n)
     val m = p.m
-    val aRe = new Array[Double](m)
-    val aIm = new Array[Double](m)
+    val (aRe, aIm) = Fft.scratch(m)
+    java.util.Arrays.fill(aRe, 0.0)
+    java.util.Arrays.fill(aIm, 0.0)
     var k = 0
     while (k < n) {
       // a[k] = x[k] * c[k]
