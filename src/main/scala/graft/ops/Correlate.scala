@@ -44,22 +44,57 @@ object Correlate {
     require(windowSec % stepSec == 0, "window must be a multiple of the grid step")
     require(strideSec % stepSec == 0, "stride must be a multiple of the grid step")
     require(strideSec <= windowSec, "stride must not exceed the window (no gaps)")
+    val spark = series.sparkSession
     val npts = (windowSec / stepSec).toInt
+    val n = spark.sessionState.conf.numShufflePartitions
+
+    // Sparse assembly: gap-filled series are mostly zeros, and a zero grid
+    // point is fully reconstructible — so only NONZERO points ride the
+    // window-assembly shuffle (bytes ∝ occupied buckets x overlap, not grid
+    // points x overlap). Window completeness is decided from the per-key
+    // span instead of a point count: the gap-filled grid covers [t0, t1]
+    // densely by construction, so a window is complete iff it fits the span.
+
     // window starts w (aligned to stride) with w <= ts < w + window:
     //   ceil((ts - window + step) / stride) .. floor(ts / stride)
     val winExpr =
       s"""sequence(
-         |  CAST(ceil((unix_timestamp(ts) - $windowSec + $stepSec) / $strideSec) AS BIGINT) * $strideSec,
-         |  (unix_timestamp(ts) DIV $strideSec) * $strideSec,
+         |  CAST(ceil((unix_timestamp(cast(ts as timestamp)) - $windowSec + $stepSec) / $strideSec) AS BIGINT) * $strideSec,
+         |  (unix_timestamp(cast(ts as timestamp)) DIV $strideSec) * $strideSec,
          |  $strideSec)""".stripMargin
-    series
+    val sparse = series
+      .where(col("value") =!= 0.0)
       .withColumn("win_start_s", explode(expr(winExpr)))
-      .groupBy(col("conv_id"), col("metric"), timestamp_seconds(col("win_start_s")).as("win_start"))
-      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("pts"))
-      .where(size(col("pts")) === npts)
+      .where(col("win_start_s") >= 0)
+      .groupBy(col("conv_id"), col("metric"), col("win_start_s"))
+      .agg(collect_list(struct(
+        ((unix_timestamp(col("ts").cast("timestamp")) - col("win_start_s")) / stepSec).cast("int").as("idx"),
+        col("value"))).as("sparse_pts"))
+
+    // candidate complete windows per key: few per span, generated from the
+    // one-row-per-key spans table (salted + explicit-N like Ingest.series)
+    val spans = series.groupBy(col("conv_id"), col("metric"))
+      .agg(min(unix_timestamp(col("ts").cast("timestamp"))).as("t0"),
+        max(unix_timestamp(col("ts").cast("timestamp"))).as("t1"))
+    val cand = spans
+      .repartition(n, col("conv_id"), col("metric"))
+      .withColumn("lo", expr(s"CAST(ceil(t0 / $strideSec) AS BIGINT) * $strideSec"))
+      .withColumn("hi", expr(s"((t1 - $windowSec + $stepSec) DIV $strideSec) * $strideSec"))
+      .where(col("lo") <= col("hi")) // alignment can leave no valid window
+      .select(col("conv_id"), col("metric"),
+        explode(expr(s"sequence(lo, hi, $strideSec)")).as("win_start_s"))
+
+    val densify = udf { (pts: Seq[org.apache.spark.sql.Row], nPts: Int) =>
+      val arr = new Array[Double](nPts)
+      if (pts != null) pts.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+      arr
+    }
+    cand
+      .join(sparse, Seq("conv_id", "metric", "win_start_s"), "left")
       .select(
-        col("conv_id"), col("metric"), col("win_start"),
-        expr("transform(pts, p -> p.value)").as("values")
+        col("conv_id"), col("metric"),
+        timestamp_seconds(col("win_start_s")).as("win_start"),
+        densify(col("sparse_pts"), lit(npts)).as("values")
       )
   }
 
