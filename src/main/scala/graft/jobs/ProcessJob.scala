@@ -77,13 +77,18 @@ object ProcessJob {
     * work items this invocation — used by the resume tests to simulate a
     * partial run / crash.
     */
+  /** @param retryMissing re-process cells previously flagged -1
+    *                     (missing_data), mirroring the reference's
+    *                     `retry_missing` (process.py:93-104)
+    */
   def run(
       spark: SparkSession,
       transcripts: DataFrame,
       pairs: DataFrame,
       outDir: String,
       cfg: Config = Config(),
-      maxWindows: Int = -1
+      maxWindows: Int = -1,
+      retryMissing: Boolean = false
   ): Stats = {
     import spark.implicits._
     val jobId = s"ccjob-${cfg.hash.take(12)}"
@@ -105,8 +110,12 @@ object ProcessJob {
         col("conv_a"), col("conv_b"), col("metric"), col("win_start")
       )
 
+    // skip cells already processed (status=1) and — unless retrying —
+    // cells flagged missing_data (status=-1), exactly the reference's
+    // status-flag skip (process.py:93-104)
+    val doneStatuses = if (retryMissing) Seq(1) else Seq(1, -1)
     val done = readManifest(spark, outDir)
-      .where(col("status") === 1 && col("job_id") === jobId)
+      .where(col("status").isin(doneStatuses: _*) && col("job_id") === jobId)
       .select(col("partition_key"))
 
     var pending = work.join(done, Seq("partition_key"), "left_anti")
@@ -126,7 +135,8 @@ object ProcessJob {
           concat_ws("|", col("metric"), col("pair"), unix_timestamp(col("win_start"))))
         .join(pendingKeys, Seq("partition_key"), "left_semi")
 
-      cc.drop("partition_key")
+      val ccCached = cc.cache()
+      ccCached.drop("partition_key")
         .withColumn("day", to_date(col("win_start")))
         .write.mode(SaveMode.Append).partitionBy("day").parquet(dataPath(outDir))
 
@@ -135,11 +145,15 @@ object ProcessJob {
       // at production scale).
       val cfgHash = cfg.hash
       pending
+        .join(ccCached.select(col("partition_key"), col("status").as("cc_status")),
+          Seq("partition_key"), "left")
         .select(
           lit(jobId).as("job_id"),
           lit("cc").as("stage"),
           col("partition_key"),
-          lit(1).cast("byte").as("status"),
+          // carry the kernel's verdict: 1 processed, -1 missing_data
+          // (degenerate window), matching init.py:244-247 flag semantics
+          coalesce(col("cc_status"), lit(-1)).cast("byte").as("status"),
           lit(2L).as("rows_in"),
           lit(1L).as("rows_out"),
           current_timestamp().as("started_ts"),
@@ -148,6 +162,7 @@ object ProcessJob {
           lit(s"xcorrspark: ccPairs(${cfgHash.take(8)})").as("history")
         )
         .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+      ccCached.unpersist()
 
       TableFormat.writeProps(outDir, Cf19.props(
         title = "xcorrspark pairwise cross-correlation",

@@ -64,6 +64,15 @@ class ResumeSpec extends AnyFunSuite {
     assert(ccA.keySet == ccB.keySet)
     ccA.foreach { case (k, v) => assert(v.sameElements(ccB(k)), s"cc differs at $k") }
 
+    // manifest carries kernel status flags (1 processed, -1 missing_data)
+    // and retry_missing reprocesses exactly the -1 cells
+    val manifest = ProcessJob.readManifest(spark, dirPartial)
+    val nMissing = manifest.where(col("status") === -1).count()
+    val nDone = manifest.where(col("status") === 1).count()
+    assert(nDone + nMissing >= full.total, s"manifest under-covers: $nDone + $nMissing < ${full.total}")
+    val retry = ProcessJob.run(spark, transcripts, pairs, dirPartial, cfg, retryMissing = true)
+    assert(retry.pending == nMissing, s"retryMissing reprocessed ${retry.pending}, want $nMissing")
+
     // CF-1.9 properties persisted (north rule: metadata conventions as
     // table properties)
     val props = TableFormat.readProps(dirPartial)
