@@ -118,7 +118,7 @@ object Bench {
     import graft.kernel.Cc
     val t0 = System.nanoTime()
     val n = spark.read.parquet(pairWindowsPath)
-      .select(col("va"), col("vb"))
+      .select(col("va").cast("array<double>"), col("vb").cast("array<double>"))
       .as[(Array[Double], Array[Double])]
       .mapPartitions { it =>
         it.map { case (va, vb) =>
@@ -172,8 +172,16 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"cpus":"$cpus"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"cpus":"$cpus"}"""
+    // bare line on stdout (run/outputStrategy=StdoutOutput strips sbt's
+    // "[info] " decoration) AND a file copy — round 1's JSON reached the
+    // harness wrapped in log prefixes and parsed as null
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench.json"), line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

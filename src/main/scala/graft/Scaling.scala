@@ -65,7 +65,9 @@ object Scaling {
     val rollupPath = s"/tmp/graft-scale-rollup-$nConvs-$baseTurns"
     val ccPath = s"/tmp/graft-scale-cc-$ccConvs"
 
-    val pwPath = s"/tmp/graft-scale-pairwins-$ccConvs"
+    // "-f32": window arrays are float32-packed since round 2 — don't reuse
+    // round-1 double-array caches under the old path
+    val pwPath = s"/tmp/graft-scale-pairwins-f32-$ccConvs"
 
     // setup (untimed): materialize input tables + pre-joined pair-windows
     locally {

@@ -35,7 +35,7 @@ final case class SeriesWindow(
     conv_id: String,
     metric: String,
     win_start: Timestamp,
-    values: Array[Double]
+    values: Array[Float] // float32-packed for the shuffle (↔ init.py:84-85 dtype)
 )
 
 final case class CcRow(
@@ -47,7 +47,9 @@ final case class CcRow(
     pair_offset: Double,
     time_offset: Double,
     shift: Double,
-    cc_max: Double
+    cc_max: Double,
+    npts: Int, // input vector length n (cc covers lag indices [lag0, lag0+len) of the full 2n-1 axis)
+    lag0: Int  // index on the full lag axis of cc(0) — 0 unless lag-clipped (init.py:197-209 index_min analog)
 )
 
 final case class RollupRow(

@@ -1,7 +1,6 @@
 package graft.meta
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 /** Canonical-JSON sha256 hashing — the reference's self-validation
@@ -88,23 +87,53 @@ object Cf19 {
   * Iceberg semantics the north rule names (CF-1.9 attrs + commit history
   * as snapshot properties). The write itself follows the reference's
   * atomic tmp-file + rename pattern (/root/reference/xcorr/io/write.py:
-  * 122-171).
+  * 122-171) — via Hadoop `FileSystem`/`FileContext`, so the same code runs
+  * against local disk, HDFS or an S3A-style object store (a `java.io.File`
+  * layer would silently see nothing on cluster storage).
   */
 object TableFormat {
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileContext, Options, Path}
+
+  /** The active session's Hadoop conf when inside a Spark job; a default
+    * conf (core-site.xml discovery) otherwise — keeps this layer usable
+    * from plain JVM tools.
+    */
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def write(fsPath: Path, content: String): Unit = {
+    val fs = fsPath.getFileSystem(conf)
+    val out = fs.create(fsPath, true)
+    try out.write(content.getBytes(UTF_8))
+    finally out.close()
+  }
+
   def writeProps(dir: String, props: Map[String, String]): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val json = Hasher.json(props)
-    val tmp = Paths.get(dir, "_table_properties.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, Paths.get(dir, "_table_properties.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.mkdirs(dirPath)
+    val tmp = new Path(dirPath, "_table_properties.json.tmp")
+    write(tmp, Hasher.json(props))
+    // atomic replace (FileContext.rename OVERWRITE is the Hadoop-blessed
+    // atomic-on-HDFS path; on local fs it maps to an atomic move)
+    FileContext.getFileContext(dirPath.toUri, conf)
+      .rename(tmp, new Path(dirPath, "_table_properties.json"), Options.Rename.OVERWRITE)
   }
 
   def readProps(dir: String): Map[String, String] = {
-    val p = Paths.get(dir, "_table_properties.json")
-    if (!Files.exists(p)) return Map.empty
+    val p = new Path(dir, "_table_properties.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val raw =
+      try new String(in.readAllBytes(), UTF_8)
+      finally in.close()
     // minimal flat-object JSON parse (we only ever write flat string maps)
-    val s = Files.readString(p).trim.stripPrefix("{").stripSuffix("}")
+    val s = raw.trim.stripPrefix("{").stripSuffix("}")
     if (s.isEmpty) Map.empty
     else {
       val re = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
@@ -116,12 +145,35 @@ object TableFormat {
     * `historicize` strings, /root/reference/xcorr/util/history.py:25-55).
     */
   def appendSnapshot(dir: String, record: Map[String, String]): Unit = {
-    val snapDir = Paths.get(dir, "_snapshots")
-    Files.createDirectories(snapDir)
-    val n = Files.list(snapDir).count()
-    val tmp = snapDir.resolve(s".snap-$n.json.tmp")
-    Files.writeString(tmp, Hasher.json(record))
-    Files.move(tmp, snapDir.resolve(f"snap-$n%05d.json"), StandardCopyOption.ATOMIC_MOVE)
+    val snapDir = new Path(dir, "_snapshots")
+    val fs = snapDir.getFileSystem(conf)
+    fs.mkdirs(snapDir)
+    val n = fs.listStatus(snapDir).count(_.getPath.getName.startsWith("snap-"))
+    val tmp = new Path(snapDir, s".snap-$n.json.tmp")
+    write(tmp, Hasher.json(record))
+    FileContext.getFileContext(snapDir.toUri, conf)
+      .rename(tmp, new Path(snapDir, f"snap-$n%05d.json"), Options.Rename.OVERWRITE)
+  }
+
+  /** List the snapshot records in commit order. */
+  def snapshots(dir: String): Seq[Map[String, String]] = {
+    val snapDir = new Path(dir, "_snapshots")
+    val fs = snapDir.getFileSystem(conf)
+    if (!fs.exists(snapDir)) return Seq.empty
+    fs.listStatus(snapDir).filter(_.getPath.getName.startsWith("snap-"))
+      .sortBy(_.getPath.getName).toIndexedSeq
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val raw =
+          try new String(in.readAllBytes(), UTF_8)
+          finally in.close()
+        val s = raw.trim.stripPrefix("{").stripSuffix("}")
+        if (s.isEmpty) Map.empty[String, String]
+        else {
+          val re = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          re.findAllMatchIn(s).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+        }
+      }
   }
 
   private def unescape(s: String): String =

@@ -19,6 +19,10 @@ import graft.kernel.Cc
   *    reference's 86400 s window at 21/24 overlap = 8×,
   *    /root/reference/xcorr/scripts/cc.py:28) — a narrow map, no shuffle.
   *  - Window assembly shuffles once on (conv_id, metric, win_start).
+  *  - Window values ride the shuffle as FLOAT32 (the reference's cc dtype,
+  *    /root/reference/xcorr/core/init.py:84-85) — halves the bytes of the
+  *    two big exchanges (assembly + pair join). The ingest series values
+  *    are integral counts, so the pack is lossless (< 2^24).
   *  - The pair join broadcasts the (small) pair list and shuffles windows
   *    on the join key — keys include conv_id, so hot windows spread.
   *  - Before the kernel we repartition by (pair, win_start) hash: the FFT
@@ -26,14 +30,45 @@ import graft.kernel.Cc
   *    partitioning + skew spreading the north rule asks for (a hot conv
   *    appearing in many pairs lands on many partitions, since the hash
   *    covers BOTH conv ids and the window start).
-  *  - Incomplete windows are dropped (count == npts), mirroring the
-  *    reference's strict sample-count gate
+  *  - Incomplete windows are dropped (window must fit the per-key span),
+  *    mirroring the reference's strict sample-count gate
   *    (/root/reference/xcorr/stream/client.py:1019-1050).
   */
 object Correlate {
 
+  /** The complete-window candidate list (conv_id, metric, win_start_s) —
+    * computed from the tiny one-row-per-key spans table WITHOUT assembling
+    * any value arrays. This is the engine's availability pre-gate
+    * (↔ /root/reference/xcorr/core/lazy.py:128-177: a cheap availability
+    * query decides the work list; the heavy fetch only happens for items
+    * that pass): ProcessJob builds its work list from this, and only the
+    * still-pending conversations pay for window assembly.
+    */
+  def candidates(
+      series: DataFrame,
+      windowSec: Long,
+      strideSec: Long,
+      stepSec: Long
+  ): DataFrame = {
+    val n = series.sparkSession.sessionState.conf.numShufflePartitions
+    val spans = series.groupBy(col("conv_id"), col("metric"))
+      .agg(min(unix_timestamp(col("ts").cast("timestamp"))).as("t0"),
+        max(unix_timestamp(col("ts").cast("timestamp"))).as("t1"))
+    spans
+      .repartition(n, col("conv_id"), col("metric"))
+      .withColumn("lo", expr(s"CAST(ceil(t0 / $strideSec) AS BIGINT) * $strideSec"))
+      // floor (not DIV, which truncates toward zero): a negative numerator
+      // — span shorter than one window near epoch 0 — must round DOWN so
+      // lo<=hi correctly rejects the incomplete window instead of emitting
+      // it with fabricated zero fill beyond the series end
+      .withColumn("hi", expr(s"CAST(floor((t1 - $windowSec + $stepSec) / $strideSec) AS BIGINT) * $strideSec"))
+      .where(col("lo") <= col("hi")) // alignment can leave no valid window
+      .select(col("conv_id"), col("metric"),
+        explode(expr(s"sequence(lo, hi, $strideSec)")).as("win_start_s"))
+  }
+
   /** Explode the gap-filled series into complete overlapping windows with
-    * time-ordered value arrays.
+    * time-ordered value arrays (float32 packed — see scale notes above).
     */
   def windows(
       series: DataFrame,
@@ -44,9 +79,7 @@ object Correlate {
     require(windowSec % stepSec == 0, "window must be a multiple of the grid step")
     require(strideSec % stepSec == 0, "stride must be a multiple of the grid step")
     require(strideSec <= windowSec, "stride must not exceed the window (no gaps)")
-    val spark = series.sparkSession
     val npts = (windowSec / stepSec).toInt
-    val n = spark.sessionState.conf.numShufflePartitions
 
     // Sparse assembly: gap-filled series are mostly zeros, and a zero grid
     // point is fully reconstructible — so only NONZERO points ride the
@@ -69,24 +102,13 @@ object Correlate {
       .groupBy(col("conv_id"), col("metric"), col("win_start_s"))
       .agg(collect_list(struct(
         ((unix_timestamp(col("ts").cast("timestamp")) - col("win_start_s")) / stepSec).cast("int").as("idx"),
-        col("value"))).as("sparse_pts"))
+        col("value").cast("float").as("v"))).as("sparse_pts"))
 
-    // candidate complete windows per key: few per span, generated from the
-    // one-row-per-key spans table (salted + explicit-N like Ingest.series)
-    val spans = series.groupBy(col("conv_id"), col("metric"))
-      .agg(min(unix_timestamp(col("ts").cast("timestamp"))).as("t0"),
-        max(unix_timestamp(col("ts").cast("timestamp"))).as("t1"))
-    val cand = spans
-      .repartition(n, col("conv_id"), col("metric"))
-      .withColumn("lo", expr(s"CAST(ceil(t0 / $strideSec) AS BIGINT) * $strideSec"))
-      .withColumn("hi", expr(s"((t1 - $windowSec + $stepSec) DIV $strideSec) * $strideSec"))
-      .where(col("lo") <= col("hi")) // alignment can leave no valid window
-      .select(col("conv_id"), col("metric"),
-        explode(expr(s"sequence(lo, hi, $strideSec)")).as("win_start_s"))
+    val cand = candidates(series, windowSec, strideSec, stepSec)
 
     val densify = udf { (pts: Seq[org.apache.spark.sql.Row], nPts: Int) =>
-      val arr = new Array[Double](nPts)
-      if (pts != null) pts.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+      val arr = new Array[Float](nPts)
+      if (pts != null) pts.foreach(r => arr(r.getInt(0)) = r.getFloat(1))
       arr
     }
     cand
@@ -117,7 +139,13 @@ object Correlate {
     * @param clipLagSec keep only |lag| <= clip (reference lag clipping at
     *                   init, /root/reference/xcorr/core/init.py:177-196 —
     *                   a projection pushdown: store only the lag window of
-    *                   interest). Negative = keep all.
+    *                   interest). Negative = keep all. The emitted rows
+    *                   carry `npts` (input length n) and `lag0` (index of
+    *                   the first stored element on the full 2n-1 lag axis)
+    *                   so downstream ops can rebuild the lag coordinate of
+    *                   a clipped table; `shift`/`cc_max` are extracted from
+    *                   the STORED (clipped) array, exactly as the reference
+    *                   extracts on its clipped lag coordinate.
     */
   def ccPairs(
       wins: DataFrame,
@@ -148,26 +176,37 @@ object Correlate {
       // spread kernel work: hash over both conv ids AND the window, so a
       // hot conversation's pairs do not pile on one partition
       .repartition(col("conv_a"), col("conv_b"), col("win_start"))
-      .as[(String, String, String, Timestamp, Array[Double], Array[Double])]
+      .as[(String, String, String, Timestamp, Array[Float], Array[Float])]
 
     val delta = stepSec.toDouble
     val halfWin = windowSec / 2.0
     joined.mapPartitions { it =>
-      it.map { case (ca, cb, metric, winStart, va, vb) =>
+      it.map { case (ca, cb, metric, winStart, vaF, vbF) =>
+        val va = toDoubles(vaF)
+        val vb = toDoubles(vbF)
         // a window with zero signal on either side carries no information:
         // flag it missing_data like the reference's status=-1
         // (/root/reference/xcorr/core/init.py:244-247) instead of emitting
         // a spurious zero correlation
         val degenerate = va.forall(_ == 0.0) || vb.forall(_ == 0.0)
         val rxy = Cc.cc(va, vb, normalize = normalize, unbiased = unbiased)
+        val n = va.length
+        val nn = rxy.length // 2n-1
+        // clip by lag INDEX (lag(i) = (i-(n-1))·delta exactly): |lag|<=clip
+        // ⇔ |i-(n-1)| <= floor(clip/delta + eps)
+        val halfKeep =
+          if (clipLagSec < 0) n - 1
+          else math.min(n - 1, math.floor(clipLagSec / delta + 1e-9).toInt)
+        val i0 = (n - 1) - halfKeep
+        val i1 = (n - 1) + halfKeep
         val clipped =
-          if (clipLagSec < 0) rxy
-          else {
-            val lags = Cc.lagAxis(va.length, delta)
-            val keep = lags.indices.filter(i => math.abs(lags(i)) <= clipLagSec)
-            keep.map(rxy).toArray
-          }
-        val (shift, mx) = Cc.extractShiftAndMax(rxy, delta)
+          if (i0 == 0 && i1 == nn - 1) rxy
+          else java.util.Arrays.copyOfRange(rxy, i0, i1 + 1)
+        // shift/cc_max from the STORED array, so they stay consistent with
+        // the data when clipped (ties → first maximum, as Cc.extractShift)
+        var jm = 0
+        var j = 1
+        while (j < clipped.length) { if (clipped(j) > clipped(jm)) jm = j; j += 1 }
         CcRow(
           pair = s"$ca-$cb",
           metric = metric,
@@ -179,10 +218,19 @@ object Correlate {
           pair_offset = 0.0,
           // first sample start vs window center (init.py:290-302)
           time_offset = -halfWin,
-          shift = shift,
-          cc_max = mx
+          shift = (jm + i0 - (n - 1)) * delta,
+          cc_max = clipped(jm),
+          npts = n,
+          lag0 = i0
         )
       }
     }
+  }
+
+  private def toDoubles(f: Array[Float]): Array[Double] = {
+    val d = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+    d
   }
 }

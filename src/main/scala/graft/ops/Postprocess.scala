@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.CcRow
 import graft.kernel.{Cc, Filter, Signal}
 
 /** Canonical CC cleanup chain — the reference's postprocess
@@ -9,10 +11,15 @@ import graft.kernel.{Cc, Filter, Signal}
   * prune (status mask + lag window) BEFORE the heavy per-vector work, then
   * one fused kernel chain per row:
   * unbias → demean → taper → timeshift(−(pair_offset+time_offset)) →
-  * highpass filtfilt → taper — executed as a single `transform` over the
-  * packed lag arrays inside one narrow mapPartitions stage (no shuffle;
-  * the chain fuses exactly like the reference's deferred whole-dataset
-  * pass, postprocess.py:133-141).
+  * highpass filtfilt → taper — executed as one typed mapPartitions stage
+  * (no shuffle, no per-row Row/Seq boxing; the chain fuses exactly like the
+  * reference's deferred whole-dataset pass, postprocess.py:133-141).
+  *
+  * Lag-axis discipline: rows carry `npts` (input length n) and `lag0`
+  * (index of cc(0) on the full 2n−1 lag axis), so the chain composes with
+  * lag-clipped tables (ProcessJob.Config.clipLagSec) — the axis is rebuilt
+  * from metadata, never inferred from the array length
+  * (↔ /root/reference/xcorr/core/init.py:197-209 index_min/index_max).
   */
 object Postprocess {
 
@@ -27,60 +34,79 @@ object Postprocess {
       taper2Sec: Double = 90.0          // final taper (ref: 1.5 s)
   )
 
-  /** Apply to a CC table (pair, metric, win_start, cc, status, pair_offset,
-    * time_offset, ...). Rows with status != 1 are masked out first
-    * (↔ cc.where(status==1), /root/reference/xcorr/io/read.py:90).
+  // per-executor caches: the lag axis / unbias weights are static per
+  // (n, delta) — one allocation per distinct window geometry, not per row
+  private val lagCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, java.lang.Double), Array[Double]]()
+  private[ops] def lagsFor(n: Int, delta: Double): Array[Double] =
+    lagCache.computeIfAbsent((n, Double.box(delta)), _ => Cc.lagAxis(n, delta))
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  private def weightFor(n: Int): Array[Double] =
+    weightCache.computeIfAbsent(n, k => Cc.weight(k))
+
+  /** Apply to a CC table (CcRow columns). Rows with status != 1 are masked
+    * out first (↔ cc.where(status==1), /root/reference/xcorr/io/read.py:90).
+    * Output rows have the processed `cc` and an updated `lag0` reflecting
+    * the lag-window slice.
     */
   def apply(cc: DataFrame, cfg: Config): DataFrame = {
     val spark = cc.sparkSession
     import spark.implicits._
 
-    val pruned = cc.where(col("status") === 1)
-
-    val kernelChain = udf { (ccArr: Seq[Double], pairOffset: Double, timeOffset: Double, n: Int) =>
-      var x = ccArr.toArray
-      val nn = x.length
-      // lag axis for this row (static per (npts, delta) — cached by length
-      // inside the kernel layer)
-      val lags = Cc.lagAxis(n, cfg.stepSec)
-      require(lags.length == nn, s"cc length $nn != lag axis ${lags.length}")
-      // unbias weights (↔ signal/unbias.py:30-103; refuse-double-apply is
-      // the caller's flag duty, mirrored by the config hash)
-      if (cfg.unbias) {
-        val w = Cc.weight(n)
-        var i = 0
-        while (i < nn) { x(i) *= w(i); i += 1 }
+    cc.where(col("status") === 1)
+      .select(col("pair"), col("metric"), col("win_start"), col("cc"),
+        col("status").cast("tinyint").as("status"), col("pair_offset"), col("time_offset"),
+        col("shift"), col("cc_max"), col("npts"), col("lag0"))
+      .as[CcRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val n = r.npts
+          val lags = lagsFor(n, cfg.stepSec)
+          var x = r.cc.clone()
+          val len = x.length
+          // unbias weights (↔ signal/unbias.py:30-103; refuse-double-apply
+          // is the caller's flag duty, mirrored by the config hash) —
+          // sliced at lag0 so clipped tables get the right taper of weights
+          if (cfg.unbias) {
+            val w = weightFor(n)
+            var i = 0
+            while (i < len) { x(i) *= w(r.lag0 + i); i += 1 }
+          }
+          x = Signal.demean(x)
+          val fs = 1.0 / cfg.stepSec
+          x = Signal.taper(x, maxPercentage = 0.5, maxLength = math.max((cfg.taperSec * fs).toInt, 1))
+          val delay = -(r.pair_offset + r.time_offset)
+          if (delay != 0.0) {
+            // the rfft fast path even-trims odd n (reference quirk,
+            // timeshift.py:46-49,90-96); pad the dropped sample back so the
+            // lag axis stays aligned for the masking below
+            x = Signal.timeshift(x, delay, cfg.stepSec)
+            if (x.length < len) x = java.util.Arrays.copyOf(x, len)
+          }
+          if (cfg.filterFreqHz > 0)
+            x = Filter.highpassFiltFilt(x, cfg.filterFreqHz, fs, cfg.filterOrder)
+          x = Signal.taper(x, maxPercentage = 0.5, maxLength = math.max((cfg.taper2Sec * fs).toInt, 1))
+          // lag-window mask applied last; the in-window lags are contiguous
+          // (monotone axis), so the mask is a slice [k0, k1]
+          var k0 = 0
+          while (k0 < len && !(lags(r.lag0 + k0) >= cfg.lagMinSec && lags(r.lag0 + k0) <= cfg.lagMaxSec)) k0 += 1
+          var k1 = len - 1
+          while (k1 >= k0 && !(lags(r.lag0 + k1) >= cfg.lagMinSec && lags(r.lag0 + k1) <= cfg.lagMaxSec)) k1 -= 1
+          val out =
+            if (k1 < k0) new Array[Double](0)
+            else if (k0 == 0 && k1 == len - 1) x
+            else java.util.Arrays.copyOfRange(x, k0, k1 + 1)
+          r.copy(cc = out, lag0 = r.lag0 + k0)
+        }
       }
-      x = Signal.demean(x)
-      val fs = 1.0 / cfg.stepSec
-      val taperLen = math.max((cfg.taperSec * fs).toInt, 1)
-      x = Signal.taper(x, maxPercentage = 0.5, maxLength = taperLen)
-      val delay = -(pairOffset + timeOffset)
-      if (delay != 0.0) {
-        // the rfft fast path even-trims odd n (reference quirk,
-        // timeshift.py:46-49,90-96); pad the dropped sample back so the
-        // lag axis stays aligned for the masking below
-        x = Signal.timeshift(x, delay, cfg.stepSec)
-        if (x.length < nn) x = java.util.Arrays.copyOf(x, nn)
-      }
-      if (cfg.filterFreqHz > 0)
-        x = Filter.highpassFiltFilt(x, cfg.filterFreqHz, fs, cfg.filterOrder)
-      x = Signal.taper(x, maxPercentage = 0.5, maxLength = math.max((cfg.taper2Sec * fs).toInt, 1))
-      // lag-window mask applied last (values outside → drop via slice)
-      val keep = lags.indices.filter(i => lags(i) >= cfg.lagMinSec && lags(i) <= cfg.lagMaxSec)
-      keep.map(x).toArray
-    }
-
-    // n (input vector length) from the stored cc length: nn = 2n-1
-    pruned.withColumn("cc",
-      kernelChain(col("cc"), col("pair_offset"), col("time_offset"),
-        ((size(col("cc")) + 1) / 2).cast("int")))
+      .toDF()
   }
 
-  /** SNR over a postprocessed CC table (↔ /root/reference/xcorr/signal/
-    * snr.py:27-168): noise = rms of the masked noise lag band, signal = max
-    * |cc| (or envelope) in the signal band, snr = s/n, plus the lag at the
-    * signal max — one groupBy-free pass using array expressions.
+  /** SNR over a (possibly postprocessed, possibly lag-clipped) CC table
+    * (↔ /root/reference/xcorr/signal/snr.py:27-168): noise = rms of the
+    * noise lag band, signal = max |cc| in the signal band, snr = s/n, plus
+    * the lag at the signal max — one typed narrow pass, no shuffle.
     */
   def snr(
       cc: DataFrame,
@@ -88,28 +114,31 @@ object Postprocess {
       signalBand: (Double, Double),
       noiseBand: (Double, Double)
   ): DataFrame = {
-    val computeSnr = udf { (arr: Seq[Double], n: Int) =>
-      val lags = Cc.lagAxis(n, stepSec)
-      var noiseSum = 0.0
-      var noiseN = 0
-      var sMax = 0.0
-      var sLag = 0.0
-      var i = 0
-      while (i < arr.length) {
-        val l = lags(i)
-        if (l >= noiseBand._1 && l <= noiseBand._2) { noiseSum += arr(i) * arr(i); noiseN += 1 }
-        if (l >= signalBand._1 && l <= signalBand._2 && math.abs(arr(i)) > sMax) {
-          sMax = math.abs(arr(i)); sLag = l
+    val spark = cc.sparkSession
+    import spark.implicits._
+    cc.select(col("pair"), col("metric"), col("win_start"), col("cc"),
+        col("npts"), col("lag0"))
+      .as[(String, String, Timestamp, Array[Double], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (pair, metric, winStart, arr, n, lag0) =>
+          val lags = lagsFor(n, stepSec)
+          var noiseSum = 0.0
+          var noiseN = 0
+          var sMax = 0.0
+          var sLag = 0.0
+          var i = 0
+          while (i < arr.length) {
+            val l = lags(lag0 + i)
+            if (l >= noiseBand._1 && l <= noiseBand._2) { noiseSum += arr(i) * arr(i); noiseN += 1 }
+            if (l >= signalBand._1 && l <= signalBand._2 && math.abs(arr(i)) > sMax) {
+              sMax = math.abs(arr(i)); sLag = l
+            }
+            i += 1
+          }
+          val nRms = if (noiseN == 0) Double.NaN else math.sqrt(noiseSum / noiseN)
+          (pair, metric, winStart, sMax, nRms, sMax / nRms, sLag)
         }
-        i += 1
       }
-      val nRms = if (noiseN == 0) Double.NaN else math.sqrt(noiseSum / noiseN)
-      (sMax, nRms, sMax / nRms, sLag)
-    }
-    cc.withColumn("snr_t",
-        computeSnr(col("cc"), ((size(col("cc")) + 1) / 2).cast("int")))
-      .select(col("pair"), col("metric"), col("win_start"),
-        col("snr_t._1").as("s"), col("snr_t._2").as("n"),
-        col("snr_t._3").as("snr"), col("snr_t._4").as("lag_s_max"))
+      .toDF("pair", "metric", "win_start", "s", "n", "snr", "lag_s_max")
   }
 }

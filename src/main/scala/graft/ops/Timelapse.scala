@@ -33,7 +33,8 @@ object Timelapse {
     val spark = wins.sparkSession
     import spark.implicits._
     val fs = 1.0 / stepSec
-    wins.select(col("conv_id"), col("metric"), col("win_start"), col("values"))
+    wins.select(col("conv_id"), col("metric"), col("win_start"),
+        col("values").cast("array<double>").as("values"))
       .as[(String, String, Timestamp, Array[Double])]
       .mapPartitions { it =>
         it.map { case (key, metric, winStart, values) =>

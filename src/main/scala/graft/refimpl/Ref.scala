@@ -98,7 +98,10 @@ object Ref {
         .filter(w => w >= t0 - (windowSec * 1000 - stepMs) && w <= t1)
       starts.flatMap { w =>
         val grid = (0 until npts).map(i => w + i * stepMs)
-        if (grid.forall(byTs.contains)) Some(w -> grid.map(byTs).toArray) else None
+        // float32 round-trip mirrors the engine's float32 window packing
+        // (lossless for integral counts; reference cc dtype init.py:84-85)
+        if (grid.forall(byTs.contains)) Some(w -> grid.map(t => byTs(t).toFloat.toDouble).toArray)
+        else None
       }.toMap
     }
     for {
