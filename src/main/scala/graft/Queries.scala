@@ -235,21 +235,18 @@ object Queries {
 
   val q15 = Q("q15_trigger_islands",
     (s, d) => {
-      // coincidence trigger (gaps-and-islands): minutes where >= 3 distinct
-      // users exceed the threshold; islands of consecutive minutes; drop
-      // islands shorter than 3 minutes (reference drops periods < 3*step,
-      // /root/reference/xcorr/signal/trigger.py:96-99,166-168)
-      val active = ev(s, d).where(col("value") > 100)
-        .groupBy(date_trunc("hour", col("ts")).as("m"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .where(col("n_active") >= 3)
-      val w = Window.orderBy(col("m"))
-      active
-        .withColumn("grp", expr("unix_micros(m) div 3600000000") - row_number().over(w))
-        .groupBy(col("grp"))
-        .agg(min(col("m")).as("island_start"), max(col("m")).as("island_end"), count(lit(1)).as("n_hours"))
-        .where(col("n_hours") >= 3)
-        .drop("grp")
+      // coincidence trigger (gaps-and-islands) through the engine operator:
+      // hours where >= 3 distinct users exceed the threshold; islands of
+      // consecutive hours; drop islands shorter than 3 (reference drops
+      // periods < 3*step, /root/reference/xcorr/signal/trigger.py:96-99).
+      // bucketSteps is small on purpose so the scale-safe bucketed-islands
+      // + boundary-stitch path is what the oracle checks.
+      val cf = ev(s, d).select(col("user_id").as("key"),
+        date_trunc("hour", col("ts")).as("time"), col("value"))
+      graft.ops.Trigger.periods(cf, thrOn = 100, coincidence = 3,
+          stepSec = 3600, minDurationSteps = 3, bucketSteps = 64)
+        .select(col("period_start").as("island_start"),
+          col("period_end").as("island_end"), col("n_steps").as("n_hours"))
         .transform(d => ntz(d, "island_start", "island_end"))
     },
     Some("""WITH a AS (SELECT date_trunc('hour', ts) AS m, count(DISTINCT user_id) AS n_active
@@ -471,7 +468,14 @@ object Queries {
           explode(expr(s"transform(sequence(1, size($tokensSpark) - 2), i -> concat_ws(' ', slice($tokensSpark, i, 3)))")).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      // document-frequency cap (standard near-dup practice): a stop-shingle
+      // appearing in >100 docs would make the self-equi-join quadratic on
+      // that one key; capped shingles are dropped from candidate
+      // generation/intersection on BOTH engines (sizes stay uncapped)
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc")).where(col("dfc") <= 100)
+        .select(col("sh"))
+      val shc = sh.join(rare, Seq("sh"), "left_semi")
+      val pairs = shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
       pairs
@@ -486,8 +490,10 @@ object Queries {
             |  unnest(list_transform(generate_series(1, len(a) - 2),
             |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS sh FROM toks),
             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            |rare AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 100),
+            |shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
             |pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
-            |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |  FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
             |SELECT d1, d2, inter,
             |  inter / (s1.n_sh + s2.n_sh - inter) AS jaccard
             |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
@@ -551,6 +557,45 @@ object Queries {
             |  FROM toks GROUP BY 1)
             |SELECT doc_id, ${(1 to 8).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
             |FROM s""".stripMargin))
+
+  val q39 = Q("q39_simhash_candidates",
+    (s, d) => {
+      // near-dup candidates from the 8-bit simhash: band into 4 x 2-bit
+      // bands, self-join on band equality (a pair collides iff it shares at
+      // least one exact band — the banded-Hamming trick that avoids the
+      // all-pairs O(n^2) distance scan), then verify Hamming <= 2
+      val sig = q38.fn(s, d) // (doc_id, simhash)
+      val bands = sig.select(col("doc_id"), col("simhash"),
+          expr("stack(4, " + (0 until 4).map(b => s"$b, substring(simhash, ${2 * b + 1}, 2)").mkString(", ") + ") as (band, bits)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+        .distinct()
+      val ham = (1 to 8).map(j =>
+        when(substring(col("h1"), j, 1) =!= substring(col("h2"), j, 1), lit(1)).otherwise(lit(0)))
+        .reduce(_ + _)
+      cand.withColumn("hamming", ham)
+        .where(col("hamming") <= 2)
+        .select(col("d1"), col("d2"), col("hamming"))
+    },
+    Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
+            |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
+            |sums AS (SELECT doc_id,
+            |  ${(1 to 8).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+            |  FROM toks GROUP BY 1),
+            |sig AS (SELECT doc_id, ${(1 to 8).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash FROM sums),
+            |bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b * 2 + 1, 2) AS bits
+            |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+            |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+            |    x.simhash AS h1, y.simhash AS h2
+            |  FROM bands x JOIN bands y
+            |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+            |SELECT d1, d2,
+            |  ${(1 to 8).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS hamming
+            |FROM cand
+            |WHERE ${(1 to 8).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 2""".stripMargin))
 
   // ---------------------------------------------------------------- D. embeddings
 
@@ -650,15 +695,99 @@ object Queries {
 
   val q51 = Q("q51_rollup_pipeline",
     (s, d) => {
-      // synthetic transcripts → ingest → 1m/1h/1d cascade; returns the 1d
-      // tier (golden-tested vs refimpl; not DuckDB-expressible since the
-      // input is generated)
-      import s.implicits._
-      val t = Transcripts.generate(s, nConvs = 64, baseTurns = 200, hotConvs = 4, hotFactor = 10).toDF()
-      val (m1, h1, d1) = Rollup.cascade(Ingest.series(t, 60))
-      d1
+      // the full 1m → 1h → 1d continuous-aggregate cascade over a STORED
+      // table, so the driver's DuckDB oracle can hard-check tier
+      // composition end-to-end (the oracle aggregates the raw events
+      // directly; equal iff all three tier folds compose exactly —
+      // the synthetic-transcript variant of this path stays golden-tested
+      // in PipelineSpec and measured in Bench)
+      val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
+        lit("value").as("metric"), col("ts"), col("value"))
+      val (_, _, d1) = Rollup.cascade(pts)
+      d1.select(col("conv_id").cast("long").as("user_id"), col("chunk_start"),
+          col("n"), round(col("sum"), 6).as("sum_v"), col("min").as("min_v"),
+          col("max").as("max_v"), col("first").as("first_v"), col("last").as("last_v"))
+        .transform(x => ntz(x, "chunk_start"))
     },
-    None)
+    Some("""SELECT user_id, date_trunc('day', ts) AS chunk_start, count(*) AS n,
+           | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+           | min_by(value, ts) AS first_v, max_by(value, ts) AS last_v
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val q53 = Q("q53_cc_windows",
+    (s, d) => {
+      // the DISTRIBUTED windowed-CC production path (Correlate.windows →
+      // broadcast pair join → mapPartitions FFT kernel) on a stored table,
+      // hard-checked against a time-domain DuckDB oracle: hourly event
+      // counts per user, 24 h windows at 12 h stride, raw (unnormalized)
+      // CC at lags -4..4. Counts are integral → the FFT estimate rounds
+      // exactly to the oracle's time-domain sum. The sparse window
+      // assembly doubles as the gap-filler: missing grid hours are exact
+      // zeros on both engines.
+      import s.implicits._
+      val cnt = ev(s, d).where(col("user_id").isin(1L, 2L, 3L))
+        .groupBy(col("user_id").cast("string").as("conv_id"),
+          date_trunc("hour", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .withColumn("metric", lit("hourly_events"))
+        .select("conv_id", "metric", "ts", "value")
+      val wins = Correlate.windows(cnt, windowSec = 86400, strideSec = 43200, stepSec = 3600)
+      val pairs = Seq(("1", "2"), ("2", "3")).toDF("conv_a", "conv_b")
+      Correlate.ccPairs(wins, pairs, stepSec = 3600, windowSec = 86400, normalize = false)
+        .map(r => (r.pair, r.win_start, r.cc))
+        .flatMap { case (p, w, arr) =>
+          val zero = arr.length / 2
+          (-4 to 4).map(k => (p, w, k, math.round(arr(zero + k))))
+        }
+        .toDF("pair", "win_start", "lag_k", "cc_raw")
+        .transform(x => ntz(x, "win_start"))
+    },
+    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+           |  WHERE user_id IN (1, 2, 3)),
+           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
+           |wins AS (SELECT user_id, unnest(generate_series(
+           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
+           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
+           |  FROM span
+           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
+           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
+           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
+           |vals AS (SELECT g.user_id, g.w, g.i, coalesce(c.c, 0) AS v
+           |  FROM grid g LEFT JOIN cnt c
+           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+           |prs AS (SELECT 1 AS ua, 2 AS ub UNION ALL SELECT 2, 3),
+           |lags AS (SELECT unnest(generate_series(-4, 4)) AS k)
+           |SELECT ua || '-' || ub AS pair, make_timestamp(a.w * 1000000) AS win_start,
+           |  lags.k AS lag_k, CAST(coalesce(sum(a.v * b.v), 0) AS BIGINT) AS cc_raw
+           |FROM prs
+           |JOIN vals a ON a.user_id = ua
+           |JOIN lags ON true
+           |JOIN vals b ON b.user_id = ub AND b.w = a.w AND b.i = a.i - lags.k
+           |GROUP BY 1, 2, 3""".stripMargin))
+
+  val q54 = Q("q54_tri_mirror",
+    (s, d) => {
+      // tri_mask / tri_mirror (reference computes the lower triangle of a
+      // symmetric matrix and mirrors it, /root/reference/xcorr/signal/
+      // tri.py:19-115): per-user day x day co-activity — engine computes
+      // day1 < day2 ONLY (half the kernel work) and unions the mirrored
+      // copy; the oracle computes both halves directly
+      val daily = ev(s, d).where(col("user_id") < 20)
+        .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val lower = daily.as("a").join(daily.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") < col("b.day"))
+        .select(col("a.user_id").as("user_id"), col("a.day").as("day1"),
+          col("b.day").as("day2"), (col("a.n") * col("b.n")).as("prod"))
+      lower.unionByName(lower.select(col("user_id"), col("day2").as("day1"),
+        col("day1").as("day2"), col("prod")))
+    },
+    Some("""WITH dd AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+           |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+           |SELECT x.user_id, x.day AS day1, y.day AS day2,
+           |  CAST(x.n * y.n AS BIGINT) AS prod
+           |FROM dd x JOIN dd y ON x.user_id = y.user_id AND x.day <> y.day""".stripMargin))
 
   val q52 = Q("q52_timelapse_matrix",
     (s, d) => {
@@ -688,8 +817,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43,
-    q50, q51, q52, q60
+    q50, q51, q52, q53, q54, q60
   )
 }

@@ -157,6 +157,52 @@ object Signal {
     Fft.irfft(re, im, n)
   }
 
+  /** Lanczos windowed-sinc interpolation of a regular series onto a new
+    * regular grid (the reference's `interpolate`/`resample` preprocess ops
+    * delegate to obspy's lanczos_interpolation;
+    * /root/reference/xcorr/stream/process.py:46-49,66-69). `a` is the
+    * number of sinc lobes (obspy default 3 ≈ scipy-quality resampling).
+    * Output sample j sits at source position `offsetSamples + j·ratio`
+    * (ratio = dstStep/srcStep); edge windows renormalize by the partial
+    * kernel sum so boundaries stay unbiased.
+    */
+  def lanczosResample(
+      x: Array[Double],
+      ratio: Double,
+      offsetSamples: Double,
+      nOut: Int,
+      a: Int = 3
+  ): Array[Double] = {
+    val out = new Array[Double](nOut)
+    var j = 0
+    while (j < nOut) {
+      val p = offsetSamples + j * ratio
+      val lo = math.max(0, math.ceil(p - a).toInt)
+      val hi = math.min(x.length - 1, math.floor(p + a).toInt)
+      var s = 0.0
+      var wsum = 0.0
+      var i = lo
+      while (i <= hi) {
+        val w = lanczosKernel(p - i, a)
+        s += w * x(i)
+        wsum += w
+        i += 1
+      }
+      out(j) = if (wsum == 0.0) 0.0 else s / wsum
+      j += 1
+    }
+    out
+  }
+
+  private def lanczosKernel(d: Double, a: Int): Double = {
+    if (d == 0.0) 1.0
+    else if (d <= -a || d >= a) 0.0
+    else {
+      val pd = math.Pi * d
+      a * math.sin(pd) * math.sin(pd / a) / (pd * pd)
+    }
+  }
+
   /** Power spectral density spectrogram over a sliding window
     * (reference spectrogram, /root/reference/xcorr/signal/spectrogram.py:
     * 27-197 — scipy mode='psd', onesided, density scaling with a Hann

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.kernel.{Filter, Signal}
 import graft.meta.Hasher
 
 /** Declarative per-metric preprocessing registry — the Spark re-expression
@@ -76,8 +77,97 @@ object Preprocess {
       df.withColumn("value", least(greatest(col("value"), lit(lo)), lit(hi)))
     }),
     // |x|
-    "absolute" -> ((df, _) => df.withColumn("value", abs(col("value"))))
+    "absolute" -> ((df, _) => df.withColumn("value", abs(col("value")))),
+    // Butterworth zero-phase filter (↔ registry 'filter', process.py:42-45 —
+    // obspy bandpass/highpass/lowpass/bandstop; zero-phase sosfiltfilt like
+    // the reference's signal-layer filter, filter.py:27-120). Params:
+    // btype/type, order, freq (lp/hp) or freqmin+freqmax (bp/bs). The grid
+    // rate comes from the series itself (regular by construction).
+    "filter" -> ((df, p) => {
+      val btype = p.getOrElse("btype", p.getOrElse("type", "bandpass"))
+      val order = p.getOrElse("order", "2").toInt
+      perKeyKernel(df) { (ts, vs) =>
+        if (vs.length < 2) (ts, vs)
+        else {
+          val fs = 1e6 / (ts(1) - ts(0))
+          val wn = btype match {
+            case "lowpass" | "highpass" => Array(p("freq").toDouble / (fs / 2))
+            case _ => Array(p("freqmin").toDouble / (fs / 2), p("freqmax").toDouble / (fs / 2))
+          }
+          (ts, Filter.sosfiltfilt(Filter.butter(order, wn, btype), vs))
+        }
+      }
+    }),
+    // cosine edge taper (↔ registry 'taper', process.py:82-85). Params:
+    // max_percentage (of length, capped 0.5), max_length (seconds).
+    "taper" -> ((df, p) => {
+      val pct = p.getOrElse("max_percentage", "0.05").toDouble
+      val maxLenSec = p.get("max_length").map(_.toDouble)
+      perKeyKernel(df) { (ts, vs) =>
+        val maxLen = maxLenSec match {
+          case Some(sec) if vs.length >= 2 => math.max((sec * 1e6 / (ts(1) - ts(0))).toInt, 1)
+          case Some(_)                     => 1
+          case None                        => -1
+        }
+        (ts, Signal.taper(vs, pct, maxLen))
+      }
+    }),
+    // Lanczos windowed-sinc resample onto a new regular grid (↔ registry
+    // 'interpolate'/'resample', process.py:46-49,66-69 — obspy
+    // lanczos_interpolation). Params: step (target grid step, seconds),
+    // a (sinc lobes, default 3).
+    "interpolate" -> resampleOp,
+    "resample" -> resampleOp
   )
+
+  private def resampleOp: Op = (df, p) => {
+    val dstStepUs = (p("step").toDouble * 1e6).toLong
+    val a = p.getOrElse("a", "3").toInt
+    perKeyKernel(df) { (ts, vs) =>
+      if (vs.length < 2) (ts, vs)
+      else {
+        val srcStepUs = ts(1) - ts(0)
+        val t0 = ts(0)
+        val t1 = ts(ts.length - 1)
+        val newT0 = ((t0 + dstStepUs - 1) / dstStepUs) * dstStepUs // ceil-align to the dst grid
+        val nOut = math.max(((t1 - newT0) / dstStepUs + 1).toInt, 0)
+        val out = Signal.lanczosResample(
+          vs, ratio = dstStepUs.toDouble / srcStepUs,
+          offsetSamples = (newT0 - t0).toDouble / srcStepUs, nOut = nOut, a = a)
+        (Array.tabulate(nOut)(j => newT0 + j * dstStepUs), out)
+      }
+    }
+  }
+
+  /** Run an array kernel over each (conv_id, metric)'s time-sorted series —
+    * the Spark shape of the reference's per-trace kernel dispatch
+    * (process.py:199-297): group → sorted vector → kernel → explode back.
+    * The unit of work is one conversation's series, exactly the reference's
+    * per-trace day-file arrays; task memory is bounded by the longest
+    * single conversation, never the table.
+    */
+  private def perKeyKernel(df: DataFrame)(
+      f: (Array[Long], Array[Double]) => (Array[Long], Array[Double])): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("conv_id"), col("metric"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .as[(String, String, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, String), it: Iterator[(String, String, Long, Double)]) =>
+        val (cid, met) = key
+        val buf = it.toArray.sortBy(_._3)
+        val ts = new Array[Long](buf.length)
+        val vs = new Array[Double](buf.length)
+        var i = 0
+        while (i < buf.length) { ts(i) = buf(i)._3; vs(i) = buf(i)._4; i += 1 }
+        val (ts2, vs2) = f(ts, vs)
+        ts2.indices.iterator.map(j => (cid, met, ts2(j), vs2(j)))
+      }
+      .toDF("conv_id", "metric", "us", "value")
+      .select(col("conv_id"), col("metric"),
+        expr("timestamp_micros(us)").as("ts"), col("value"))
+  }
 
   /** Fold an op list over the series (↔ process.py:300-412). Unknown ops
     * fail fast, mirroring the reference's registry check (process.py:237).

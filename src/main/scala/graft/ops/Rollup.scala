@@ -115,14 +115,32 @@ object Rollup {
     dt.indices.map(i => (microsToTs(dt(i)), dv(i)))
   }
 
-  /** LTTB visualization tier: at most `threshold` points per (conv, metric).
-    * For bounded-length series (a conversation) the per-key collect is
-    * bounded; for unbounded keys chunk first, then LTTB per chunk.
+  /** LTTB visualization tier: at most `threshold` points per (conv, metric),
+    * computed hierarchically so no aggregation buffer ever holds a key's
+    * full history:
+    *
+    *  stage 1 — LTTB per (conv, metric, `chunkUnit` chunk) down to at most
+    *            `threshold` keepers (buffer ≤ points-per-chunk: bounded by
+    *            the chunk duration over the grid step, not by key history);
+    *  stage 2 — LTTB the concatenated keepers down to `threshold`
+    *            (buffer ≤ n_chunks · threshold).
+    *
+    * LTTB keeps first/last per input, so chunk boundaries survive into
+    * stage 2 and the global first/last are exact. The keeper count per key
+    * equals the single-pass count (min(threshold, n_points)); the selected
+    * interior points are the hierarchical approximation standard for
+    * streaming LTTB.
     */
-  def lttbTier(points: DataFrame, threshold: Int): DataFrame =
-    points
+  def lttbTier(points: DataFrame, threshold: Int, chunkUnit: String = "day"): DataFrame = {
+    val stage1 = points
+      .groupBy(col("conv_id"), col("metric"), date_trunc(chunkUnit, col("ts")).as("chunk"))
+      .agg(array_sort(collect_list(struct(col("ts").cast("timestamp").as("ts"), col("value")))).as("pts"))
+      .select(col("conv_id"), col("metric"), explode(lttbUdf(col("pts"), lit(threshold))).as("pt"))
+      .select(col("conv_id"), col("metric"), col("pt._1").as("ts"), col("pt._2").as("value"))
+    stage1
       .groupBy(col("conv_id"), col("metric"))
       .agg(array_sort(collect_list(struct(col("ts").cast("timestamp").as("ts"), col("value")))).as("pts"))
       .select(col("conv_id"), col("metric"), explode(lttbUdf(col("pts"), lit(threshold))).as("pt"))
       .select(col("conv_id"), col("metric"), col("pt._1").as("ts"), col("pt._2").as("value"))
+  }
 }

@@ -177,6 +177,24 @@ class KernelSpec extends AnyFunSuite {
     assert(y(99) == y(0))
   }
 
+  test("lanczos resample: identity at ratio 1; sine survives 2x decimation") {
+    val n = 400
+    val x = Array.tabulate(n)(i => math.sin(2 * math.Pi * i / 50.0))
+    val id = Signal.lanczosResample(x, ratio = 1.0, offsetSamples = 0.0, nOut = n)
+    x.indices.foreach(i => assert(math.abs(id(i) - x(i)) < 1e-9))
+    val half = Signal.lanczosResample(x, ratio = 2.0, offsetSamples = 0.0, nOut = n / 2)
+    (10 until n / 2 - 10).foreach { j =>
+      val want = math.sin(2 * math.Pi * (2 * j) / 50.0)
+      assert(math.abs(half(j) - want) < 2e-3, s"j=$j: ${half(j)} vs $want")
+    }
+    // fractional offset: shifted read stays on the analytic curve
+    val sh = Signal.lanczosResample(x, ratio = 1.0, offsetSamples = 0.5, nOut = n - 1)
+    (10 until n - 11).foreach { j =>
+      val want = math.sin(2 * math.Pi * (j + 0.5) / 50.0)
+      assert(math.abs(sh(j) - want) < 2e-3)
+    }
+  }
+
   test("spectrogram: tone energy lands in the right bin") {
     val fs = 50.0
     val n = 1024

@@ -82,6 +82,67 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Preprocess(series, Seq("nope" -> Map.empty)))
   }
 
+  test("preprocess filter+taper registry ops match the direct kernels (config-driven bandpass)") {
+    import spark.implicits._
+    val step = 60L
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * step * 1000)
+    val n = 512
+    val vals = Array.tabulate(n)(i =>
+      math.sin(2 * math.Pi * 0.004 * i) + 0.5 * math.sin(2 * math.Pi * 0.00005 * i) + 2.0)
+    val df = vals.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => ("c1", "m", ts(i), v) }.toDF("conv_id", "metric", "ts", "value")
+    val ops = Seq(
+      "filter" -> Map("btype" -> "highpass", "freq" -> "0.001", "order" -> "2"),
+      "taper" -> Map("max_percentage" -> "0.1"))
+    val got = Preprocess(df, ops).orderBy("ts").select("value").as[Double].collect()
+    val fs = 1.0 / step
+    var want = Filter.sosfiltfilt(Filter.butter(2, Array(0.001 / (fs / 2)), "highpass"), vals)
+    want = Signal.taper(want, 0.1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // declarative configs can now NAME the kernel ops — and the op-list
+    // hash (the reuse-revalidation gate) covers them
+    assert(Preprocess.hashOps(ops).length == 64)
+    assert(Preprocess.hashOps(ops) != Preprocess.hashOps(ops.take(1)))
+  }
+
+  test("preprocess interpolate: lanczos re-rates the grid, low-freq sine preserved") {
+    import spark.implicits._
+    val step = 60L
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * step * 1000)
+    val n = 600
+    val fHz = 1.0 / 7200 // 2 h period: far below both grids' Nyquist
+    val vals = Array.tabulate(n)(i => math.sin(2 * math.Pi * fHz * i * step))
+    val df = vals.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => ("c1", "m", ts(i), v) }.toDF("conv_id", "metric", "ts", "value")
+    val out = Preprocess(df, Seq("interpolate" -> Map("step" -> "120")))
+      .orderBy("ts").select("ts", "value")
+      .as[(java.sql.Timestamp, Double)].collect()
+    // the new grid is 120 s-aligned and regular
+    assert(out.length >= n / 2 - 2)
+    out.sliding(2).foreach(p => assert(p(1)._1.getTime - p(0)._1.getTime == 120000L))
+    // interior samples reproduce the analytic sine (lanczos a=3 accuracy)
+    out.drop(10).dropRight(10).foreach { case (t, v) =>
+      val want = math.sin(2 * math.Pi * fHz * (t.getTime - 1704067200000L) / 1000.0)
+      assert(math.abs(v - want) < 2e-3, s"$t: $v vs $want")
+    }
+  }
+
+  test("lttbTier chunked: keeper count == min(threshold, n); first/last exact") {
+    import spark.implicits._
+    import graft.ops.Rollup
+    val pts = (0 until 3 * 1440).map(i =>
+      ("c1", "m", new java.sql.Timestamp(1704067200000L + i * 60000L), math.sin(i * 0.01) * i))
+    val df = pts.toDF("conv_id", "metric", "ts", "value")
+    // spans 3 day-chunks: no aggregation buffer ever holds the full key
+    val out = Rollup.lttbTier(df, 100).orderBy("ts").collect()
+    assert(out.length == 100)
+    assert(out.head.getTimestamp(2) == pts.head._3)
+    assert(out.last.getTimestamp(2) == pts.last._3)
+    val few = pts.take(20).toDF("conv_id", "metric", "ts", "value")
+    assert(Rollup.lttbTier(few, 100).count() == 20)
+  }
+
   test("postprocess chain equals manual kernel composition on one row") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 4, 120).toDF()

@@ -58,8 +58,28 @@ class TimelapseSpec extends AnyFunSuite {
     assert(got(0).getLong(3) == 5)
     val pExt = Trigger.periods(cf, 1.0, 2, step, 3, extendSteps = 2).collect()(0)
     assert(pExt.getTimestamp(1) == ts(8) && pExt.getTimestamp(2) == ts(16))
-    // values join-back
-    val v = Trigger.values(cf, p)
+    // values join-back (bucketed equi-join path)
+    val v = Trigger.values(cf, p, stepSec = step)
     assert(v.count() == 10) // 2 keys x 5 steps
+  }
+
+  test("trigger periods: bucketed islands + stitch == global islands") {
+    import spark.implicits._
+    val step = 60L
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * step * 1000)
+    // deterministic pseudo-random on-steps with runs crossing any small
+    // bucket boundary; two keys so coincidence=2 passes wherever both on
+    val rng = new scala.util.Random(42)
+    val on = (0 until 600).filter(_ => rng.nextDouble() < 0.55)
+    val rows = for { k <- Seq("a", "b"); i <- on } yield (k, ts(i), 5.0)
+    val cf = rows.toDF("key", "time", "value")
+    def run(bucket: Int) =
+      Trigger.periods(cf, 1.0, 2, step, minDurationSteps = 2, bucketSteps = bucket)
+        .select("period", "period_start", "period_end", "n_steps")
+        .collect().map(_.toString).sorted.toSeq
+    // bucket=7 forces many islands to straddle bucket edges; 1<<20 is
+    // effectively the old single-window global path
+    assert(run(7) == run(1 << 20))
+    assert(run(16) == run(1 << 20))
   }
 }
