@@ -49,7 +49,8 @@ final case class CcRow(
     shift: Double,
     cc_max: Double,
     npts: Int, // input vector length n (cc covers lag indices [lag0, lag0+len) of the full 2n-1 axis)
-    lag0: Int  // index on the full lag axis of cc(0) — 0 unless lag-clipped (init.py:197-209 index_min analog)
+    lag0: Int, // index on the full lag axis of cc(0) — 0 unless lag-clipped (init.py:197-209 index_min analog)
+    input_hash: String // optional sha256 of the two input windows (init.py:252-272); "" when disabled
 )
 
 final case class RollupRow(

@@ -42,11 +42,15 @@ object ProcessJob {
       windowSec: Long = 3600,
       strideSec: Long = 3600,
       normalize: Boolean = true,
-      clipLagSec: Double = -1
+      clipLagSec: Double = -1,
+      // per-cell sha256 of the input windows, stored on each cc row
+      // (↔ reference `hash` var, init.py:252-272 — costly, off by default)
+      hashInputs: Boolean = false
   ) {
     def hash: String = Hasher.hashObj(Map(
       "stepSec" -> stepSec, "windowSec" -> windowSec, "strideSec" -> strideSec,
-      "normalize" -> normalize, "clipLagSec" -> clipLagSec))
+      "normalize" -> normalize, "clipLagSec" -> clipLagSec,
+      "hashInputs" -> hashInputs))
   }
 
   final case class Stats(total: Long, pending: Long, written: Long)
@@ -165,7 +169,7 @@ object ProcessJob {
       val wins = Correlate.windows(pendingSeries, cfg.windowSec, cfg.strideSec, cfg.stepSec)
       val cc = Correlate
         .ccPairs(wins, pendingPairs, cfg.stepSec, cfg.windowSec, cfg.normalize,
-          unbiased = false, clipLagSec = cfg.clipLagSec)
+          unbiased = false, clipLagSec = cfg.clipLagSec, hashInputs = cfg.hashInputs)
         .toDF()
         .withColumn("partition_key",
           concat_ws("|", col("metric"), col("pair"), unix_timestamp(col("win_start"))))

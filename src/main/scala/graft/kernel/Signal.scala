@@ -74,19 +74,90 @@ object Signal {
     w
   }
 
+  /** General symmetric window family (the reference's taper accepts any
+    * `scipy.signal.windows.*`, /root/reference/xcorr/signal/window.py:27-116
+    * — these are the closed-form members; `param` is tukey's alpha or
+    * kaiser's beta).
+    */
+  def window(name: String, m: Int, param: Double = Double.NaN): Array[Double] = {
+    if (m == 1) return Array(1.0)
+    val n = m - 1
+    def cosSum(a: Array[Double]): Array[Double] =
+      Array.tabulate(m) { i =>
+        var s = 0.0
+        var k = 0
+        while (k < a.length) { s += a(k) * math.cos(2 * math.Pi * k * i / n) * (if (k % 2 == 1) -1 else 1); k += 1 }
+        s
+      }
+    name match {
+      case "hann" | "hanning"  => hann(m)
+      case "boxcar" | "rect"   => Array.fill(m)(1.0)
+      case "hamming"           => cosSum(Array(0.54, 0.46))
+      case "blackman"          => cosSum(Array(0.42, 0.5, 0.08))
+      case "blackmanharris"    => cosSum(Array(0.35875, 0.48829, 0.14128, 0.01168))
+      case "nuttall"           => cosSum(Array(0.3635819, 0.4891775, 0.1365995, 0.0106411))
+      case "bartlett"          => Array.tabulate(m)(i => 1.0 - math.abs(2.0 * i / n - 1.0))
+      case "triang" =>
+        // scipy triang sym: odd m has peak 1, even m plateaus at 1-1/m
+        if (m % 2 == 1) Array.tabulate(m)(i => 1.0 - math.abs(i - n / 2.0) * 2.0 / (m + 1))
+        else Array.tabulate(m)(i => 1.0 - math.abs(2 * i - n) / m.toDouble)
+      case "cosine" => Array.tabulate(m)(i => math.sin(math.Pi * (i + 0.5) / m))
+      case "tukey" =>
+        val alpha = if (param.isNaN) 0.5 else param
+        if (alpha <= 0) Array.fill(m)(1.0)
+        else if (alpha >= 1) hann(m)
+        else Array.tabulate(m) { i =>
+          val x = i.toDouble / n
+          if (x < alpha / 2) 0.5 * (1 + math.cos(math.Pi * (2 * x / alpha - 1)))
+          else if (x > 1 - alpha / 2) 0.5 * (1 + math.cos(math.Pi * (2 * x / alpha - 2 / alpha + 1)))
+          else 1.0
+        }
+      case "kaiser" =>
+        val beta = if (param.isNaN) 8.6 else param
+        val denom = besselI0(beta)
+        Array.tabulate(m) { i =>
+          val r = 2.0 * i / n - 1.0
+          besselI0(beta * math.sqrt(math.max(0.0, 1.0 - r * r))) / denom
+        }
+      case other => throw new IllegalArgumentException(s"unknown window '$other'")
+    }
+  }
+
+  /** Modified Bessel function of the first kind, order 0 (power series —
+    * converges fast for the beta range windows use).
+    */
+  private def besselI0(x: Double): Double = {
+    var sum = 1.0
+    var term = 1.0
+    var k = 1
+    while (k < 64 && term > sum * 1e-17) {
+      val t = x / (2.0 * k)
+      term *= t * t
+      sum += term
+      k += 1
+    }
+    sum
+  }
+
   /** Cosine edge taper: interior = 1, each edge multiplied by the rising /
     * falling half of a Hann window sized by `maxPercentage` of the vector
     * length (capped at 0.5) or `maxLength` samples — the reference's window
     * sizing rule (/root/reference/xcorr/signal/window.py:74-106) applied to
     * both edges (taper.py:23-85).
     */
-  def taper(x: Array[Double], maxPercentage: Double = 0.05, maxLength: Int = -1): Array[Double] = {
+  def taper(
+      x: Array[Double],
+      maxPercentage: Double = 0.05,
+      maxLength: Int = -1,
+      windowName: String = "hann",
+      windowParam: Double = Double.NaN
+  ): Array[Double] = {
     val n = x.length
     val pct = math.min(maxPercentage, 0.5)
     var m = (pct * n).toInt
     if (maxLength > 0) m = math.min(m, maxLength)
     if (m < 1) return java.util.Arrays.copyOf(x, n)
-    val w = hann(2 * m + 1)
+    val w = window(windowName, 2 * m + 1, windowParam)
     val out = java.util.Arrays.copyOf(x, n)
     var i = 0
     while (i < m) {

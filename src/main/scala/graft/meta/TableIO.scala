@@ -57,6 +57,29 @@ object TableIO {
     else df
   }
 
+  /** Validate a list of table dirs: the head eagerly, the rest in parallel
+    * against the HEAD's config hash (the reference's validate_list shape —
+    * /root/reference/xcorr/io/validate.py:222-369: first file is the
+    * reference copy, the tail validates concurrently against its hashes).
+    * Returns the validated frames in input order, ready for [[merge]].
+    */
+  def validateList(
+      spark: SparkSession,
+      dirs: Seq[String],
+      requiredColumns: Seq[String],
+      maskStatus: Boolean = false
+  ): Seq[DataFrame] = {
+    require(dirs.nonEmpty, "validateList needs at least one table dir")
+    val head = read(spark, dirs.head, requiredColumns, None, maskStatus)
+    val headHash = TableFormat.readProps(dirs.head).get("job_config_sha256")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rest = Future.traverse(dirs.tail.toList)(d =>
+      Future(read(spark, d, requiredColumns, headHash, maskStatus)))
+    head +: Await.result(rest, Duration.Inf)
+  }
+
   /** Outer-align N frames on `dimKeys`, collapsing duplicate cells
     * (deterministic compute ⇒ duplicates are identical; any-row-per-key is
     * exact — merge.py's combine_by_coords with data_vars='minimal').

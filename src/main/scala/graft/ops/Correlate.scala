@@ -154,34 +154,44 @@ object Correlate {
       windowSec: Long,
       normalize: Boolean = true,
       unbiased: Boolean = false,
-      clipLagSec: Double = -1
+      clipLagSec: Double = -1,
+      hashInputs: Boolean = false
   ): Dataset[CcRow] = {
     val spark = wins.sparkSession
     import spark.implicits._
-    val a = wins.as("a")
-    val b = wins.as("b")
-    val joined = a
-      .join(broadcast(pairs), col("a.conv_id") === col("conv_a"))
-      .join(
-        b,
-        col("b.conv_id") === col("conv_b") &&
-          col("a.metric") === col("b.metric") &&
-          col("a.win_start") === col("b.win_start")
-      )
-      .select(
-        col("conv_a"), col("conv_b"), col("a.metric").as("metric"),
-        col("a.win_start").as("win_start"),
-        col("a.values").as("va"), col("b.values").as("vb")
-      )
-      // spread kernel work: hash over both conv ids AND the window, so a
-      // hot conversation's pairs do not pile on one partition
-      .repartition(col("conv_a"), col("conv_b"), col("win_start"))
-      .as[(String, String, String, Timestamp, Array[Float], Array[Float])]
+    // Single-shuffle pair assembly. The naive shape — wins self-joined
+    // through the pair list and then repartitioned for the kernel — costs
+    // THREE exchanges of the window arrays and computes the wins lineage
+    // twice (one per join side). Instead each window row is tagged with
+    // every (pair, side) it participates in via ONE broadcast join (a
+    // narrow map), and a single groupBy on (pair, metric, win_start)
+    // assembles both sides — one exchange of the arrays total, and the
+    // aggregation output is already hash-partitioned by a key containing
+    // both conv ids AND the window, so hot conversations spread across
+    // partitions for the FFT stage with no extra repartition.
+    val sides = pairs
+      .select(col("conv_a").as("conv_id"),
+        concat(col("conv_a"), lit("-"), col("conv_b")).as("pair"), lit(0).as("side"))
+      .unionByName(pairs
+        .select(col("conv_b").as("conv_id"),
+          concat(col("conv_a"), lit("-"), col("conv_b")).as("pair"), lit(1).as("side")))
+    val joined = wins
+      .join(broadcast(sides), Seq("conv_id"))
+      .groupBy(col("pair"), col("metric"), col("win_start"))
+      .agg(
+        first(when(col("side") === 0, col("values")), ignoreNulls = true).as("va"),
+        first(when(col("side") === 1, col("values")), ignoreNulls = true).as("vb"))
+      // strict completeness: both sides must have a complete window
+      // (mirrors the two-sided inner join / the reference's sample-count
+      // gate, client.py:1019-1050)
+      .where(col("va").isNotNull && col("vb").isNotNull)
+      .select(col("pair"), col("metric"), col("win_start"), col("va"), col("vb"))
+      .as[(String, String, Timestamp, Array[Float], Array[Float])]
 
     val delta = stepSec.toDouble
     val halfWin = windowSec / 2.0
     joined.mapPartitions { it =>
-      it.map { case (ca, cb, metric, winStart, vaF, vbF) =>
+      it.map { case (pairId, metric, winStart, vaF, vbF) =>
         val va = toDoubles(vaF)
         val vb = toDoubles(vbF)
         // a window with zero signal on either side carries no information:
@@ -208,7 +218,7 @@ object Correlate {
         var j = 1
         while (j < clipped.length) { if (clipped(j) > clipped(jm)) jm = j; j += 1 }
         CcRow(
-          pair = s"$ca-$cb",
+          pair = pairId,
           metric = metric,
           win_start = winStart,
           cc = clipped,
@@ -221,10 +231,22 @@ object Correlate {
           shift = (jm + i0 - (n - 1)) * delta,
           cc_max = clipped(jm),
           npts = n,
-          lag0 = i0
+          lag0 = i0,
+          // optional per-cell input digest (↔ the reference's
+          // hash(pair,time) var, init.py:252-272 — off by default there
+          // too: ~10 s/step at the flagship size, init.py:95-97)
+          input_hash = if (!hashInputs) "" else sha256Floats(vaF, vbF)
         )
       }
     }
+  }
+
+  private def sha256Floats(a: Array[Float], b: Array[Float]): String = {
+    val bb = java.nio.ByteBuffer.allocate(4 * (a.length + b.length))
+    a.foreach(bb.putFloat)
+    b.foreach(bb.putFloat)
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bb.array()).map("%02x".format(_)).mkString
   }
 
   private def toDoubles(f: Array[Float]): Array[Double] = {

@@ -54,10 +54,12 @@ object Postprocess {
     val spark = cc.sparkSession
     import spark.implicits._
 
-    cc.where(col("status") === 1)
+    val withHash =
+      if (cc.columns.contains("input_hash")) cc else cc.withColumn("input_hash", lit(""))
+    withHash.where(col("status") === 1)
       .select(col("pair"), col("metric"), col("win_start"), col("cc"),
         col("status").cast("tinyint").as("status"), col("pair_offset"), col("time_offset"),
-        col("shift"), col("cc_max"), col("npts"), col("lag0"))
+        col("shift"), col("cc_max"), col("npts"), col("lag0"), col("input_hash"))
       .as[CcRow]
       .mapPartitions { it =>
         it.map { r =>

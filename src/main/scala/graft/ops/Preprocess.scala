@@ -98,18 +98,22 @@ object Preprocess {
         }
       }
     }),
-    // cosine edge taper (↔ registry 'taper', process.py:82-85). Params:
-    // max_percentage (of length, capped 0.5), max_length (seconds).
+    // edge taper (↔ registry 'taper', process.py:82-85; any window family
+    // like the reference's scipy passthrough, window.py:27-116). Params:
+    // max_percentage (of length, capped 0.5), max_length (seconds),
+    // window (hann default), window_param (tukey alpha / kaiser beta).
     "taper" -> ((df, p) => {
       val pct = p.getOrElse("max_percentage", "0.05").toDouble
       val maxLenSec = p.get("max_length").map(_.toDouble)
+      val win = p.getOrElse("window", "hann")
+      val winParam = p.get("window_param").map(_.toDouble).getOrElse(Double.NaN)
       perKeyKernel(df) { (ts, vs) =>
         val maxLen = maxLenSec match {
           case Some(sec) if vs.length >= 2 => math.max((sec * 1e6 / (ts(1) - ts(0))).toInt, 1)
           case Some(_)                     => 1
           case None                        => -1
         }
-        (ts, Signal.taper(vs, pct, maxLen))
+        (ts, Signal.taper(vs, pct, maxLen, win, winParam))
       }
     }),
     // Lanczos windowed-sinc resample onto a new regular grid (↔ registry

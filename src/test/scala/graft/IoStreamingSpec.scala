@@ -64,6 +64,46 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(m2.columns.contains("extra") && m2.count() == 3)
   }
 
+  test("TableIO.validateList: head eager, tail gated by head's config hash") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 6, 120).toDF()
+    val cfg = ProcessJob.Config(stepSec = 60, windowSec = 1800, strideSec = 1800)
+    def mkTable(pa: String, pb: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ccvl").toString
+      ProcessJob.run(spark, t, Seq((pa, pb)).toDF("conv_a", "conv_b"), dir, cfg)
+      dir
+    }
+    // pairs chosen with overlapping spans (a pair with disjoint time spans
+    // correctly yields zero common windows and writes nothing)
+    val d1 = mkTable("conv-000000", "conv-000001")
+    val d2 = mkTable("conv-000001", "conv-000002")
+    val d3 = mkTable("conv-000002", "conv-000005")
+    val frames = TableIO.validateList(spark, Seq(d1, d2, d3), Seq("pair", "metric", "win_start", "cc"))
+    assert(frames.length == 3 && frames.forall(_.count() > 0))
+    // a tail table written under a DIFFERENT config is rejected against the
+    // head's hash (validate.py:185-194 via the head, :329-361 parallel tail)
+    val alien = java.nio.file.Files.createTempDirectory("ccvl-alien").toString
+    ProcessJob.run(spark, t, Seq(("conv-000001", "conv-000005")).toDF("conv_a", "conv_b"),
+      alien, cfg.copy(windowSec = 900, strideSec = 900))
+    intercept[TableIO.ValidationError] {
+      TableIO.validateList(spark, Seq(d1, alien), Seq("pair"))
+    }
+  }
+
+  test("TableFormat props/snapshots work through an explicit file: URI (Hadoop FS path)") {
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("tfuri").toString
+    TableFormat.writeProps(dir, Cf19.props("uri-test"))
+    val props = TableFormat.readProps(dir)
+    assert(props("title") == "uri-test" && props("Conventions") == "CF-1.9")
+    TableFormat.appendSnapshot(dir, Map("n" -> "1"))
+    TableFormat.appendSnapshot(dir, Map("n" -> "2"))
+    val snaps = TableFormat.snapshots(dir)
+    assert(snaps.map(_("n")) == Seq("1", "2"))
+    // atomic replace keeps the metadata hash self-consistent
+    TableFormat.writeProps(dir, Cf19.props("uri-test-2"))
+    assert(TableFormat.readProps(dir)("title") == "uri-test-2")
+  }
+
   test("streaming tier-1 rollup equals the batch tier on the same data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString

@@ -177,6 +177,31 @@ class KernelSpec extends AnyFunSuite {
     assert(y(99) == y(0))
   }
 
+  test("window families: scipy-parity identities and symmetry") {
+    import Signal.window
+    // tukey(1) == hann, tukey(0) == boxcar, kaiser(0) == boxcar
+    window("tukey", 65, 1.0).zip(Signal.hann(65)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    assert(window("tukey", 65, 0.0).forall(_ == 1.0))
+    window("kaiser", 33, 0.0).foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+    // hamming: ends 0.08, center 1 (odd m)
+    val ham = window("hamming", 11)
+    assert(math.abs(ham(0) - 0.08) < 1e-12 && math.abs(ham(5) - 1.0) < 1e-12)
+    // blackman: zero ends, unit center
+    val bk = window("blackman", 11)
+    assert(math.abs(bk(0)) < 1e-12 && math.abs(bk(5) - 1.0) < 1e-12)
+    // bartlett: zero ends (triang: nonzero ends)
+    val bart = window("bartlett", 9)
+    assert(bart(0) == 0.0 && bart(4) == 1.0 && bart(8) == 0.0)
+    assert(window("triang", 9)(0) > 0.0)
+    // all families symmetric
+    for (n <- Seq("hamming", "blackman", "blackmanharris", "nuttall", "bartlett",
+        "triang", "cosine", "kaiser", "tukey", "boxcar")) {
+      val w = window(n, 32, 2.5)
+      w.indices.foreach(i => assert(math.abs(w(i) - w(31 - i)) < 1e-12, s"$n not symmetric at $i"))
+    }
+    intercept[IllegalArgumentException](window("nope", 8))
+  }
+
   test("lanczos resample: identity at ratio 1; sine survives 2x decimation") {
     val n = 400
     val x = Array.tabulate(n)(i => math.sin(2 * math.Pi * i / 50.0))
