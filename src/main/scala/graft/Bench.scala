@@ -155,8 +155,9 @@ object Bench {
       "q01_pricing_summary", "q03_join_nation_region", "q07_running_sum",
       "q10_rollup_1m", "q11_rollup_compose_1h", "q12_gapfill_1h",
       "q14_sessionize", "q19_cc_pair_lags", "q22_gorilla_roundtrip",
-      "q36_ngram_jaccard", "q37_minhash_lsh", "q40_knn_brute",
-      "q50_xcorr_e2e", "q51_rollup_pipeline"
+      "q36_ngram_jaccard", "q37_minhash_lsh", "q39_simhash_candidates",
+      "q40_knn_brute", "q44_ivf_ann",
+      "q50_xcorr_e2e", "q51_rollup_pipeline", "q53_cc_windows"
     )
     val fns = SparkEntry.queries
     val results = headline.map { name =>

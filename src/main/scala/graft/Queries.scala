@@ -675,6 +675,66 @@ object Queries {
          |SELECT x.vec_id AS v1, y.vec_id AS v2, x.bucket AS bucket
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id""".stripMargin))
 
+  val q44 = Q("q44_ivf_ann",
+    (s, d) => {
+      // IVF-style ANN, the scale path beyond brute force (q40) and
+      // hyperplane LSH (q42/q43): a deterministic coarse quantizer
+      // (centroids = vectors 0..7), every vector assigned to its
+      // max-cosine centroid (an inverted list), queries probe only the 2
+      // closest lists and rank exactly within them. At 100 TB the probe
+      // join is a broadcast of k centroids + an equi-join on cent_id —
+      // never all-pairs.
+      def cosine(a: String, b: String) =
+        expr(s"${dotSpark.format(a, b)} / (sqrt(${dotSpark.format(a, a)}) * sqrt(${dotSpark.format(b, b)}))")
+      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine("v", "cv"))
+        .withColumn("rk", row_number().over(wA)).where(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id"))
+      val q = e.where(col("vec_id").isin(10L, 11L, 12L))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))
+      val probed = q.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine("qv", "cv"))
+        .withColumn("rk", row_number().over(wQ)).where(col("rk") <= 2)
+        .select(col("q_id"), col("qv"), col("cent_id"))
+      val wR = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      probed.join(assigned, Seq("cent_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine("qv", "v"), 9).as("cosine"))
+        .withColumn("rk", row_number().over(wR)).where(col("rk") <= 3)
+    },
+    Some {
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+      def cosD(a: String, b: String) =
+        s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         |ac AS (SELECT e.vec_id, e.v, c.cent_id, ${cosD("e.v", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c),
+         |assigned AS (SELECT vec_id, v, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+         |  FROM ac) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (10, 11, 12)),
+         |qc AS (SELECT q_id, qv, cent_id, ${cosD("qv", "cv")} AS cos FROM q CROSS JOIN c),
+         |probed AS (SELECT q_id, qv, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cent_id) AS rk
+         |  FROM qc) WHERE rk <= 2),
+         |cand AS (SELECT q_id, a.vec_id AS neighbor_id,
+         |    round(${cosD("qv", "a.v")}, 9) AS cosine
+         |  FROM probed p JOIN assigned a ON a.cent_id = p.cent_id
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, neighbor_id, cosine, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM cand) WHERE rk <= 3""".stripMargin
+    })
+
   // ---------------------------------------------------------------- E. flagship pipeline
 
   val q50 = Q("q50_xcorr_e2e",
@@ -818,7 +878,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43,
+    q40, q41, q42, q43, q44,
     q50, q51, q52, q53, q54, q60
   )
 }

@@ -80,4 +80,24 @@ class ResumeSpec extends AnyFunSuite {
     assert(props.contains("sha256_hash_metadata"))
     transcripts.unpersist()
   }
+
+  test("retry upgrade: readCc prefers the fresh status=1 row over a stale -1 for the same cell") {
+    import spark.implicits._
+    // the append-only data path can legitimately hold BOTH a degenerate
+    // status=-1 row (first attempt: missing data) and a later status=1 row
+    // (retry_missing after new data arrived) for one (pair, metric,
+    // win_start) — the freshest-wins collapse must return the 1 row
+    val dir = java.nio.file.Files.createTempDirectory("cc-retry").toString
+    val t0 = new java.sql.Timestamp(1704067200000L)
+    def write(cc: Array[Double], status: Byte, ccMax: Double): Unit =
+      Seq(("a-b", "m", t0, cc, status, 0.0, -900.0, 0.0, ccMax, 2, 0, ""))
+        .toDF("pair", "metric", "win_start", "cc", "status", "pair_offset",
+          "time_offset", "shift", "cc_max", "npts", "lag0", "input_hash")
+        .write.mode("append").parquet(s"$dir/data")
+    write(Array(0.0, 0.0, 0.0), -1, 0.0) // stale degenerate
+    write(Array(0.5, 1.0, 0.5), 1, 1.0)  // fresh recompute
+    val got = ProcessJob.readCc(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Byte]("status") == 1 && got(0).getAs[Double]("cc_max") == 1.0)
+  }
 }
