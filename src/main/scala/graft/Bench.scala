@@ -68,7 +68,9 @@ object Bench {
     import graft.synth.Transcripts.convId
     val t0 = System.nanoTime()
     val t = spark.read.parquet(path)
-    val series = Ingest.series(t, stepSec)
+    // sparse series: the CC path needs only occupied buckets (window
+    // assembly reconstructs the zeros; equivalence asserted in OpsSpec)
+    val series = Ingest.seriesSparse(t, stepSec)
     val wins = Correlate.windows(series, windowSec, strideSec, stepSec)
     val pairs = spark.range(0, nConvs.toLong)
       .flatMap(i => (1 to neighbors).map(j => (convId(i), convId(i + j))).filter(_._2 <= convId(nConvs - 1)))

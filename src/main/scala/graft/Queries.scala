@@ -471,10 +471,12 @@ object Queries {
       // document-frequency cap (standard near-dup practice): a stop-shingle
       // appearing in >100 docs would make the self-equi-join quadratic on
       // that one key; capped shingles are dropped from candidate
-      // generation/intersection on BOTH engines (sizes stay uncapped)
-      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc")).where(col("dfc") <= 100)
-        .select(col("sh"))
-      val shc = sh.join(rare, Seq("sh"), "left_semi")
+      // generation/intersection on BOTH engines (sizes stay uncapped).
+      // Window-function form: ONE exchange on sh, which the self-join then
+      // reuses (an agg + semi-join costs two more)
+      val shc = sh
+        .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .where(col("dfc") <= 100).drop("dfc")
       val pairs = shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
@@ -539,41 +541,41 @@ object Queries {
 
   val q38 = Q("q38_simhash",
     (s, d) => {
-      // 8-bit simhash: bit j = sign of sum over token occurrences of ±1,
+      // 16-bit simhash: bit j = sign of sum over token occurrences of ±1,
       // where the ±1 is the high bit of the j-th hex digit of md5(token)
       val toks = docs(s, d).select(col("doc_id"), explode(expr(tokensSpark)).as("tok"))
         .withColumn("h", md5(col("tok")))
-      val bitCols = (1 to 8).map { j =>
+      val bitCols = (1 to 16).map { j =>
         sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")
       }
       toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
         .select(col("doc_id"),
-          concat((1 to 8).map(j => when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+          concat((1 to 16).map(j => when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
     },
     Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
             |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
             |s AS (SELECT doc_id,
-            |  ${(1 to 8).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+            |  ${(1 to 16).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
             |  FROM toks GROUP BY 1)
-            |SELECT doc_id, ${(1 to 8).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
+            |SELECT doc_id, ${(1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
             |FROM s""".stripMargin))
 
   val q39 = Q("q39_simhash_candidates",
     (s, d) => {
-      // near-dup candidates from the 8-bit simhash: band into 4 x 2-bit
+      // near-dup candidates from the 16-bit simhash: band into 4 x 4-bit
       // bands, self-join on band equality (a pair collides iff it shares at
       // least one exact band — the banded-Hamming trick that avoids the
       // all-pairs O(n^2) distance scan), then verify Hamming <= 2
       val sig = q38.fn(s, d) // (doc_id, simhash)
       val bands = sig.select(col("doc_id"), col("simhash"),
-          expr("stack(4, " + (0 until 4).map(b => s"$b, substring(simhash, ${2 * b + 1}, 2)").mkString(", ") + ") as (band, bits)"))
+          expr("stack(4, " + (0 until 4).map(b => s"$b, substring(simhash, ${4 * b + 1}, 4)").mkString(", ") + ") as (band, bits)"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
           col("x.simhash").as("h1"), col("y.simhash").as("h2"))
         .distinct()
-      val ham = (1 to 8).map(j =>
+      val ham = (1 to 16).map(j =>
         when(substring(col("h1"), j, 1) =!= substring(col("h2"), j, 1), lit(1)).otherwise(lit(0)))
         .reduce(_ + _)
       cand.withColumn("hamming", ham)
@@ -583,19 +585,19 @@ object Queries {
     Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
             |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
             |sums AS (SELECT doc_id,
-            |  ${(1 to 8).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+            |  ${(1 to 16).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
             |  FROM toks GROUP BY 1),
-            |sig AS (SELECT doc_id, ${(1 to 8).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash FROM sums),
-            |bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b * 2 + 1, 2) AS bits
+            |sig AS (SELECT doc_id, ${(1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash FROM sums),
+            |bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS bits
             |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
             |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
             |    x.simhash AS h1, y.simhash AS h2
             |  FROM bands x JOIN bands y
             |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
             |SELECT d1, d2,
-            |  ${(1 to 8).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS hamming
+            |  ${(1 to 16).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS hamming
             |FROM cand
-            |WHERE ${(1 to 8).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 2""".stripMargin))
+            |WHERE ${(1 to 16).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 2""".stripMargin))
 
   // ---------------------------------------------------------------- D. embeddings
 

@@ -27,6 +27,10 @@ object Scaling {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // rows carry 2 × npts float arrays: the default 4096-row vectorized
+      // batch is ~100 MB per column per task — size batches for array-wide
+      // rows (same knob a real cluster would set for this table shape)
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -95,10 +99,13 @@ object Scaling {
       }
       val r = best2 { val (c, _, sec) = Bench.rollupThroughput(spark, rollupPath); (c, sec) }
       val k = best2(Bench.ccKernelThroughput(spark, pwPath))
-      val (cc, cs) = Bench.ccThroughput(spark, ccPath, ccConvs,
-        stepSec = 10, windowSec = 28800, strideSec = 14400, neighbors = 2)
+      // best-of-2 like the other jobs: the first pass doubles as the
+      // codegen/JIT warmup for the e2e plan's window-assembly stages (the
+      // kernel/rollup warmups above don't compile THIS plan's stages)
+      val c = best2(Bench.ccThroughput(spark, ccPath, ccConvs,
+        stepSec = 10, windowSec = 28800, strideSec = 14400, neighbors = 2))
       spark.stop()
-      (r, k, M(cc, cs))
+      (r, k, c)
     }
 
     def bestOf(a: (M, M, M), b: (M, M, M)): (M, M, M) = (

@@ -116,10 +116,13 @@ object ProcessJob {
   ): Stats = {
     val jobId = s"ccjob-${cfg.hash.take(12)}"
 
-    // one materialization of the gap-filled series feeds BOTH the work-list
-    // planning and (filtered) the window assembly — round 1 recomputed the
-    // whole ingest lineage once per consumer
-    val series = Ingest.series(transcripts, cfg.stepSec)
+    // one materialization of the series feeds BOTH the work-list planning
+    // and (filtered) the window assembly — round 1 recomputed the whole
+    // ingest lineage once per consumer. The SPARSE form (occupied buckets
+    // only) is sufficient and exact for windowed CC: the window assembly
+    // reconstructs zeros and spans are gap-fill-invariant (OpsSpec asserts
+    // bitwise equality of the two forms' windows).
+    val series = Ingest.seriesSparse(transcripts, cfg.stepSec)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // availability pre-gate: complete-window candidates from spans only

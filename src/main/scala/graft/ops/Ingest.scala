@@ -44,6 +44,23 @@ object Ingest {
       )
   }
 
+  /** Long-form series WITHOUT gap-fill: one row per OCCUPIED (conv, bucket,
+    * metric). For the windowed-CC path this is exactly equivalent to
+    * [[series]] — `Correlate.windows`' sparse assembly reconstructs zero
+    * grid points itself, and the per-key span (which decides window
+    * completeness) is identical because gap-fill never extends a span —
+    * at a fraction of the cost: ONE shuffle (the bucket groupBy), no window
+    * function, no zero-fill explode. Equivalence is asserted bitwise in
+    * OpsSpec. Use [[series]] when downstream genuinely consumes the dense
+    * grid (rollups of gap-filled rates, LTTB tiers, preprocess kernels).
+    */
+  def seriesSparse(transcripts: DataFrame, stepSec: Long = 60L): DataFrame =
+    bucketed(transcripts, stepSec)
+      .selectExpr(
+        "conv_id", "ts",
+        "stack(2, 'turn_rate', turn_rate, 'token_volume', token_volume) as (metric, value)")
+      .select("conv_id", "metric", "ts", "value")
+
   /** Gap-filled long-form series: (conv_id, metric, ts, value) with value=0
     * in empty buckets (rate metrics: an empty minute is a real zero).
     *

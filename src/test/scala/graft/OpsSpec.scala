@@ -143,6 +143,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Rollup.lttbTier(few, 100).count() == 20)
   }
 
+  test("lttbTier: a 10M-point single key completes under bounded buffers") {
+    import graft.ops.Rollup
+    // one conversation, 10M minutely points (~19 years): the old
+    // single-pass design collected ALL 10M points into ONE aggregation
+    // buffer; the chunked design never buffers more than a day (1440) in
+    // stage 1 and n_chunks*threshold in stage 2
+    val n = 10000000L
+    val pts = spark.range(n).selectExpr(
+      "'c-hot' as conv_id", "'m' as metric",
+      "timestamp_seconds(1704067200 + id * 60) as ts",
+      "cast(id % 97 as double) as value")
+    val out = Rollup.lttbTier(pts, 200).orderBy("ts").collect()
+    assert(out.length == 200)
+    assert(out.head.getTimestamp(2).getTime == 1704067200000L)
+    assert(out.last.getTimestamp(2).getTime == (1704067200L + (n - 1) * 60) * 1000L)
+  }
+
+  test("windows(seriesSparse) == windows(series) bitwise (gap-fill invariance)") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 6, 150).toDF()
+    def winsOf(s: org.apache.spark.sql.DataFrame) =
+      Correlate.windows(s, 1800, 900, 60)
+        .select(col("conv_id"), col("metric"), col("win_start"), col("values"))
+        .as[(String, String, java.sql.Timestamp, Array[Float])]
+        .collect().map(r => ((r._1, r._2, r._3.getTime), r._4)).toMap
+    val dense = winsOf(Ingest.series(t, 60))
+    val sparse = winsOf(Ingest.seriesSparse(t, 60))
+    assert(dense.keySet == sparse.keySet, "window sets differ")
+    assert(dense.nonEmpty)
+    dense.foreach { case (k, v) => assert(v.sameElements(sparse(k)), s"values differ at $k") }
+  }
+
   test("postprocess chain equals manual kernel composition on one row") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 4, 120).toDF()

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Correlate, Ingest, Trigger}
+import graft.synth.Transcripts
+
+/** Physical-plan quality gates: the properties that make these operators
+  * hold at 100 TB are asserted on the plans themselves, so a regression
+  * (a filter that stops reaching the scan, a range join that degrades to a
+  * nested loop, an extra exchange on the CC path) fails CI instead of
+  * surfacing as a cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filter + projection reach the parquet scan (pushdown/pruning)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val df = Queries.q02.fn(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan"), s"filter not pushed:\n$p")
+    // column pruning: the scan must not read all 16 lineitem columns
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 6, s"scan reads too many columns: $read")
+  }
+
+  test("q03: small dims broadcast (BroadcastHashJoin, no shuffle join for nation/region)") {
+    val p = plan(Queries.q03.fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+  }
+
+  test("ccPairs: single array exchange, no sort-merge/nested-loop join, no collect") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 8, 120).toDF()
+    val series = Ingest.series(t, 60)
+    val wins = Correlate.windows(series, 1800, 900, 60)
+    val pairs = Seq(("conv-000000", "conv-000001")).toDF("conv_a", "conv_b")
+    val p = plan(Correlate.ccPairs(wins, pairs, 60, 1800).toDF())
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ on the CC path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian on the CC path:\n$p")
+    // pair tagging must be a broadcast join, and the window arrays must be
+    // exchanged exactly once (the pairing groupBy) after assembly: the plan
+    // has one exchange keyed by (pair, metric, win_start)
+    assert(p.contains("BroadcastHashJoin"), s"pair tagging not broadcast:\n$p")
+    val pairingExchanges = "Exchange hashpartitioning\\(pair".r.findAllIn(p).length
+    assert(pairingExchanges == 1, s"want exactly 1 pair-keyed exchange, got $pairingExchanges:\n$p")
+  }
+
+  test("Trigger.values: bucket equi-join (hash join), never a nested-loop range join") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    val cf = (0 until 200).map(i => ("k", ts(i), 5.0)).toDF("key", "time", "value")
+    val periods = Trigger.periods(cf, 1.0, 1, 60, minDurationSteps = 2)
+    val p = plan(Trigger.values(cf, periods, 60))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"values degraded to BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Trigger.periods: the islands window sort is bucket-partitioned, not global") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    val cf = (0 until 200).map(i => ("k", ts(i), 5.0)).toDF("key", "time", "value")
+    val p = plan(Trigger.periods(cf, 1.0, 1, 60, bucketSteps = 16))
+    // the first islands pass must be a partitioned window (partition spec
+    // contains the bucket), not Window [.. ORDER BY ..] over everything
+    assert("Window \\[[^\\]]*row_number\\(\\)[^\\]]*\\], \\[bucket".r.findFirstIn(p).isDefined,
+      s"islands window not bucket-partitioned:\n$p")
+  }
+}
