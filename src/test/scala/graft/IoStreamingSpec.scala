@@ -104,6 +104,40 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(TableFormat.readProps(dir)("title") == "uri-test-2")
   }
 
+  test("streaming trigger sessionizer (flatMapGroupsWithState) == batch islands on sealed periods") {
+    import spark.implicits._
+    import graft.streaming.StreamingTrigger
+    val step = 60L
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * step * 1000)
+    // active steps with several islands; the last island is left "open"
+    // (could still be extended) so only sealed islands may be emitted
+    val onSteps = Seq(5, 6, 7, 8, 20, 21, 40, 41, 42, 43, 44, 80, 81, 82)
+    val active = onSteps.map(i => (ts(i), 2L))
+    val dir = java.nio.file.Files.createTempDirectory("stream-trig").toString
+    active.toDF("time", "n_on").write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream
+      .schema("time timestamp, n_on long").parquet(dir)
+    val q = StreamingTrigger.sessionize(streamIn, step, minDurationSteps = 3)
+      .writeStream.outputMode("append").format("memory").queryName("stream_trigger")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT period_start, period_end, n_steps FROM stream_trigger")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).sortBy(_._1.getTime)
+    // batch reference on the same steps: the final island (80..82) is NOT
+    // sealed at end-of-stream (watermark == max event time), so streaming
+    // must emit exactly the earlier islands that pass minDuration
+    val cf = active.map { case (t, _) => ("k1", t, 5.0) }
+      .flatMap(r => Seq(r, ("k2", r._2, 5.0))).toDF("key", "time", "value")
+    val batch = graft.ops.Trigger.periods(cf, 1.0, 2, step, minDurationSteps = 3)
+      .orderBy("period_start")
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    val sealedBatch = batch.filter(_._2.getTime < ts(82).getTime)
+    assert(got.toSeq == sealedBatch.toSeq,
+      s"streaming ${got.toSeq} != sealed batch ${sealedBatch.toSeq}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming tier-1 rollup equals the batch tier on the same data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
