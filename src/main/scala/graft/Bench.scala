@@ -34,8 +34,10 @@ object Bench {
   def rollupThroughput(spark: SparkSession, path: String): (Long, Long, Double) = {
     val t0 = System.nanoTime()
     val t = spark.read.parquet(path)
-    val series = Ingest.series(t, 60)
-    val m1 = Rollup.fromPoints(series, "minute")
+    // run-partials tier-1: gap-fill zeros folded analytically, shuffle
+    // carries per-cell partials (both metrics in one row) instead of
+    // exploded grid points — bitwise-equal to fromPoints(series) (OpsSpec)
+    val m1 = Rollup.tier1FromBuckets(Ingest.bucketed(t, 60), 60, "minute")
     val agg = m1.agg(count(lit(1)).as("cells"), sum(col("n")).as("pts")).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
     (agg.getLong(0), agg.getLong(1), secs)

@@ -160,6 +160,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.last.getTimestamp(2).getTime == (1704067200L + (n - 1) * 60) * 1000L)
   }
 
+  test("tier1FromBuckets == fromPoints(series) bitwise, at unit==step and unit>step") {
+    import spark.implicits._
+    import graft.ops.Rollup
+    val t = Transcripts.generate(spark, 8, 200, hotConvs = 1, hotFactor = 5).toDF()
+    val cols = Seq("conv_id", "metric", "chunk_start", "n", "sum", "min", "max", "first", "last")
+    def check(stepSec: Long): Unit = {
+      val viaPoints = Rollup.fromPoints(Ingest.series(t, stepSec), "minute").select(cols.map(col): _*)
+      val viaRuns = Rollup.tier1FromBuckets(Ingest.bucketed(t, stepSec), stepSec, "minute").select(cols.map(col): _*)
+      assert(viaPoints.count() == viaRuns.count(), s"row counts differ at step=$stepSec")
+      val diff = viaPoints.union(viaRuns).groupBy(cols.map(col): _*)
+        .count().where(col("count") =!= 2)
+      assert(diff.count() == 0, s"cells differ at step=$stepSec: ${diff.take(3).mkString}")
+    }
+    check(60) // degenerate: one grid point per minute cell
+    check(10) // real fold: 6 grid points per cell, cells straddle runs
+  }
+
   test("windows(seriesSparse) == windows(series) bitwise (gap-fill invariance)") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 6, 150).toDF()
@@ -209,6 +226,38 @@ class OpsSpec extends AnyFunSuite {
     val expected = lags.indices.filter(i => lags(i) >= -600 && lags(i) <= 600).map(x).toArray
     assert(row._4.length == expected.length)
     row._4.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("lag-clipped ProcessJob table composes with Postprocess and snr (lag metadata)") {
+    import spark.implicits._
+    import graft.jobs.ProcessJob
+    val t = Transcripts.generate(spark, 6, 150).toDF()
+    val pairs = Seq(("conv-000000", "conv-000001")).toDF("conv_a", "conv_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc-clip").toString
+    val cfg = ProcessJob.Config(stepSec = 60, windowSec = 1800, strideSec = 900, clipLagSec = 600)
+    ProcessJob.run(spark, t, pairs, dir, cfg)
+    val cc = ProcessJob.readCc(spark, dir)
+    assume(cc.where(col("status") === 1).count() > 0)
+    // the stored array is clipped and carries its lag-axis metadata
+    val row = cc.where(col("status") === 1).select("cc", "npts", "lag0").limit(1)
+      .as[(Array[Double], Int, Int)].head()
+    assert(row._1.length < 2 * row._2 - 1, "array not clipped")
+    assert(row._3 > 0, "lag0 missing on a clipped table")
+    assert(row._1.length == 2 * (row._2 - 1 - row._3) + 1) // symmetric clip
+    // shift/cc_max come from the STORED array: |shift| within the clip
+    cc.where(col("status") === 1).select("shift").as[Double].collect()
+      .foreach(sft => assert(math.abs(sft) <= 600.0, s"shift $sft outside the stored lag window"))
+    // the postprocess chain + snr run on the clipped table without length
+    // errors (round 1 derived n from size(cc) and threw here)
+    val post = graft.ops.Postprocess(cc,
+      graft.ops.Postprocess.Config(stepSec = 60, unbias = true,
+        lagMinSec = -300, lagMaxSec = 300, taperSec = 300, taper2Sec = 120))
+    assert(post.count() > 0)
+    val lag0s = post.select("lag0").as[Int].collect()
+    assert(lag0s.forall(_ > 0), "postprocess must update lag0 after the lag-window slice")
+    val snrDf = graft.ops.Postprocess.snr(post, 60.0, signalBand = (-120, 120), noiseBand = (180, 300))
+    val r = snrDf.select("lag_s_max").as[Double].collect()
+    assert(r.nonEmpty && r.forall(l => math.abs(l) <= 120.0))
   }
 
   test("snr over a cc table produces s/n with the peak lag") {
