@@ -851,6 +851,157 @@ object Queries {
            |  CAST(x.n * y.n AS BIGINT) AS prod
            |FROM dd x JOIN dd y ON x.user_id = y.user_id AND x.day <> y.day""".stripMargin))
 
+  /** Shared input for the signal-operator queries: gap-free hourly count
+    * series of users 1..3 (the sparse form — window assembly reconstructs
+    * the zeros, q53's oracle proves the equivalence).
+    */
+  private def hourlySeries(s: SparkSession, d: String, users: Long*): DataFrame =
+    ev(s, d).where(col("user_id").isin(users: _*))
+      .groupBy(col("user_id").cast("string").as("conv_id"),
+        date_trunc("hour", col("ts")).as("ts"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .withColumn("metric", lit("hourly_events"))
+      .select("conv_id", "metric", "ts", "value")
+
+  val q55 = Q("q55_postprocess_chain",
+    (s, d) => {
+      // the full postprocess chain (unbias → demean → taper → timeshift →
+      // highpass filtfilt → taper → lag-window) + snr over DISTRIBUTED
+      // windowed CC on a stored table — filtfilt is not SQL-expressible,
+      // so rows-only here; the chain is golden-tested in OpsSpec
+      import s.implicits._
+      val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
+      val pairs = Seq(("1", "2"), ("2", "3")).toDF("conv_a", "conv_b")
+      val cc = Correlate.ccPairs(wins, pairs, 3600, 86400, normalize = true).toDF()
+      val post = graft.ops.Postprocess(cc, graft.ops.Postprocess.Config(
+        stepSec = 3600, unbias = true, taperSec = 7200,
+        filterFreqHz = 1.0 / 43200, filterOrder = 2, taper2Sec = 3600,
+        lagMinSec = -43200, lagMaxSec = 43200))
+      graft.ops.Postprocess.snr(post, 3600, signalBand = (-21600, 21600), noiseBand = (28800, 43200))
+        .transform(x => ntz(x, "win_start"))
+    },
+    None)
+
+  val q56 = Q("q56_spectrogram_peaks",
+    (s, d) => {
+      // per-window PSD spectrogram → 2-D local maxima (top 3) — the
+      // spectrogram/peak_local_max pipeline on a stored table (rows-only;
+      // both kernels are K-tested)
+      import s.implicits._
+      val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
+      val specs = graft.ops.Timelapse.spectrograms(wins, 3600, npersegSamples = 8, hopSamples = 4)
+      specs.select(col("conv_id"), col("metric"), col("win_start"),
+          col("spec"), col("n_seg"), col("n_freq"))
+        .as[(String, String, java.sql.Timestamp, Array[Double], Int, Int)]
+        .flatMap { case (cid, met, w, spec, nSeg, nFreq) =>
+          if (nSeg >= 3 && nFreq >= 3) {
+            val m = Array.tabulate(nSeg, nFreq)((i, j) => spec(i * nFreq + j))
+            graft.kernel.Signal2d.peakLocalMax(m, minDistance = 1, thresholdRel = 0.1)
+              .take(3).map { case (i, j, v) => (cid, met, w, i, j, v) }
+          } else Nil
+        }
+        .toDF("conv_id", "metric", "win_start", "seg_idx", "freq_idx", "power")
+        .transform(x => ntz(x, "win_start"))
+    },
+    None)
+
+  val q57 = Q("q57_beamform",
+    (s, d) => {
+      // plane-wave co-array least squares per window: three "receivers"
+      // (users 1..3) on a fixed triangle, pairwise CC delays → slowness →
+      // DOA/velocity (rows-only; DOA recovery is K-tested on synthetic
+      // plane waves)
+      import s.implicits._
+      val coords = Map("1" -> (0.0, 0.0), "2" -> (1000.0, 0.0), "3" -> (0.0, 1000.0))
+      Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
+        .select(col("win_start"), col("conv_id"), col("values").cast("array<double>").as("values"))
+        .as[(java.sql.Timestamp, String, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (w: java.sql.Timestamp, it: Iterator[(java.sql.Timestamp, String, Array[Double])]) =>
+          val m = it.map(r => r._2 -> r._3).toMap
+          if (m.size == 3 && m.values.forall(_.exists(_ != 0.0))) {
+            val keys = Seq("1", "2", "3")
+            val res = graft.kernel.Beamform.planeWave(
+              keys.map(coords).toArray, keys.map(m).toArray, delta = 3600.0)
+            Iterator((w, res.doaDeg, res.velocity, res.residual))
+          } else Iterator.empty
+        }
+        .toDF("win_start", "doa_deg", "velocity", "residual")
+        .transform(x => ntz(x, "win_start"))
+    },
+    None)
+
+  val q58 = Q("q58_scaleogram_ridge",
+    (s, d) => {
+      // CWT scaleogram (pywt-algorithm cmor path) per window → ridge
+      // pseudo-frequency at the window center (rows-only; the two CWT
+      // algorithms cross-validate in CwtSpec)
+      import s.implicits._
+      Correlate.windows(hourlySeries(s, d, 1L), 86400, 43200, 3600)
+        .select(col("win_start"), col("values").cast("array<double>").as("values"))
+        .as[(java.sql.Timestamp, Array[Double])]
+        .mapPartitions { it =>
+          val scales = graft.kernel.Cwt.logScales(
+            fMin = 1.0 / 43200, fMax = 1.0 / 7200, nScales = 12, delta = 3600.0)
+          it.map { case (w, values) =>
+            val (mag, freqs) = graft.kernel.Cwt.scaleogramPywt(values, 3600.0, scales)
+            val mid = values.length / 2
+            val ridge = freqs(mag.indices.maxBy(si => mag(si)(mid)))
+            (w, ridge)
+          }
+        }
+        .toDF("win_start", "ridge_freq_hz")
+        .transform(x => ntz(x, "win_start"))
+    },
+    None)
+
+  val q59 = Q("q59_lombscargle",
+    (s, d) => {
+      // Lomb-Scargle periodogram over the IRREGULAR raw event times (the
+      // pre-gap-fill diagnostic, SURVEY §2.4) — classic Lomb components are
+      // SQL-expressible, so the kernel is oracle-checked end-to-end:
+      // per-user precentered values, per-user relative times, 4 angular
+      // frequencies; power rounded to 4 decimals (trig-sum reorder noise
+      // ~1e-7 across engines)
+      import s.implicits._
+      val freqs = Array(0.0001, 0.0002, 0.0005, 0.001)
+      ev(s, d).where(col("user_id") <= 5)
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6).as("t"),
+          col("value"))
+        .as[(Long, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Double, Double)]) =>
+          val buf = it.toArray.sortBy(_._2)
+          val t0 = buf.head._2
+          val mean = buf.map(_._3).sum / buf.length
+          val tt = buf.map(_._2 - t0)
+          val yy = buf.map(_._3 - mean)
+          val p = graft.kernel.Signal2d.lombscargle(tt, yy, freqs)
+          freqs.indices.iterator.map(i => (uid, freqs(i), p(i)))
+        }
+        .toDF("user_id", "freq", "power")
+        .select(col("user_id"), col("freq"), round(col("power"), 4).as("power"))
+    },
+    Some("""WITH e0 AS (SELECT user_id, epoch_us(ts) / 1e6 AS t, value
+           |  FROM events WHERE user_id <= 5),
+           |e AS (SELECT user_id,
+           |    t - min(t) OVER (PARTITION BY user_id) AS t,
+           |    value - avg(value) OVER (PARTITION BY user_id) AS y
+           |  FROM e0),
+           |f AS (SELECT unnest(CAST([0.0001, 0.0002, 0.0005, 0.001] AS DOUBLE[])) AS w),
+           |p1 AS (SELECT user_id, w,
+           |    sum(sin(2 * w * t)) AS s2w, sum(cos(2 * w * t)) AS c2w
+           |  FROM e CROSS JOIN f GROUP BY 1, 2),
+           |tt AS (SELECT user_id, w, atan2(s2w, c2w) / (2 * w) AS tau FROM p1),
+           |p2 AS (SELECT e.user_id, tt.w,
+           |    sum(y * cos(w * (t - tau))) AS cs, sum(y * sin(w * (t - tau))) AS sc,
+           |    sum(pow(cos(w * (t - tau)), 2)) AS cc, sum(pow(sin(w * (t - tau)), 2)) AS ss
+           |  FROM e JOIN tt ON tt.user_id = e.user_id GROUP BY 1, 2)
+           |SELECT user_id, w AS freq,
+           |  round(0.5 * (cs * cs / cc + sc * sc / ss), 4) AS power
+           |FROM p2""".stripMargin))
+
   val q52 = Q("q52_timelapse_matrix",
     (s, d) => {
       // second-order analysis: per-window spectrograms -> (time1 x time2)
@@ -881,6 +1032,6 @@ object Queries {
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44,
-    q50, q51, q52, q53, q54, q60
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
   )
 }
