@@ -23,7 +23,10 @@ object Accessors {
 
     // ---- transcripts shape (conv_id, turn_idx, role, text, tool, ts)
     def series(stepSec: Long = 60): DataFrame = Ingest.series(df, stepSec)
+    def seriesSparse(stepSec: Long = 60): DataFrame = Ingest.seriesSparse(df, stepSec)
     def bucketed(stepSec: Long = 60): DataFrame = Ingest.bucketed(df, stepSec)
+    def tier1(stepSec: Long = 60, unit: String = "minute"): DataFrame =
+      Rollup.tier1FromBuckets(Ingest.bucketed(df, stepSec), stepSec, unit)
 
     // ---- series shape (conv_id, metric, ts, value)
     def preprocess(ops: Seq[(String, Map[String, String])]): DataFrame =
@@ -31,10 +34,18 @@ object Accessors {
     def rollup(unit: String): DataFrame = Rollup.fromPoints(df, unit)
     def rollupCascade: (DataFrame, DataFrame, DataFrame) = Rollup.cascade(df)
     def toChunks(unit: String): DataFrame = Rollup.toChunks(df, unit)
-    def lttb(threshold: Int): DataFrame = Rollup.lttbTier(df, threshold)
+    def lttb(threshold: Int, chunkUnit: String = "day"): DataFrame =
+      Rollup.lttbTier(df, threshold, chunkUnit)
     def windows(windowSec: Long, strideSec: Long, stepSec: Long): DataFrame =
       Correlate.windows(df, windowSec, strideSec, stepSec)
     def allPairs: DataFrame = Correlate.allPairs(df)
+
+    // ---- characteristic-function shape (key, time, value)
+    def triggerPeriods(thrOn: Double, coincidence: Int, stepSec: Long,
+                       minDurationSteps: Int = 3, extendSteps: Int = 0): DataFrame =
+      graft.ops.Trigger.periods(df, thrOn, coincidence, stepSec, minDurationSteps, extendSteps)
+    def triggerValues(periodsDf: DataFrame, stepSec: Long): DataFrame =
+      graft.ops.Trigger.values(df, periodsDf, stepSec)
 
     // ---- rollup shape (conv_id, metric, chunk_start, stats…)
     def rollupHigher(unit: String): DataFrame = Rollup.fromLower(df, unit)
