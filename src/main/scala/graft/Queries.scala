@@ -110,8 +110,11 @@ object Queries {
 
   val q07 = Q("q07_running_sum",
     (s, d) => {
+      // l_quantity is the FINAL tiebreaker: the synthetic lineitem can hold
+      // duplicate (suppkey, shipdate, orderkey, linenumber) rows (seen at
+      // sf0.1) whose intermediate cumsums would otherwise be order-ambiguous
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -119,7 +122,7 @@ object Queries {
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
            | sum(l_quantity) OVER (PARTITION BY l_suppkey
-           |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
            |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
            |FROM lineitem""".stripMargin))
 
