@@ -413,16 +413,11 @@ object Queries {
   private val tokensDuck = raw"regexp_split_to_array(trim(text), '\s+')"
 
   val q30 = Q("q30_dedup_exact",
-    (s, d) => docs(s, d)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper")),
+    (s, d) => graft.ops.Dedup.exact(docs(s, d), "doc_id", "text"),
     Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY 1"))
 
   val q31 = Q("q31_dedup_prefix",
-    (s, d) => docs(s, d)
-      .groupBy(md5(expr(s"array_join(slice($tokensSpark, 1, 5), ' ')")).as("fp"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
-      .where(col("n") > 1),
+    (s, d) => graft.ops.Dedup.prefixFingerprint(docs(s, d), "doc_id", "text", k = 5),
     Some(s"""SELECT md5(array_to_string($tokensDuck[1:5], ' ')) AS fp,
             | count(*) AS n, min(doc_id) AS keeper
             |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin))
@@ -465,31 +460,10 @@ object Queries {
     Some(raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents"))
 
   val q36 = Q("q36_ngram_jaccard",
-    (s, d) => {
-      val sh = docs(s, d).where(expr(s"size($tokensSpark) >= 3"))
-        .select(col("doc_id"),
-          explode(expr(s"transform(sequence(1, size($tokensSpark) - 2), i -> concat_ws(' ', slice($tokensSpark, i, 3)))")).as("sh"))
-        .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // document-frequency cap (standard near-dup practice): a stop-shingle
-      // appearing in >100 docs would make the self-equi-join quadratic on
-      // that one key; capped shingles are dropped from candidate
-      // generation/intersection on BOTH engines (sizes stay uncapped).
-      // Window-function form: ONE exchange on sh, which the self-join then
-      // reuses (an agg + semi-join costs two more)
-      val shc = sh
-        .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .where(col("dfc") <= 100).drop("dfc")
-      val pairs = shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
-        .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
-        .where(col("jaccard") >= 0.2)
-        .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
-    },
+    // DF cap 100: a stop-shingle in >100 docs would make the self-join
+    // quadratic on one key; the cap applies identically in the oracle
+    (s, d) => graft.ops.Dedup.ngramJaccard(docs(s, d), "doc_id", "text",
+      n = 3, minJaccard = 0.2, dfCap = 100),
     Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents WHERE len($tokensDuck) >= 3),
             |sh AS (SELECT DISTINCT doc_id,
             |  unnest(list_transform(generate_series(1, len(a) - 2),
@@ -505,31 +479,13 @@ object Queries {
             |WHERE inter / (s1.n_sh + s2.n_sh - inter) >= 0.2""".stripMargin))
 
   val q37 = Q("q37_minhash_lsh",
-    (s, d) => {
-      // min-wise hashing in the STRING domain (lexicographic min of
-      // md5(seed || shingle)) → identical in any engine with md5; 8 hashes,
-      // 4 bands of 2 → candidate pairs sharing >= 1 band
-      val sh = docs(s, d).where(expr(s"size($tokensSpark) >= 3"))
-        .select(col("doc_id"),
-          explode(expr(s"transform(sequence(1, size($tokensSpark) - 2), i -> concat_ws(' ', slice($tokensSpark, i, 3)))")).as("sh"))
-        .distinct()
-      // all 8 min-hashes in ONE aggregation pass (no seed cross-join, one
-      // shuffle of distinct shingles instead of 8)
-      val minCols = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-      val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      val bandCols = (0 until 4).map { b =>
-        val (a, c) = (col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
-        md5(concat(least(a, c), greatest(a, c))).as(s"b$b")
-      }
-      val bands = sig.select(col("doc_id") +: bandCols: _*)
-        .selectExpr("doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bv)")
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-    },
+    // min-wise hashing in the STRING domain (lexicographic min of
+    // md5(seed || shingle)) → identical in any engine with md5; 8 hashes,
+    // 4 bands of 2 → candidate pairs sharing >= 1 band. The band-key
+    // encodings differ between engine and oracle but both are injective on
+    // the sorted member hashes, so the candidate SETS are equal.
+    (s, d) => graft.ops.Dedup.minhashLshCandidates(docs(s, d), "doc_id", "text",
+      n = 3, nHashes = 8, rowsPerBand = 2),
     Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents WHERE len($tokensDuck) >= 3),
             |sh AS (SELECT DISTINCT doc_id,
             |  unnest(list_transform(generate_series(1, len(a) - 2),
@@ -543,18 +499,9 @@ object Queries {
             |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin))
 
   val q38 = Q("q38_simhash",
-    (s, d) => {
-      // 16-bit simhash: bit j = sign of sum over token occurrences of ±1,
-      // where the ±1 is the high bit of the j-th hex digit of md5(token)
-      val toks = docs(s, d).select(col("doc_id"), explode(expr(tokensSpark)).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val bitCols = (1 to 16).map { j =>
-        sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")
-      }
-      toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"),
-          concat((1 to 16).map(j => when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-    },
+    // 16-bit simhash: bit j = sign of sum over token occurrences of ±1,
+    // where the ±1 is the high bit of the j-th hex digit of md5(token)
+    (s, d) => graft.ops.Dedup.simhash(docs(s, d), "doc_id", "text", bits = 16),
     Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
             |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
             |s AS (SELECT doc_id,
@@ -564,27 +511,12 @@ object Queries {
             |FROM s""".stripMargin))
 
   val q39 = Q("q39_simhash_candidates",
-    (s, d) => {
-      // near-dup candidates from the 16-bit simhash: band into 4 x 4-bit
-      // bands, self-join on band equality (a pair collides iff it shares at
-      // least one exact band — the banded-Hamming trick that avoids the
-      // all-pairs O(n^2) distance scan), then verify Hamming <= 2
-      val sig = q38.fn(s, d) // (doc_id, simhash)
-      val bands = sig.select(col("doc_id"), col("simhash"),
-          expr("stack(4, " + (0 until 4).map(b => s"$b, substring(simhash, ${4 * b + 1}, 4)").mkString(", ") + ") as (band, bits)"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.simhash").as("h1"), col("y.simhash").as("h2"))
-        .distinct()
-      val ham = (1 to 16).map(j =>
-        when(substring(col("h1"), j, 1) =!= substring(col("h2"), j, 1), lit(1)).otherwise(lit(0)))
-        .reduce(_ + _)
-      cand.withColumn("hamming", ham)
-        .where(col("hamming") <= 2)
-        .select(col("d1"), col("d2"), col("hamming"))
-    },
+    // near-dup candidates from the 16-bit simhash: 4 x 4-bit bands,
+    // self-join on band equality (a pair collides iff it shares at least
+    // one exact band — the banded-Hamming trick that avoids the all-pairs
+    // O(n^2) distance scan), then verify Hamming <= 2
+    (s, d) => graft.ops.Dedup.simhashCandidates(q38.fn(s, d),
+      bits = 16, nBands = 4, maxHamming = 2),
     Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
             |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
             |sums AS (SELECT doc_id,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-dedup operator library (training-data-pipeline extensions — engine-
+  * new, no reference counterpart): exact, prefix-fingerprint, n-gram
+  * Jaccard, MinHash+banded LSH, SimHash + banded-Hamming candidates. Every
+  * operator is also a driver-checked query with a DuckDB oracle
+  * (q30/q31/q36/q37/q38/q39 delegate here), so the library surface IS the
+  * verified surface.
+  *
+  * Scale notes: all candidate generation is bucketed (band/bucket
+  * self-equi-joins), never all-pairs; the Jaccard path caps shingle
+  * document frequency so a stop-shingle cannot go quadratic on one key.
+  * Hashing uses md5 (the cross-engine-verifiable hash domain).
+  */
+object Dedup {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** word `n`-gram shingles, distinct per (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val t = tokens(col(textCol))
+    df.where(size(t) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(split(trim($textCol), '\\\\s+')) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(split(trim($textCol), '\\\\s+'), i, $n)))")).as("sh"))
+      .distinct()
+  }
+
+  /** Exact dedup groups: md5(text) → (hash, count, keeper = min id). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  /** Prefix-fingerprint near-dup groups (first `k` tokens). */
+  def prefixFingerprint(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame =
+    df.groupBy(md5(expr(
+        s"array_join(slice(split(trim($textCol), '\\\\s+'), 1, $k), ' ')")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+      .where(col("n") > 1)
+
+  /** Exact n-gram Jaccard over shingle sets, with a shingle document-
+    * frequency cap (shingles in more than `dfCap` docs are dropped from
+    * candidate generation/intersection; set sizes stay uncapped).
+    * Returns (d1, d2, inter, jaccard) with jaccard >= `minJaccard`.
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.2, dfCap: Int = 100
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shc = sh
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .where(col("dfc") <= dfCap).drop("dfc")
+    shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+  }
+
+  /** MinHash + banded LSH candidate pairs: `nHashes` string-domain
+    * min-hashes (lexicographic min of md5(seed || shingle)) computed in ONE
+    * aggregation pass, banded `rowsPerBand` at a time, candidates = pairs
+    * sharing at least one band bucket.
+    */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, nHashes: Int = 8, rowsPerBand: Int = 2
+  ): DataFrame = {
+    require(nHashes % rowsPerBand == 0)
+    val nBands = nHashes / rowsPerBand
+    val sh = shingles(df, idCol, textCol, n)
+    val minCols = (0 until nHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until nBands).map { b =>
+      val members = (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}"))
+      // order-insensitive band key (sorted concat)
+      md5(concat(array_sort(array(members: _*)).cast("string"))).as(s"b$b")
+    }
+    val stacked = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($nBands, $stacked) as (band, bv)")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** `bits`-bit SimHash signature: bit j = sign of the sum of ±1 over token
+    * occurrences, the ±1 being the high bit of md5(token)'s j-th hex digit.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 32, "md5 provides 32 hex digits")
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitCols = (1 to bits).map { j =>
+      sum(when(substring(col("h"), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")
+    }
+    toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to bits).map(j =>
+          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Banded-Hamming near-dup candidates over simhash signatures: band the
+    * signature, self-join on band equality, verify Hamming <= maxHamming —
+    * never an all-pairs distance scan.
+    */
+  def simhashCandidates(
+      sig: DataFrame, bits: Int = 16, nBands: Int = 4, maxHamming: Int = 2
+  ): DataFrame = {
+    require(bits % nBands == 0)
+    val w = bits / nBands
+    val stacked = (0 until nBands).map(b => s"$b, substring(simhash, ${w * b + 1}, $w)").mkString(", ")
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      expr(s"stack($nBands, $stacked) as (band, bits)"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+    val ham = (1 to bits).map(j =>
+      when(substring(col("h1"), j, 1) =!= substring(col("h2"), j, 1), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    cand.withColumn("hamming", ham)
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}
