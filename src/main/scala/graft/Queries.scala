@@ -613,38 +613,10 @@ object Queries {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id""".stripMargin))
 
   val q44 = Q("q44_ivf_ann",
-    (s, d) => {
-      // IVF-style ANN, the scale path beyond brute force (q40) and
-      // hyperplane LSH (q42/q43): a deterministic coarse quantizer
-      // (centroids = vectors 0..7), every vector assigned to its
-      // max-cosine centroid (an inverted list), queries probe only the 2
-      // closest lists and rank exactly within them. At 100 TB the probe
-      // join is a broadcast of k centroids + an equi-join on cent_id —
-      // never all-pairs.
-      def cosine(a: String, b: String) =
-        expr(s"${dotSpark.format(a, b)} / (sqrt(${dotSpark.format(a, a)}) * sqrt(${dotSpark.format(b, b)}))")
-      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
-      val cents = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine("v", "cv"))
-        .withColumn("rk", row_number().over(wA)).where(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id"))
-      val q = e.where(col("vec_id").isin(10L, 11L, 12L))
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))
-      val probed = q.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine("qv", "cv"))
-        .withColumn("rk", row_number().over(wQ)).where(col("rk") <= 2)
-        .select(col("q_id"), col("qv"), col("cent_id"))
-      val wR = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-      probed.join(assigned, Seq("cent_id"))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(cosine("qv", "v"), 9).as("cosine"))
-        .withColumn("rk", row_number().over(wR)).where(col("rk") <= 3)
-    },
+    // IVF-style ANN, the scale path beyond brute force (q40) and
+    // hyperplane LSH (q42/q43) — see graft.ops.Similarity.ivfTopK
+    (s, d) => graft.ops.Similarity.ivfTopK(emb(s, d), queryIds = Seq(10L, 11L, 12L),
+      k = 3, nCentroids = 8, nProbe = 2),
     Some {
       def dotD(a: String, b: String) =
         s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"

@@ -63,4 +63,45 @@ object Similarity {
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), col("x.bucket").as("bucket"))
   }
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    * vectors with the `nCentroids` lowest ids — a stand-in for a trained
+    * codebook that keeps both engines and all cluster sizes bit-agreed),
+    * every vector assigned to its max-cosine centroid (the inverted list),
+    * queries probe only the `nProbe` closest lists and rank exactly within
+    * them. At 100 TB: broadcast of k centroids + an equi-join on cent_id —
+    * never all-pairs.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nCentroids: Int = 8,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine("v", "cv"))
+      .withColumn("rk", row_number().over(wA)).where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    val q = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine("qv", "cv"))
+      .withColumn("rk", row_number().over(wQ)).where(col("rk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cent_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine("qv", "v"), 9).as("cosine"))
+      .withColumn("rk", row_number().over(wR)).where(col("rk") <= k)
+  }
 }
