@@ -1,74 +1,208 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing for a training-data pipeline: media as opaque
   * `binary` columns with typed metadata, processed by per-partition batch
-  * "decoders".
+  * decoders.
   *
-  * The actual image/audio codecs are NOT available in this container, so the
-  * decode step is a clearly-marked deterministic STUB (`fakeDecode`) — the
+  * Real-world image/audio codecs (JPEG/FLAC/...) do NOT ship in this
+  * container, so payloads use **GRFT1** — a deliberately trivial media
+  * container defined here — and the decode path is REAL parsing of real
+  * bytes: magic/version validation, per-kind headers, pixel/sample math,
+  * average-pool resize, frame seeking. Swapping in production codecs
+  * replaces only the container branch of `parseHeader`/`body` readers; the
   * Spark-side contract (schema, batch shape, partitioning, decode-once
-  * fusion) is real and tested, and swapping in a real codec only replaces
-  * the stub function body.
+  * fusion) is identical.
+  *
+  * GRFT1 layout (big-endian):
+  * {{{
+  * magic "GRFT" | version u8=1 | kind u8 (0 image, 1 audio, 2 video)
+  * image: width u16 | height u16          | gray8 pixels (w·h bytes)
+  * audio: sample_rate u32 | n_samples u32 | s16 samples (2·n bytes)
+  * video: width u16 | height u16 | n_frames u16 | n_frames × gray8 frames
+  * }}}
   */
 object Multimodal {
 
-  /** Canonical media-table schema: one row per asset. */
+  val Magic: Array[Byte] = Array('G', 'R', 'F', 'T').map(_.toByte)
+
+  /** Canonical media-table schema: one row per asset; metadata columns are
+    * the HEADER fields (decode round-trips them — asserted in spec).
+    */
   val mediaSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),   // image | audio | video
-    StructField("bytes", BinaryType, nullable = false),  // opaque payload
-    StructField("width", IntegerType),                   // typed metadata…
+    StructField("bytes", BinaryType, nullable = false),  // GRFT1 payload
+    StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("n_frames", IntegerType)
   ))
 
-  /** Deterministic synthetic media table (payload bytes derived from the
-    * asset id — reproducible across partitionings like Transcripts).
+  /** Deterministic synthetic media table (payloads derived from the asset
+    * id — reproducible across partitionings like Transcripts).
     */
-  def synthesize(spark: SparkSession, n: Int, payloadBytes: Int = 4096): DataFrame = {
+  def synthesize(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    val kinds = Array("image", "audio", "video")
     spark.range(0, n.toLong).map { i =>
       val rng = new java.util.Random(0x5eed ^ i)
-      val bytes = new Array[Byte](payloadBytes)
-      rng.nextBytes(bytes)
-      val kind = kinds((i % 3).toInt)
-      (i, kind, bytes, 64 + rng.nextInt(64), 64 + rng.nextInt(64), 16000, 1 + rng.nextInt(64))
+      (i % 3).toInt match {
+        case 0 =>
+          val w = 16 + rng.nextInt(17)
+          val h = 16 + rng.nextInt(17)
+          val bb = ByteBuffer.allocate(6 + 4 + w * h)
+          bb.put(Magic).put(1.toByte).put(0.toByte)
+          bb.putShort(w.toShort).putShort(h.toShort)
+          val px = new Array[Byte](w * h)
+          rng.nextBytes(px)
+          bb.put(px)
+          (i, "image", bb.array(), w, h, 0, 1)
+        case 1 =>
+          val sr = 16000
+          val ns = 512 + rng.nextInt(512)
+          val bb = ByteBuffer.allocate(6 + 8 + 2 * ns)
+          bb.put(Magic).put(1.toByte).put(1.toByte)
+          bb.putInt(sr).putInt(ns)
+          var k = 0
+          while (k < ns) { bb.putShort(((rng.nextInt(65536)) - 32768).toShort); k += 1 }
+          (i, "audio", bb.array(), 0, 0, sr, 1)
+        case _ =>
+          val w = 8 + rng.nextInt(9)
+          val h = 8 + rng.nextInt(9)
+          val nf = 2 + rng.nextInt(15)
+          val bb = ByteBuffer.allocate(6 + 6 + nf * w * h)
+          bb.put(Magic).put(1.toByte).put(2.toByte)
+          bb.putShort(w.toShort).putShort(h.toShort).putShort(nf.toShort)
+          val px = new Array[Byte](nf * w * h)
+          rng.nextBytes(px)
+          bb.put(px)
+          (i, "video", bb.array(), w, h, 0, nf)
+      }
     }.toDF("asset_id", "kind", "bytes", "width", "height", "sample_rate", "n_frames")
   }
 
-  /** STUB decoder: a real implementation would JNI/FFI into an image/audio
-    * codec here; this deterministic fake turns the payload into a 16-bin
-    * byte histogram (normalized), preserving the real contract: one call
-    * per row inside mapPartitions, Array[Float] feature output.
+  final case class Header(kind: Int, width: Int, height: Int,
+      sampleRate: Int, nSamples: Int, nFrames: Int, bodyOffset: Int)
+
+  /** Parse + validate a GRFT1 header (the real decode entry point). */
+  def parseHeader(bytes: Array[Byte]): Header = {
+    require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'R' &&
+      bytes(2) == 'F' && bytes(3) == 'T', "bad magic")
+    require(bytes(4) == 1, s"unsupported GRFT version ${bytes(4)}")
+    val bb = ByteBuffer.wrap(bytes, 5, bytes.length - 5)
+    bb.get() match {
+      case 0 =>
+        val w = bb.getShort & 0xffff
+        val h = bb.getShort & 0xffff
+        Header(0, w, h, 0, 0, 1, 10)
+      case 1 =>
+        val sr = bb.getInt
+        val ns = bb.getInt
+        Header(1, 0, 0, sr, ns, 1, 14)
+      case 2 =>
+        val w = bb.getShort & 0xffff
+        val h = bb.getShort & 0xffff
+        val nf = bb.getShort & 0xffff
+        Header(2, w, h, 0, 0, nf, 12)
+      case k => throw new IllegalArgumentException(s"unknown kind $k")
+    }
+  }
+
+  /** Per-kind 16-bin normalized feature histogram over the REAL body bytes:
+    * image/video — pixel intensity bins; audio — |s16| amplitude bins.
     */
-  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+  def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
+    val h = parseHeader(bytes)
     val hist = new Array[Float](16)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xf0) >>> 4) += 1f
-      i += 1
+    var total = 0
+    h.kind match {
+      case 0 | 2 =>
+        var i = h.bodyOffset
+        while (i < bytes.length) { hist((bytes(i) & 0xf0) >>> 4) += 1f; total += 1; i += 1 }
+      case 1 =>
+        val bb = ByteBuffer.wrap(bytes, h.bodyOffset, bytes.length - h.bodyOffset)
+        var k = 0
+        while (k < h.nSamples) {
+          val s = bb.getShort.toInt
+          hist(math.min(math.abs(s) >>> 11, 15)) += 1f
+          total += 1
+          k += 1
+        }
     }
-    if (bytes.length > 0) {
-      var j = 0
-      while (j < 16) { hist(j) /= bytes.length; j += 1 }
-    }
+    if (total > 0) { var j = 0; while (j < 16) { hist(j) /= total; j += 1 } }
     hist
   }
 
-  /** Frame sampling STUB: pick every k-th "frame" index deterministically —
-    * the real version would seek in the container; the plumbing (explode of
-    * (asset, frame_idx) rows, partition preserved) is the same.
+  /** Average-pool an image (or one video frame) to outW × outH — the real
+    * resize math over real pixels (values 0..255).
     */
+  def resizePooled(bytes: Array[Byte], outW: Int, outH: Int, frameIdx: Int = 0): Array[Float] = {
+    val h = parseHeader(bytes)
+    require(h.kind == 0 || h.kind == 2, "resize needs pixels")
+    val off = h.bodyOffset + (if (h.kind == 2) frameIdx * h.width * h.height else 0)
+    val out = new Array[Float](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * h.height / outH
+      val y1 = math.max((oy + 1) * h.height / outH, y0 + 1)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * h.width / outW
+        val x1 = math.max((ox + 1) * h.width / outW, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += (bytes(off + y * h.width + x) & 0xff); x += 1 }
+          y += 1
+        }
+        out(oy * outW + ox) = (s / ((y1 - y0) * (x1 - x0))).toFloat
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Seek one video frame's pixels (real offset arithmetic, no full scan). */
+  def frameSlice(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
+    val h = parseHeader(bytes)
+    require(h.kind == 2, "frame seek needs a video payload")
+    require(frameIdx >= 0 && frameIdx < h.nFrames, s"frame $frameIdx of ${h.nFrames}")
+    val sz = h.width * h.height
+    java.util.Arrays.copyOfRange(bytes, h.bodyOffset + frameIdx * sz, h.bodyOffset + (frameIdx + 1) * sz)
+  }
+
+  /** Frame sampling: every k-th frame index per video (metadata only). */
   def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
     media.where(col("kind") === "video")
       .select(col("asset_id"),
         explode(expr(s"sequence(0, n_frames - 1, $everyK)")).as("frame_idx"))
+
+  /** Frame sampling WITH decode: seek each sampled frame and emit its mean
+    * intensity — explode + per-row real slice, partition preserved.
+    */
+  def sampleFrameFeatures(media: DataFrame, everyK: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select(col("asset_id"), col("bytes"),
+        explode(expr(s"sequence(0, n_frames - 1, $everyK)")).as("frame_idx"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, idx) =>
+          val f = frameSlice(bytes, idx)
+          var s = 0.0
+          f.foreach(b => s += (b & 0xff))
+          (id, idx, (s / f.length).toFloat)
+        }
+      }
+      .toDF("asset_id", "frame_idx", "frame_mean")
+  }
 
   /** Feature-extract: mapPartitions over the binary column, one decode per
     * row, codegen-friendly downstream (features are a plain array column).
@@ -84,7 +218,7 @@ object Multimodal {
       .select(col("asset_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, kind, bytes) => (id, kind, fakeDecode(bytes)) }
+        it.map { case (id, kind, bytes) => (id, kind, decodeFeatures(bytes)) }
       }
       .toDF("asset_id", "kind", "features")
   }

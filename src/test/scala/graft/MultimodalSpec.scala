@@ -25,7 +25,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("feature extraction: stub decode produces normalized 16-bin histograms") {
+  test("feature extraction: real GRFT1 decode produces normalized 16-bin histograms") {
     val media = Multimodal.synthesize(spark, 20)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 20)
@@ -34,6 +34,43 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.length == 16)
       assert(math.abs(f.sum - 1.0f) < 1e-4)
     }
+  }
+
+  test("GRFT1 decode round-trips the header metadata and rejects bad magic") {
+    val media = Multimodal.synthesize(spark, 30).collect()
+    media.foreach { r =>
+      val h = Multimodal.parseHeader(r.getAs[Array[Byte]]("bytes"))
+      r.getString(1) match {
+        case "image" => assert(h.kind == 0 && h.width == r.getInt(3) && h.height == r.getInt(4))
+        case "audio" => assert(h.kind == 1 && h.sampleRate == r.getInt(5))
+        case "video" => assert(h.kind == 2 && h.nFrames == r.getInt(6)
+          && h.width == r.getInt(3) && h.height == r.getInt(4))
+      }
+    }
+    intercept[IllegalArgumentException](Multimodal.parseHeader(Array[Byte](1, 2, 3, 4, 5, 6)))
+  }
+
+  test("resize average-pool and frame seek are real math over real pixels") {
+    // a constant image pools to the constant
+    val w = 12; val h = 10
+    val bb = java.nio.ByteBuffer.allocate(10 + w * h)
+    bb.put(Multimodal.Magic).put(1.toByte).put(0.toByte).putShort(w.toShort).putShort(h.toShort)
+    (0 until w * h).foreach(_ => bb.put(77.toByte))
+    val pooled = Multimodal.resizePooled(bb.array(), 4, 4)
+    assert(pooled.length == 16 && pooled.forall(v => math.abs(v - 77.0) < 1e-5))
+    // a video frame slice returns exactly that frame's bytes
+    val media = Multimodal.synthesize(spark, 9)
+    val v = media.where(col("kind") === "video").orderBy("asset_id").limit(1).collect()(0)
+    val bytes = v.getAs[Array[Byte]]("bytes")
+    val hd = Multimodal.parseHeader(bytes)
+    val f1 = Multimodal.frameSlice(bytes, 1)
+    assert(f1.length == hd.width * hd.height)
+    assert(f1.sameElements(java.util.Arrays.copyOfRange(
+      bytes, hd.bodyOffset + f1.length, hd.bodyOffset + 2 * f1.length)))
+    // distributed per-frame means from real seeks
+    val fm = Multimodal.sampleFrameFeatures(media, everyK = 2).collect()
+    assert(fm.nonEmpty)
+    fm.foreach(r => assert(r.getFloat(2) >= 0f && r.getFloat(2) <= 255f))
   }
 
   test("frame sampling explodes every-kth frame for videos only") {
