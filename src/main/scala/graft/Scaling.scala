@@ -200,7 +200,16 @@ object Scaling {
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // preserve the hand-curated cross-round run-history section: fresh
+    // tables replace the measured part, history survives re-runs
+    val out = Paths.get("BENCH/BASELINE.md")
+    val history =
+      if (Files.exists(out)) {
+        val old = Files.readString(out)
+        val i = old.indexOf("## Run history")
+        if (i >= 0) "\n" + old.substring(i) else ""
+      } else ""
+    Files.writeString(out, md + history)
     println(f"""{"kernel_pps8":${k8.pps}%.1f,"kernel_pps32":${k32.pps}%.1f,"kernel_efficiency":$kEff%.3f,"cc_e2e_efficiency":$cEff%.3f,"rollup_pps8":${r8.pps}%.0f,"rollup_pps32":${r32.pps}%.0f,"rollup_efficiency":$rEff%.3f}""")
   }
 }
