@@ -275,6 +275,24 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3)) <= 300)
   }
 
+  test("pair codec: unambiguous validated split of dashed conv ids") {
+    import graft.core.PairCodec
+    val p = PairCodec.join("conv-000001", "conv-000042")
+    assert(PairCodec.split(p) == (("conv-000001", "conv-000042")))
+    assert(PairCodec.isValid(p))
+    assert(!PairCodec.isValid("conv-000042-conv-000001")) // unordered
+    assert(PairCodec.split("1-2", "\\d+".r) == (("1", "2")))
+    intercept[IllegalArgumentException](PairCodec.split("a-b-c", ".+".r)) // ambiguous
+    intercept[IllegalArgumentException](PairCodec.join("b", "a"))
+    // round-trips every pair the flagship path produces
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 6, 100).toDF()
+    Correlate.allPairs(Ingest.seriesSparse(t, 60)).collect().foreach { r =>
+      val j = PairCodec.join(r.getString(0), r.getString(1))
+      assert(PairCodec.split(j) == ((r.getString(0), r.getString(1))))
+    }
+  }
+
   test("accessor API chains the pipeline fluently") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 4, 100).toDF()
