@@ -81,12 +81,21 @@ object TableIO {
   }
 
   /** Outer-align N frames on `dimKeys`, collapsing duplicate cells
-    * (deterministic compute ⇒ duplicates are identical; any-row-per-key is
-    * exact — merge.py's combine_by_coords with data_vars='minimal').
+    * (merge.py's combine_by_coords with data_vars='minimal'). When a
+    * `status` column is present the HIGHEST status wins per key (a
+    * retry-upgraded cell from one table must not be shadowed by another
+    * table's stale -1 row — same freshest-wins rule as ProcessJob.readCc);
+    * equal-status duplicates are bit-identical deterministic recomputes,
+    * so any of them is exact.
     */
   def merge(frames: Seq[DataFrame], dimKeys: Seq[String]): DataFrame = {
     require(frames.nonEmpty)
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
-      .dropDuplicates(dimKeys)
+    val u = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (u.columns.contains("status")) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(dimKeys.map(col): _*).orderBy(col("status").desc)
+      u.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    } else u.dropDuplicates(dimKeys)
   }
 }

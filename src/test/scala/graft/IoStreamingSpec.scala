@@ -62,6 +62,12 @@ class IoStreamingSpec extends AnyFunSuite {
     val c = Seq(("k4", 3, 40.0, "x")).toDF("pair", "t", "v", "extra")
     val m2 = TableIO.merge(Seq(a, c), Seq("pair", "t"))
     assert(m2.columns.contains("extra") && m2.count() == 3)
+    // status-aware collapse: the retry-upgraded status=1 cell wins over a
+    // stale -1 from another table (readCc's freshest-wins rule)
+    val s1 = Seq(("k1", 1, 0.0, -1)).toDF("pair", "t", "v", "status")
+    val s2 = Seq(("k1", 1, 9.0, 1)).toDF("pair", "t", "v", "status")
+    val ms = TableIO.merge(Seq(s1, s2), Seq("pair", "t")).collect()
+    assert(ms.length == 1 && ms(0).getInt(3) == 1 && ms(0).getDouble(2) == 9.0)
   }
 
   test("TableIO.validateList: head eager, tail gated by head's config hash") {
