@@ -397,6 +397,39 @@ object Queries {
            |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_errors, 0) AS n_errors
            |FROM c FULL OUTER JOIN e ON c.user_id = e.user_id AND c.day = e.day""".stripMargin))
 
+  val q25 = Q("q25_grouping_rollup",
+    (s, d) => ev(s, d)
+      .rollup(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+      // rolled-up levels emit NULL in the grouping columns on both engines;
+      // coalesce to a sentinel so the null representation never reaches the
+      // driver's hash compare
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("month"), lit("(all)")).as("month"), col("n"), col("sum_v")),
+    Some("""SELECT coalesce(event_type, '(all)') AS event_type,
+           | coalesce(strftime(ts, '%Y-%m'), '(all)') AS month,
+           | count(*) AS n, round(sum(value), 6) AS sum_v
+           |FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m'))""".stripMargin))
+
+  val q26 = Q("q26_set_ops",
+    (s, d) => {
+      def users(t: String) = ev(s, d).where(col("event_type") === t)
+        .select(col("user_id")).distinct()
+      users("click").intersect(users("error"))
+        .withColumn("in_both", lit(true))
+        .unionByName(users("view").except(users("click"))
+          .withColumn("in_both", lit(false)))
+    },
+    Some("""SELECT user_id, true AS in_both FROM (
+           |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           |  INTERSECT
+           |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+           |UNION ALL
+           |SELECT user_id, false AS in_both FROM (
+           |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+           |  EXCEPT
+           |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')""".stripMargin))
+
   val q23 = Q("q23_lttb_downsample",
     (s, d) => {
       val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
@@ -936,7 +969,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
