@@ -531,41 +531,59 @@ object Queries {
             |FROM bands x JOIN bands y
             |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin))
 
+  /** DuckDB ±1 for simhash bit j (1-based) of an md5 hex column `h` —
+    * bit-level extraction matching Dedup.bitSign: hex digit (j-1)/4+1,
+    * weight 2^(3-(j-1)%4).
+    */
+  private def duckBitSign(j: Int): String = {
+    val dig = (j - 1) / 4 + 1
+    val w = 1 << (3 - (j - 1) % 4)
+    s"(CASE WHEN ((strpos('0123456789abcdef', substr(h, $dig, 1)) - 1) // $w) % 2 = 1 THEN 1 ELSE -1 END)"
+  }
+  private val simhashBits = 64
+
   val q38 = Q("q38_simhash",
-    // 16-bit simhash: bit j = sign of sum over token occurrences of ±1,
-    // where the ±1 is the high bit of the j-th hex digit of md5(token)
-    (s, d) => graft.ops.Dedup.simhash(docs(s, d), "doc_id", "text", bits = 16),
+    // 64-bit simhash: bit j = sign of sum over token occurrences of ±1,
+    // where the ±1 is bit j of md5(token)'s 128-bit value (bit-level, so
+    // 16-bit LSH bands have 2^16 bucket values — see q39)
+    (s, d) => graft.ops.Dedup.simhash(docs(s, d), "doc_id", "text", bits = simhashBits),
     Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
             |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
             |s AS (SELECT doc_id,
-            |  ${(1 to 16).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+            |  ${(1 to simhashBits).map(j => s"sum(${duckBitSign(j)}) AS s$j").mkString(", ")}
             |  FROM toks GROUP BY 1)
-            |SELECT doc_id, ${(1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
+            |SELECT doc_id, ${(1 to simhashBits).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
             |FROM s""".stripMargin))
 
   val q39 = Q("q39_simhash_candidates",
-    // near-dup candidates from the 16-bit simhash: 4 x 4-bit bands,
+    // near-dup candidates from the 64-bit simhash: 4 x 16-bit bands,
     // self-join on band equality (a pair collides iff it shares at least
-    // one exact band — the banded-Hamming trick that avoids the all-pairs
-    // O(n^2) distance scan), then verify Hamming <= 2
+    // one exact band — complete for Hamming <= nBands-1 = 3 by pigeonhole,
+    // and each band has 2^16 bucket values so buckets hold ~n/65536 docs
+    // plus real near-dup clusters, never the n/16 of a 4-bit band),
+    // then verify Hamming <= 3
     (s, d) => graft.ops.Dedup.simhashCandidates(q38.fn(s, d),
-      bits = 16, nBands = 4, maxHamming = 2),
-    Some(s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
-            |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
-            |sums AS (SELECT doc_id,
-            |  ${(1 to 16).map(j => s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
-            |  FROM toks GROUP BY 1),
-            |sig AS (SELECT doc_id, ${(1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash FROM sums),
-            |bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS bits
-            |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
-            |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-            |    x.simhash AS h1, y.simhash AS h2
-            |  FROM bands x JOIN bands y
-            |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
-            |SELECT d1, d2,
-            |  ${(1 to 16).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS hamming
-            |FROM cand
-            |WHERE ${(1 to 16).map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 2""".stripMargin))
+      bits = simhashBits, nBands = 4, maxHamming = 3),
+    Some {
+      val hamming = (1 to simhashBits)
+        .map(j => s"(CASE WHEN substr(h1, $j, 1) <> substr(h2, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks0 AS (SELECT doc_id, unnest($tokensDuck) AS t FROM documents),
+         |toks AS (SELECT doc_id, md5(t) AS h FROM toks0),
+         |sums AS (SELECT doc_id,
+         |  ${(1 to simhashBits).map(j => s"sum(${duckBitSign(j)}) AS s$j").mkString(", ")}
+         |  FROM toks GROUP BY 1),
+         |sig AS (SELECT doc_id, ${(1 to simhashBits).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash FROM sums),
+         |bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b * 16 + 1, 16) AS bits
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |    x.simhash AS h1, y.simhash AS h2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, $hamming AS hamming
+         |FROM cand
+         |WHERE $hamming <= 3""".stripMargin
+    })
 
   // ---------------------------------------------------------------- D. embeddings
 
@@ -681,19 +699,57 @@ object Queries {
 
   val q50 = Q("q50_xcorr_e2e",
     (s, d) => {
-      // synthetic transcripts → gap-filled series → pairwise windowed FFT CC
-      // (the engine's flagship path; golden-tested against the single-node
-      // reference in PipelineSpec — not SQL-expressible)
+      // the FULL flagship composition — transcripts-shaped input →
+      // Ingest.series (gap-fill) → Correlate.windows → allPairs →
+      // ccPairs FFT kernel — over the STORED events table in an integer
+      // domain (normalize=false, integral hourly counts → the raw CC
+      // estimate rounds exactly to the oracle's time-domain lag sum).
+      // This hard-checks the two stages q53 doesn't: Ingest.series'
+      // gap-fill (sparse window assembly must reconstruct the zeros
+      // identically) and allPairs' triangular pair generation. The
+      // transcripts variant of the same composition stays golden-tested
+      // in PipelineSpec and measured in Bench.ccThroughput/Scaling.
       import s.implicits._
-      val t = Transcripts.generate(s, nConvs = 24, baseTurns = 150, hotConvs = 2, hotFactor = 8).toDF()
-      val series = Ingest.series(t, 60)
-      val wins = Correlate.windows(series, windowSec = 1800, strideSec = 900, stepSec = 60)
+      val t = ev(s, d).where(col("user_id").isin(1L, 2L, 3L))
+        .select(col("user_id").cast("string").as("conv_id"), col("ts"),
+          col("event_type").as("text")) // single-token texts: token_volume == turn_rate
+      val series = Ingest.series(t, 3600)
+      val wins = Correlate.windows(series, windowSec = 86400, strideSec = 43200, stepSec = 3600)
       val pairs = Correlate.allPairs(series)
-        .orderBy(col("conv_a"), col("conv_b")).limit(50) // ordered: a bare limit is nondeterministic
-      Correlate.ccPairs(wins, pairs, stepSec = 60, windowSec = 1800).toDF()
-        .select(col("pair"), col("metric"), col("win_start"), col("shift"), col("cc_max"), col("status"))
+      Correlate.ccPairs(wins, pairs, stepSec = 3600, windowSec = 86400, normalize = false)
+        .map(r => (r.pair, r.metric, r.win_start, r.cc))
+        .flatMap { case (p, m, w, arr) =>
+          val zero = arr.length / 2
+          (-4 to 4).map(k => (p, m, w, k, math.round(arr(zero + k))))
+        }
+        .toDF("pair", "metric", "win_start", "lag_k", "cc_raw")
+        .transform(x => ntz(x, "win_start"))
     },
-    None)
+    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+           |  WHERE user_id IN (1, 2, 3)),
+           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
+           |wins AS (SELECT user_id, unnest(generate_series(
+           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
+           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
+           |  FROM span
+           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
+           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
+           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
+           |vals AS (SELECT g.user_id, g.w, g.i, coalesce(c.c, 0) AS v
+           |  FROM grid g LEFT JOIN cnt c
+           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+           |prs AS (SELECT 1 AS ua, 2 AS ub UNION ALL SELECT 1, 3 UNION ALL SELECT 2, 3),
+           |mets AS (SELECT unnest(['turn_rate', 'token_volume']) AS metric),
+           |lags AS (SELECT unnest(generate_series(-4, 4)) AS k)
+           |SELECT ua || '-' || ub AS pair, metric, make_timestamp(a.w * 1000000) AS win_start,
+           |  lags.k AS lag_k, CAST(coalesce(sum(a.v * b.v), 0) AS BIGINT) AS cc_raw
+           |FROM prs
+           |JOIN vals a ON a.user_id = ua
+           |JOIN lags ON true
+           |JOIN vals b ON b.user_id = ub AND b.w = a.w AND b.i = a.i - lags.k
+           |CROSS JOIN mets
+           |GROUP BY 1, 2, 3, 4""".stripMargin))
 
   val q51 = Q("q51_rollup_pipeline",
     (s, d) => {
@@ -813,20 +869,35 @@ object Queries {
       val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
       val pairs = Seq(("1", "2"), ("2", "3")).toDF("conv_a", "conv_b")
       val cc = Correlate.ccPairs(wins, pairs, 3600, 86400, normalize = true).toDF()
+      // per-pair celerity lag windows: the two pairs carry different
+      // "distances", so the chain masks them differently in ONE pass
+      // (the reference's distance(pair) mask — init.py:211-234,
+      // timelapse.py:182-186); the celerity window intersects the global
+      // [-43200, 43200] one. Toy celerities are wide (300..3000) so each
+      // window spans several 3600 s lag steps on this coarse grid:
+      // pair 1-2 keeps lag ∈ [5000, 43200], pair 2-3 ∈ [10000, 43200].
+      val dist = Seq(("1-2", 1.5e7), ("2-3", 3.0e7)).toDF("pair", "distance")
       val post = graft.ops.Postprocess(cc, graft.ops.Postprocess.Config(
         stepSec = 3600, unbias = true, taperSec = 7200,
         filterFreqHz = 1.0 / 43200, filterOrder = 2, taper2Sec = 3600,
-        lagMinSec = -43200, lagMaxSec = 43200))
+        lagMinSec = -43200, lagMaxSec = 43200,
+        celerityMin = 300, celerityMax = 3000), Some(dist))
       graft.ops.Postprocess.snr(post, 3600, signalBand = (-21600, 21600), noiseBand = (28800, 43200))
         .transform(x => ntz(x, "win_start"))
     },
     None)
 
-  val q56 = Q("q56_spectrogram_peaks",
+  val q56 = Q("q56_spectrogram_psd",
     (s, d) => {
-      // per-window PSD spectrogram → 2-D local maxima (top 3) — the
-      // spectrogram/peak_local_max pipeline on a stored table (rows-only;
-      // both kernels are K-tested)
+      // per-window Hann PSD spectrogram CELLS, hard-checked against an
+      // explicit 8-point DFT oracle (nperseg=8 → every re/im is a 8-term
+      // trig sum, SQL-expressible the way q59 inlined classic Lomb).
+      // Values are compared as round(log10(1+psd), 6): psd spans ~9 decades
+      // here, and the log compresses the cross-engine FFT-vs-naive-DFT
+      // reorder noise (~1e-15 relative) to ~4e-16 absolute — safely inside
+      // a 1e-6 grid, where an absolute round on raw psd would not be.
+      // The 2-D peak extraction that used to ride this query stays
+      // K-tested (KernelSpec peak_local_max) and drives q52's matrix.
       import s.implicits._
       val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
       val specs = graft.ops.Timelapse.spectrograms(wins, 3600, npersegSamples = 8, hopSamples = 4)
@@ -834,16 +905,46 @@ object Queries {
           col("spec"), col("n_seg"), col("n_freq"))
         .as[(String, String, java.sql.Timestamp, Array[Double], Int, Int)]
         .flatMap { case (cid, met, w, spec, nSeg, nFreq) =>
-          if (nSeg >= 3 && nFreq >= 3) {
-            val m = Array.tabulate(nSeg, nFreq)((i, j) => spec(i * nFreq + j))
-            graft.kernel.Signal2d.peakLocalMax(m, minDistance = 1, thresholdRel = 0.1)
-              .take(3).map { case (i, j, v) => (cid, met, w, i, j, v) }
-          } else Nil
+          for { si <- 0 until nSeg; fi <- 0 until nFreq }
+            yield (cid, met, w, si, fi, spec(si * nFreq + fi))
         }
-        .toDF("conv_id", "metric", "win_start", "seg_idx", "freq_idx", "power")
+        .toDF("conv_id", "metric", "win_start", "seg_idx", "freq_idx", "psd")
+        .select(col("conv_id"), col("metric"), col("win_start"),
+          col("seg_idx"), col("freq_idx"),
+          round(log10(lit(1.0) + col("psd")), 6).as("log_power"))
         .transform(x => ntz(x, "win_start"))
     },
-    None)
+    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+           |  WHERE user_id IN (1, 2, 3)),
+           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
+           |wins AS (SELECT user_id, unnest(generate_series(
+           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
+           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
+           |  FROM span
+           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
+           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
+           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
+           |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN cnt c
+           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+           |segs AS (SELECT unnest(generate_series(0, 4)) AS s),
+           |freqs AS (SELECT unnest(generate_series(0, 4)) AS f),
+           |win8 AS (SELECT i, 0.5 - 0.5 * cos(2 * pi() * i / 7) AS wgt
+           |  FROM (SELECT unnest(generate_series(0, 7)) AS i)),
+           |wss AS (SELECT sum(wgt * wgt) AS winsumsq FROM win8),
+           |sums AS (SELECT v.user_id, v.w, segs.s, freqs.f,
+           |    sum(v.v * w8.wgt * cos(2 * pi() * freqs.f * w8.i / 8)) AS re,
+           |    sum(v.v * w8.wgt * sin(2 * pi() * freqs.f * w8.i / 8)) AS im
+           |  FROM segs JOIN win8 w8 ON true
+           |  JOIN vals v ON v.i = segs.s * 4 + w8.i
+           |  CROSS JOIN freqs
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT CAST(user_id AS VARCHAR) AS conv_id, 'hourly_events' AS metric,
+           |  make_timestamp(w * 1000000) AS win_start, s AS seg_idx, f AS freq_idx,
+           |  round(log10(1 + (re * re + im * im) * (3600.0 / winsumsq)
+           |    * (CASE WHEN f BETWEEN 1 AND 3 THEN 2 ELSE 1 END)), 6) AS log_power
+           |FROM sums CROSS JOIN wss""".stripMargin))
 
   val q57 = Q("q57_beamform",
     (s, d) => {

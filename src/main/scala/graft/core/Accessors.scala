@@ -36,6 +36,11 @@ object Accessors {
     def toChunks(unit: String): DataFrame = Rollup.toChunks(df, unit)
     def lttb(threshold: Int, chunkUnit: String = "day"): DataFrame =
       Rollup.lttbTier(df, threshold, chunkUnit)
+    /** NOTE dtype: window values are packed FLOAT32 (the reference's cc
+      * dtype, init.py:84-85) — lossless for integral ingest counts but
+      * ~1e-7 relative quantization on preprocessed (filtered/interpolated)
+      * doubles. See Correlate.windows.
+      */
     def windows(windowSec: Long, strideSec: Long, stepSec: Long): DataFrame =
       Correlate.windows(df, windowSec, strideSec, stepSec)
     def allPairs: DataFrame = Correlate.allPairs(df)
@@ -57,9 +62,13 @@ object Accessors {
       Correlate.ccPairs(df, pairs, stepSec, windowSec, normalize, unbiased = false, clipLagSec)
 
     // ---- cc shape (pair, metric, win_start, cc, status, offsets…)
-    def postprocess(cfg: Postprocess.Config): DataFrame = Postprocess(df, cfg)
-    def snr(stepSec: Double, signalBand: (Double, Double), noiseBand: (Double, Double)): DataFrame =
-      Postprocess.snr(df, stepSec, signalBand, noiseBand)
+    def postprocess(cfg: Postprocess.Config,
+                    pairDistance: Option[DataFrame] = None): DataFrame =
+      Postprocess(df, cfg, pairDistance)
+    def snr(stepSec: Double, signalBand: (Double, Double), noiseBand: (Double, Double),
+            envelope: Boolean = false, power: Boolean = false,
+            decibels: Boolean = false): DataFrame =
+      Postprocess.snr(df, stepSec, signalBand, noiseBand, envelope, power, decibels)
   }
 
   implicit final class XcorrDataFrame(private val df: Dataset[_]) {

@@ -143,16 +143,39 @@ object TableFormat {
 
   /** Append a snapshot record (history lineage — the reference's
     * `historicize` strings, /root/reference/xcorr/util/history.py:25-55).
+    * The commit log is APPEND-ONLY: the next index is max(existing)+1 (a
+    * count would collide after a manual removal) and the rename refuses to
+    * overwrite — a concurrent writer racing to the same index fails and
+    * retries at the next index instead of silently replacing committed
+    * history.
     */
   def appendSnapshot(dir: String, record: Map[String, String]): Unit = {
     val snapDir = new Path(dir, "_snapshots")
     val fs = snapDir.getFileSystem(conf)
     fs.mkdirs(snapDir)
-    val n = fs.listStatus(snapDir).count(_.getPath.getName.startsWith("snap-"))
-    val tmp = new Path(snapDir, s".snap-$n.json.tmp")
-    write(tmp, Hasher.json(record))
-    FileContext.getFileContext(snapDir.toUri, conf)
-      .rename(tmp, new Path(snapDir, f"snap-$n%05d.json"), Options.Rename.OVERWRITE)
+    val snapIdx = "snap-(\\d+)\\.json".r
+    def nextIndex(): Int = fs.listStatus(snapDir).flatMap(st =>
+      st.getPath.getName match {
+        case snapIdx(i) => Some(i.toInt)
+        case _          => None
+      }).foldLeft(-1)(math.max) + 1
+    val fc = FileContext.getFileContext(snapDir.toUri, conf)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val n = nextIndex()
+      val tmp = new Path(snapDir, s".snap-$n-${java.util.UUID.randomUUID()}.json.tmp")
+      write(tmp, Hasher.json(record))
+      try {
+        fc.rename(tmp, new Path(snapDir, f"snap-$n%05d.json")) // NO overwrite
+        committed = true
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          attempts += 1
+          if (attempts > 100) throw e // pathological contention — surface it
+      }
+    }
   }
 
   /** List the snapshot records in commit order. */

@@ -67,17 +67,29 @@ object TableIO {
       spark: SparkSession,
       dirs: Seq[String],
       requiredColumns: Seq[String],
-      maskStatus: Boolean = false
+      maskStatus: Boolean = false,
+      timeoutSec: Long = 600
   ): Seq[DataFrame] = {
     require(dirs.nonEmpty, "validateList needs at least one table dir")
     val head = read(spark, dirs.head, requiredColumns, None, maskStatus)
     val headHash = TableFormat.readProps(dirs.head).get("job_config_sha256")
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val rest = Future.traverse(dirs.tail.toList)(d =>
-      Future(read(spark, d, requiredColumns, headHash, maskStatus)))
-    head +: Await.result(rest, Duration.Inf)
+    import scala.concurrent.duration._
+    // per-dir futures (not one traverse) so a hung filesystem read times
+    // out with the OFFENDING table dir named, instead of blocking the
+    // caller forever
+    val rest = dirs.tail.toList.map(d =>
+      d -> Future(read(spark, d, requiredColumns, headHash, maskStatus)))
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    head +: rest.map { case (d, f) =>
+      val left = math.max(deadline - System.nanoTime(), 0L)
+      try Await.result(f, left.nanos)
+      catch {
+        case _: TimeoutException =>
+          throw ValidationError(s"validateList timed out after ${timeoutSec}s waiting on $d")
+      }
+    }
   }
 
   /** Outer-align N frames on `dimKeys`, collapsing duplicate cells

@@ -69,6 +69,16 @@ object Correlate {
 
   /** Explode the gap-filled series into complete overlapping windows with
     * time-ordered value arrays (float32 packed — see scale notes above).
+    *
+    * DTYPE CONTRACT: `values` is float32 — the reference's cc dtype
+    * (/root/reference/xcorr/core/init.py:84-85), and it halves the two
+    * big array exchanges. This is LOSSLESS for the ingest path (integral
+    * counts < 2^24) but quantizes preprocessed series (filter/interpolate
+    * produce non-integral doubles) at ~1e-7 relative — the same precision
+    * the reference stores, so downstream parity holds, but callers
+    * needing full double precision through the window stage should window
+    * manually (collect_list over their own grid) rather than assume this
+    * path is exact.
     */
   def windows(
       series: DataFrame,
@@ -106,17 +116,16 @@ object Correlate {
 
     val cand = candidates(series, windowSec, strideSec, stepSec)
 
-    val densify = udf { (pts: Seq[org.apache.spark.sql.Row], nPts: Int) =>
-      val arr = new Array[Float](nPts)
-      if (pts != null) pts.foreach(r => arr(r.getInt(0)) = r.getFloat(1))
-      arr
-    }
+    // densify is a native codegen'd Expression (graft.functions.DensifyFloat)
+    // so the assembly projection stays inside whole-stage codegen — a Scala
+    // UDF here split the hottest generated stage (PlanSpec asserts no
+    // ScalaUDF on the ccPairs plan)
     cand
       .join(sparse, Seq("conv_id", "metric", "win_start_s"), "left")
       .select(
         col("conv_id"), col("metric"),
         timestamp_seconds(col("win_start_s")).as("win_start"),
-        densify(col("sparse_pts"), lit(npts)).as("values")
+        graft.functions.DensifyFloat(col("sparse_pts"), npts).as("values")
       )
   }
 

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Text-dedup operator library (training-data-pipeline extensions — engine-
   * new, no reference counterpart): exact, prefix-fingerprint, n-gram
@@ -48,6 +47,14 @@ object Dedup {
     * frequency cap (shingles in more than `dfCap` docs are dropped from
     * candidate generation/intersection; set sizes stay uncapped).
     * Returns (d1, d2, inter, jaccard) with jaccard >= `minJaccard`.
+    *
+    * The DF cap is a map-side-combined `groupBy(sh).count` whose over-cap
+    * survivors (a tiny "stop-shingle" set by construction — only shingles
+    * in >dfCap of ALL docs) broadcast into an anti-join. The earlier
+    * `count() over (partition by sh)` form shuffled AND buffered the whole
+    * shingle table per window frame; this form shuffles only the partial
+    * counts and the capped table reuses the shingle exchange on both
+    * self-join sides (ReusedExchange — asserted in PlanSpec).
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
@@ -55,9 +62,9 @@ object Dedup {
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shc = sh
-      .withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .where(col("dfc") <= dfCap).drop("dfc")
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") > dfCap).select(col("sh"))
+    val shc = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -98,17 +105,28 @@ object Dedup {
       .distinct()
   }
 
-  /** `bits`-bit SimHash signature: bit j = sign of the sum of ±1 over token
-    * occurrences, the ±1 being the high bit of md5(token)'s j-th hex digit.
+  /** The ±1 contribution of signature bit `j` (1-based) from an md5 hex
+    * string column: bit j lives in hex digit (j-1)/4 + 1 at weight
+    * 2^(3-(j-1)%4) — BIT-level extraction, so the signature can use all 128
+    * md5 bits (the earlier one-hex-digit-per-bit form capped at 32 bits,
+    * which forced 4-bit bands = 16 buckets per band = an O(n²/16)
+    * within-bucket join at corpus scale).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    require(bits <= 32, "md5 provides 32 hex digits")
+  private def bitSign(h: Column, j: Int): Column = {
+    val d = (j - 1) / 4 + 1
+    val w = 1 << (3 - (j - 1) % 4)
+    when((conv(substring(h, d, 1), 16, 10).cast("int") / w).cast("int") % 2 === 1, 1)
+      .otherwise(-1)
+  }
+
+  /** `bits`-bit SimHash signature: bit j = sign of the sum of ±1 over token
+    * occurrences, the ±1 being bit j of md5(token)'s 128-bit value.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
+    require(bits <= 128, "md5 provides 128 bits")
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitCols = (1 to bits).map { j =>
-      sum(when(substring(col("h"), j, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")
-    }
+    val bitCols = (1 to bits).map(j => sum(bitSign(col("h"), j)).as(s"s$j"))
     toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         concat((1 to bits).map(j =>
@@ -118,9 +136,16 @@ object Dedup {
   /** Banded-Hamming near-dup candidates over simhash signatures: band the
     * signature, self-join on band equality, verify Hamming <= maxHamming —
     * never an all-pairs distance scan.
+    *
+    * Completeness: any pair with Hamming <= nBands-1 shares at least one
+    * clean band (pigeonhole), so maxHamming <= nBands-1 loses nothing.
+    * Scale: with the 64-bit default each 16-bit band has 2^16 possible
+    * values, so band buckets hold ~n/65536 docs plus genuine near-dup
+    * clusters — the within-bucket self-join stays output-bounded (bucket
+    * occupancy asserted in OpsSpec).
     */
   def simhashCandidates(
-      sig: DataFrame, bits: Int = 16, nBands: Int = 4, maxHamming: Int = 2
+      sig: DataFrame, bits: Int = 64, nBands: Int = 4, maxHamming: Int = 3
   ): DataFrame = {
     require(bits % nBands == 0)
     val w = bits / nBands

@@ -88,26 +88,40 @@ object Multimodal {
   final case class Header(kind: Int, width: Int, height: Int,
       sampleRate: Int, nSamples: Int, nFrames: Int, bodyOffset: Int)
 
-  /** Parse + validate a GRFT1 header (the real decode entry point). */
+  /** Parse + validate a GRFT1 header (the real decode entry point).
+    * The declared payload size is checked against the actual byte length,
+    * so a truncated/corrupt blob fails here as a validation error instead
+    * of a BufferUnderflow (or a silent read into a neighboring frame)
+    * deep inside a decoder.
+    */
   def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'R' &&
       bytes(2) == 'F' && bytes(3) == 'T', "bad magic")
     require(bytes(4) == 1, s"unsupported GRFT version ${bytes(4)}")
     val bb = ByteBuffer.wrap(bytes, 5, bytes.length - 5)
+    def checked(h: Header, bodyLen: Long): Header = {
+      require(bytes.length >= h.bodyOffset + bodyLen,
+        s"truncated GRFT payload: have ${bytes.length} bytes, " +
+          s"header declares ${h.bodyOffset} + $bodyLen")
+      h
+    }
     bb.get() match {
       case 0 =>
+        require(bytes.length >= 10, "truncated image header")
         val w = bb.getShort & 0xffff
         val h = bb.getShort & 0xffff
-        Header(0, w, h, 0, 0, 1, 10)
+        checked(Header(0, w, h, 0, 0, 1, 10), w.toLong * h)
       case 1 =>
+        require(bytes.length >= 14, "truncated audio header")
         val sr = bb.getInt
         val ns = bb.getInt
-        Header(1, 0, 0, sr, ns, 1, 14)
+        checked(Header(1, 0, 0, sr, ns, 1, 14), 2L * ns)
       case 2 =>
+        require(bytes.length >= 12, "truncated video header")
         val w = bb.getShort & 0xffff
         val h = bb.getShort & 0xffff
         val nf = bb.getShort & 0xffff
-        Header(2, w, h, 0, 0, nf, 12)
+        checked(Header(2, w, h, 0, 0, nf, 12), nf.toLong * w * h)
       case k => throw new IllegalArgumentException(s"unknown kind $k")
     }
   }
@@ -143,6 +157,7 @@ object Multimodal {
   def resizePooled(bytes: Array[Byte], outW: Int, outH: Int, frameIdx: Int = 0): Array[Float] = {
     val h = parseHeader(bytes)
     require(h.kind == 0 || h.kind == 2, "resize needs pixels")
+    require(frameIdx >= 0 && frameIdx < h.nFrames, s"frame $frameIdx of ${h.nFrames}")
     val off = h.bodyOffset + (if (h.kind == 2) frameIdx * h.width * h.height else 0)
     val out = new Array[Float](outW * outH)
     var oy = 0

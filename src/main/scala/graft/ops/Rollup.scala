@@ -171,11 +171,6 @@ object Rollup {
     ChunkBlob.encode(ts, vs)
   }
 
-  private val decodeChunk = udf { (blob: Array[Byte]) =>
-    val (ts, vs) = ChunkBlob.decode(blob)
-    ts.indices.map(i => (microsToTs(ts(i)), vs(i)))
-  }
-
   /** Chunked storage form: per (conv, metric, `unit` chunk) the raw grid
     * points delta-of-delta + Gorilla compressed into one binary blob
     * (Gorilla §4.1, public algorithm — see graft.codec).
@@ -190,14 +185,18 @@ object Rollup {
         encodeChunk(col("pts")).as("chunk_blob")
       )
 
-  /** Explode chunk blobs back into (conv_id, metric, ts, value) points. */
+  /** Explode chunk blobs back into (conv_id, metric, ts, value) points.
+    * Decode is a native codegen'd Expression (graft.functions.ChunkDecode):
+    * epoch-micros longs go straight from the blob into Catalyst rows —
+    * no java.sql.Timestamp boxing, no UDF codegen break on the read path.
+    */
   def fromChunks(chunks: DataFrame): DataFrame =
     chunks
       .select(
         col("conv_id"), col("metric"),
-        explode(decodeChunk(col("chunk_blob"))).as("pt")
+        explode(graft.functions.ChunkDecode(col("chunk_blob"))).as("pt")
       )
-      .select(col("conv_id"), col("metric"), col("pt._1").as("ts"), col("pt._2").as("value"))
+      .select(col("conv_id"), col("metric"), col("pt.ts").as("ts"), col("pt.value").as("value"))
 
   private val lttbUdf = udf { (pts: Seq[Row], threshold: Int) =>
     val ts = pts.map(r => tsToMicros(r.getTimestamp(0))).toArray

@@ -67,13 +67,41 @@ object Similarity {
   private def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Assign every vector to its max-cosine centroid with a NARROW map:
+    * the codebook is collapsed to ONE row (an id-sorted array of
+    * (cent_id, cv, cvn) structs), broadcast, and each vector row folds over
+    * it to an argmax — zero row amplification, zero exchange between the
+    * embeddings scan and the assignment projection (asserted in PlanSpec).
+    * The earlier crossJoin×nCentroids + row_number() window shuffled and
+    * sorted N·k rows just to pick a per-row maximum.
+    * Ties break to the lowest cent_id (the codebook array is id-sorted and
+    * the fold keeps the incumbent on equality) — same order as a
+    * `row_number() over (order by cos desc, cent_id)` pick.
+    */
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cb = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"),
+        col("cv"), sqrt(dot("cv", "cv")).as("cvn")))).as("cb"))
+    val best =
+      s"""aggregate(
+         |  transform(cb, c -> struct(
+         |    aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
+         |      / (vn * c.cvn) AS cs,
+         |    c.cent_id AS cid)),
+         |  struct(CAST(-9e99 AS DOUBLE) AS cs, CAST(-1 AS BIGINT) AS cid),
+         |  (acc, x) -> CASE WHEN x.cs > acc.cs THEN x ELSE acc END).cid""".stripMargin
+    e.withColumn("vn", sqrt(dot("v", "v")))
+      .crossJoin(broadcast(cb)) // one-row build side: a length-1 broadcast, not a fan-out
+      .select(col("vec_id"), col("v"), expr(best).as("cent_id"))
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
     * vectors with the `nCentroids` lowest ids — a stand-in for a trained
     * codebook that keeps both engines and all cluster sizes bit-agreed),
-    * every vector assigned to its max-cosine centroid (the inverted list),
-    * queries probe only the `nProbe` closest lists and rank exactly within
-    * them. At 100 TB: broadcast of k centroids + an equi-join on cent_id —
-    * never all-pairs.
+    * every vector assigned to its max-cosine centroid (the inverted list,
+    * a narrow broadcast fold — [[ivfAssign]]), queries probe only the
+    * `nProbe` closest lists and rank exactly within them. At 100 TB:
+    * broadcast of k centroids + an equi-join on cent_id — never all-pairs.
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -85,11 +113,7 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos", cosine("v", "cv"))
-      .withColumn("rk", row_number().over(wA)).where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+    val assigned = ivfAssign(e, cents)
     val q = e.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))

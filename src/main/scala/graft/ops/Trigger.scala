@@ -34,6 +34,13 @@ object Trigger {
     * @return (period, period_start, period_end, n_steps) with `period` a
     *         dense 0-based index in time order (trigger.py:161-185 labels)
     */
+  /** SQL floor division (`DIV` truncates toward zero — a pre-epoch time's
+    * negative index would land in a misaligned bucket and break the
+    * at_edge boundary test; same pitfall Correlate.candidates fixed).
+    */
+  private def floorDiv(a: String, b: Long): String =
+    s"(($a) DIV $b + (CASE WHEN ($a) % $b < 0 THEN -1 ELSE 0 END))"
+
   def periods(
       cf: DataFrame,
       thrOn: Double,
@@ -48,8 +55,8 @@ object Trigger {
       .groupBy(col("time"))
       .agg(countDistinct(col("key")).as("n_on"))
       .where(col("n_on") >= coincidence)
-      .withColumn("step_idx", expr(s"unix_micros(cast(time as timestamp)) div $stepUs"))
-      .withColumn("bucket", expr(s"step_idx div $bucketSteps"))
+      .withColumn("step_idx", expr(floorDiv("unix_micros(cast(time as timestamp))", stepUs)))
+      .withColumn("bucket", expr(floorDiv("step_idx", bucketSteps)))
 
     // per-bucket gaps-and-islands: the sort is partitioned, never global
     val w = Window.partitionBy(col("bucket")).orderBy(col("step_idx"))
@@ -113,8 +120,9 @@ object Trigger {
   ): DataFrame = {
     val bUs = stepSec * 1000000L * bucketSteps
     val p = periodsDf.withColumn("b", explode(expr(
-      s"sequence(unix_micros(cast(period_start as timestamp)) div $bUs, unix_micros(cast(period_end as timestamp)) div $bUs)")))
-    cf.withColumn("b", expr(s"unix_micros(cast(time as timestamp)) div $bUs"))
+      s"sequence(${floorDiv("unix_micros(cast(period_start as timestamp))", bUs)}, " +
+        s"${floorDiv("unix_micros(cast(period_end as timestamp))", bUs)})")))
+    cf.withColumn("b", expr(floorDiv("unix_micros(cast(time as timestamp))", bUs)))
       .join(p, Seq("b"))
       .where(col("time") >= col("period_start") && col("time") <= col("period_end"))
       .select(col("period"), col("key"), col("time"), col("value"))

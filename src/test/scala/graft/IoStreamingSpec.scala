@@ -110,6 +110,20 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(TableFormat.readProps(dir)("title") == "uri-test-2")
   }
 
+  test("appendSnapshot is append-only: max+1 indexing survives a removed snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("tfsnap").toString
+    TableFormat.appendSnapshot(dir, Map("n" -> "1"))
+    TableFormat.appendSnapshot(dir, Map("n" -> "2"))
+    TableFormat.appendSnapshot(dir, Map("n" -> "3"))
+    // a manually removed snapshot used to make the count-based index
+    // collide with snap-00002 and silently overwrite committed history
+    assert(new java.io.File(s"$dir/_snapshots/snap-00001.json").delete())
+    TableFormat.appendSnapshot(dir, Map("n" -> "4"))
+    val snaps = TableFormat.snapshots(dir)
+    assert(snaps.map(_("n")) == Seq("1", "3", "4"),
+      s"commit log must keep snap-2 ('3') and append '4' at max+1, got ${snaps.map(_("n"))}")
+  }
+
   test("streaming trigger sessionizer (flatMapGroupsWithState) == batch islands on sealed periods") {
     import spark.implicits._
     import graft.streaming.StreamingTrigger

@@ -50,6 +50,24 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.parseHeader(Array[Byte](1, 2, 3, 4, 5, 6)))
   }
 
+  test("GRFT1 validation: truncated payloads and out-of-range frames fail fast, not deep") {
+    val media = Multimodal.synthesize(spark, 9).collect()
+    media.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      // header declares more body than the blob carries → validation error
+      // (used to surface as BufferUnderflow/AIOOBE inside a decoder, or as
+      // a silent read into the next frame's pixels)
+      val truncated = java.util.Arrays.copyOf(bytes, bytes.length - 1)
+      intercept[IllegalArgumentException](Multimodal.parseHeader(truncated))
+      intercept[IllegalArgumentException](Multimodal.decodeFeatures(truncated))
+      if (r.getString(1) == "video") {
+        val nf = r.getInt(6)
+        intercept[IllegalArgumentException](Multimodal.resizePooled(bytes, 4, 4, frameIdx = nf))
+        intercept[IllegalArgumentException](Multimodal.resizePooled(bytes, 4, 4, frameIdx = -1))
+      }
+    }
+  }
+
   test("resize average-pool and frame seek are real math over real pixels") {
     // a constant image pools to the constant
     val w = 12; val h = 10

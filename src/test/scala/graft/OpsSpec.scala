@@ -301,4 +301,83 @@ class OpsSpec extends AnyFunSuite {
     val viz = t.xcorr.series(60).xcorr.lttb(20)
     assert(viz.groupBy("conv_id", "metric").count().agg(max("count")).collect()(0).getLong(0) <= 20)
   }
+
+  test("simhash 16-bit bands keep bucket occupancy << n (the 4-bit-band O(n^2/16) failure mode)") {
+    // the property the old 16-bit/4-bit-band domain violated: a 4-bit band
+    // has only 16 values, so every bucket held ~n/16 docs and the band
+    // self-join emitted ~n^2/16 candidates; 16-bit bands (2^16 values)
+    // keep occupancy at genuine near-dup clusters + hash collisions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val sig = graft.ops.Dedup.simhash(docs, "doc_id", "text", bits = 64)
+    val stacked = (0 until 4).map(b => s"$b, substring(simhash, ${16 * b + 1}, 16)").mkString(", ")
+    val occ = sig.select(expr(s"stack(4, $stacked) as (band, bits)"))
+      .groupBy("band", "bits").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(occ <= n / 10, s"band bucket occupancy $occ ~ n=$n: banding won't survive scale")
+    // and the candidate set is output-sized, not ~n^2/bands-sized
+    val cand = graft.ops.Dedup.simhashCandidates(sig, bits = 64, nBands = 4, maxHamming = 3)
+    assert(cand.count() < n, "candidates should be near-dup-sized, not quadratic")
+  }
+
+  test("postprocess per-pair celerity lag windows mask two pairs differently in one pass") {
+    import spark.implicits._
+    import graft.core.CcRow
+    // npts=11 → full lag axis -10..10 s at step 1 s (21 samples)
+    def mk(pair: String) = CcRow(pair, "m", new java.sql.Timestamp(0L),
+      Array.fill(21)(1.0), 1, 0.0, 0.0, 0.0, 1.0, 11, 0, "")
+    val cc = Seq(mk("a-b"), mk("c-d"), mk("e-f")).toDS().toDF()
+    // celerity [1, 2] units/s: d=4 → lag ∈ [2, 4] (3 samples at lag0 12);
+    // d=8 → lag ∈ [4, 8] (5 samples at lag0 14); e-f absent → global window
+    val dist = Seq(("a-b", 4.0), ("c-d", 8.0)).toDF("pair", "distance")
+    val cfg = Postprocess.Config(stepSec = 1.0, lagMinSec = -10, lagMaxSec = 10,
+      unbias = false, taperSec = 0, filterFreqHz = 0, taper2Sec = 0,
+      celerityMin = 1.0, celerityMax = 2.0)
+    val out = Postprocess(cc, cfg, Some(dist))
+      .select(col("pair"), size(col("cc")).as("len"), col("lag0"))
+      .as[(String, Int, Int)].collect().map { case (p, l, g) => p -> ((l, g)) }.toMap
+    assert(out("a-b") == ((3, 12)), s"got ${out("a-b")}")
+    assert(out("c-d") == ((5, 14)), s"got ${out("c-d")}")
+    assert(out("e-f") == ((21, 0)), "pair without a distance keeps the global window")
+  }
+
+  test("snr envelope/power/decibels options follow the reference conventions") {
+    import spark.implicits._
+    import graft.core.CcRow
+    val arr = Array.tabulate(21)(i => if (i == 12) 4.0 else if (i >= 16) 2.0 else 0.5)
+    val cc = Seq(CcRow("a-b", "m", new java.sql.Timestamp(0L),
+      arr, 1, 0.0, 0.0, 0.0, 4.0, 11, 0, "")).toDS().toDF()
+    def one(env: Boolean, pow: Boolean, db: Boolean) =
+      Postprocess.snr(cc, 1.0, signalBand = (-5, 5), noiseBand = (6, 10),
+        envelope = env, power = pow, decibels = db)
+        .select("s", "n", "snr").as[(Double, Double, Double)].collect()(0)
+    val plain = one(env = false, pow = false, db = false)
+    assert(math.abs(plain._3 - plain._1 / plain._2) < 1e-12)
+    val power = one(env = false, pow = true, db = false)
+    assert(math.abs(power._3 - plain._3 * plain._3) < 1e-9)
+    val db = one(env = false, pow = false, db = true)
+    assert(math.abs(db._3 - 20.0 * math.log10(plain._3)) < 1e-9)
+    // envelope >= |x| pointwise, so the envelope signal peak can only grow
+    val env = one(env = true, pow = false, db = false)
+    assert(env._1 >= plain._1 - 1e-12)
+  }
+
+  test("trigger buckets floor-divide: pre-epoch islands match their shifted-positive twin") {
+    import spark.implicits._
+    // same island pattern placed before and after the epoch; floor division
+    // must bucket both identically (DIV truncation toward zero used to
+    // misalign negative step indices)
+    def cf(baseMs: Long) = (0 until 40)
+      .filter(i => i < 10 || (i >= 20 && i < 33))
+      .map(i => ("k", new java.sql.Timestamp(baseMs + i * 60000L), 5.0))
+      .toDF("key", "time", "value")
+    val neg = graft.ops.Trigger.periods(cf(-86400000L), 1.0, 1, 60,
+        minDurationSteps = 3, bucketSteps = 8)
+      .select("period", "n_steps").as[(Int, Long)].collect().sortBy(_._1)
+    val pos = graft.ops.Trigger.periods(cf(86400000L), 1.0, 1, 60,
+        minDurationSteps = 3, bucketSteps = 8)
+      .select("period", "n_steps").as[(Int, Long)].collect().sortBy(_._1)
+    assert(neg.sameElements(pos), s"pre-epoch ${neg.mkString(",")} vs ${pos.mkString(",")}")
+    assert(pos.map(_._2).toSeq == Seq(10L, 13L))
+  }
 }

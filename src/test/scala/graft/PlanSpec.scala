@@ -57,6 +57,39 @@ class PlanSpec extends AnyFunSuite {
     assert(pairingExchanges == 1, s"want exactly 1 pair-keyed exchange, got $pairingExchanges:\n$p")
   }
 
+  test("windows→ccPairs assembly has no Scala UDF (densify is a codegen'd Expression)") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 6, 120).toDF()
+    val wins = Correlate.windows(Ingest.series(t, 60), 1800, 900, 60)
+    val pairs = Seq(("conv-000000", "conv-000001")).toDF("conv_a", "conv_b")
+    val p = plan(Correlate.ccPairs(wins, pairs, 60, 1800).toDF())
+    assert(!p.contains("UDF("), s"Scala UDF broke codegen on the assembly path:\n$p")
+    assert(p.contains("densifyfloat"), s"native densify expression missing:\n$p")
+  }
+
+  test("q36: DF cap is groupBy+broadcast anti-join; shingle lineage reused, no window buffer") {
+    val df = Queries.q36.fn(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE materializes ReusedExchange only in the final plan
+    val p = plan(df)
+    assert(!"Window \\[".r.findFirstIn(p).isDefined,
+      s"window-function DF cap is back (full shuffle+buffer of the shingle table):\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"shingle lineage computed more than once (no exchange reuse):\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"hot-shingle cap not a broadcast anti-join:\n$p")
+  }
+
+  test("ivfAssign: narrow broadcast fold — zero shuffle of the embeddings, zero windows") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr(graft.ops.Similarity.castVec).as("v"))
+    val cents = e.where(col("vec_id") < 8).select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val p = plan(graft.ops.Similarity.ivfAssign(e, cents))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"assignment shuffles the embeddings (was: crossJoin×k + row_number over N·k rows):\n$p")
+    assert(!"Window \\[".r.findFirstIn(p).isDefined, s"window on the assignment path:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
+  }
+
   test("Trigger.values: bucket equi-join (hash join), never a nested-loop range join") {
     import spark.implicits._
     def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
