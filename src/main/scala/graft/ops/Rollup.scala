@@ -53,34 +53,33 @@ object Rollup {
         max_by(col("last"), col("chunk_start")).as("last")
       )
 
-  /** One tier-1 partial per (run, cell): a "run" is one occupied bucket +
-    * its zero-fill range (the gap-fill unit of Ingest.series). Every run
-    * holds exactly ONE nonzero point (its own bucket) plus zeros, so the
-    * whole per-cell contribution is closed-form — the gap-fill zeros never
-    * materialize as rows.
-    */
-  // NOT private: janino-generated projection code must resolve the class's
-  // accessors at runtime (a private nested case class breaks whole-stage
-  // codegen and silently falls back to interpreted mode)
-  final case class CellPartial(
-      conv_id: String, cell_us: Long, n: Long, min_ts: Long, max_ts: Long,
-      tr_sum: Double, tr_min: Double, tr_max: Double, tr_first: Double, tr_last: Double,
-      tv_sum: Double, tv_min: Double, tv_max: Double, tv_first: Double, tv_last: Double)
-
   private val unitMicros: Map[String, Long] = Map(
     "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
+
+  /** SQL floor division (`DIV` truncates toward zero; pre-epoch timestamps
+    * need the floor) — same helper shape as Trigger.floorDiv.
+    */
+  private def floorDiv(a: String, b: Long): String =
+    s"(($a) DIV $b + (CASE WHEN ($a) % $b < 0 THEN -1 ELSE 0 END))"
 
   /** Tier-1 directly from OCCUPIED buckets (`Ingest.bucketed` output) —
     * bitwise-identical to `fromPoints(Ingest.series(t, step), unit)` (
     * asserted in OpsSpec) but the shuffle carries per-cell PARTIALS instead
-    * of exploded grid points: gap-fill zeros are folded analytically into
-    * each run's cell contributions, so shuffle rows ∝ cells touched (and
-    * each carries BOTH metrics), not grid points × metrics. At a 60 s grid
-    * this halves shuffled rows; at finer grids the gap is unit/step ×.
+    * of exploded grid points: a "run" is one occupied bucket + its
+    * zero-fill range (the gap-fill unit of Ingest.series); every run holds
+    * exactly ONE nonzero point plus zeros, so each cell's contribution is
+    * closed-form and the gap-fill zeros never materialize as rows. Shuffle
+    * rows ∝ cells touched (each carrying BOTH metrics), not grid points ×
+    * metrics.
+    *
+    * The per-(run, cell) partials are pure codegen'd SQL (explode +
+    * integer CASE arithmetic): an earlier typed flatMap emitting a
+    * 15-field case class paid object ser/de plus per-run allocations,
+    * which dominated the stage AND scaled sub-linearly with threads
+    * (allocation-rate contention in one JVM).
     */
   def tier1FromBuckets(bucketed: DataFrame, stepSec: Long, unit: String): DataFrame = {
     val spark = bucketed.sparkSession
-    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val stepUs = stepSec * 1000000L
     val unitUs = unitMicros(unit)
@@ -93,44 +92,57 @@ object Rollup {
         unix_micros(col("ts").cast("timestamp")).as("own_us"),
         col("turn_rate"), col("token_volume"))
       .withColumn("next_us", lead(col("own_us"), 1).over(w))
-      .as[(String, Long, Double, Double, Option[Long])]
 
-    val partials = runs.flatMap { case (cid, own, tr, tv, nextOpt) =>
-      val k = nextOpt.map(nx => (nx - own) / stepUs).getOrElse(1L) // grid points in the run
-      val c0 = Math.floorDiv(own, unitUs) * unitUs
-      val cLast = Math.floorDiv(own + (k - 1) * stepUs, unitUs) * unitUs
-      (c0 to cLast by unitUs).iterator.map { c =>
-        val iLo = math.max(0L, Math.floorDiv(c - own + stepUs - 1, stepUs)) // ceil((c-own)/step)
-        val iHi = math.min(k - 1, Math.floorDiv(c + unitUs - own - 1, stepUs)) // last point < c+unit
-        val cn = iHi - iLo + 1
-        val hasOwn = iLo == 0L // the run's single nonzero point is i=0
-        def stats(v: Double): (Double, Double, Double, Double, Double) = {
-          val sum = if (hasOwn) v else 0.0
-          val mn = if (hasOwn && cn == 1) v else if (hasOwn) math.min(v, 0.0) else 0.0
-          val mx = if (hasOwn && cn == 1) v else if (hasOwn) math.max(v, 0.0) else 0.0
-          val first = if (hasOwn) v else 0.0
-          val last = if (iHi == 0L) v else 0.0 // own is the latest point iff it's the only one
-          (sum, mn, mx, first, last)
-        }
-        val (trS, trMn, trMx, trF, trL) = stats(tr)
-        val (tvS, tvMn, tvMx, tvF, tvL) = stats(tv)
-        CellPartial(cid, c, cn, own + iLo * stepUs, own + iHi * stepUs,
-          trS, trMn, trMx, trF, trL, tvS, tvMn, tvMx, tvF, tvL)
-      }
-    }
+    // grid points in the run; cells [c0, cLast] the run overlaps
+    val cells = runs
+      .withColumn("k", expr(s"coalesce((next_us - own_us) DIV $stepUs, 1L)"))
+      .withColumn("cell_us", explode(expr(
+        s"sequence(${floorDiv("own_us", unitUs)} * $unitUs, " +
+          s"${floorDiv(s"own_us + (k - 1) * $stepUs", unitUs)} * $unitUs, $unitUs)")))
+      // run-grid indices covered by this cell: ilo = ceil((c-own)/step)
+      // clamped at 0 (greatest() also absorbs DIV's toward-zero truncation:
+      // a negative numerator means the true ilo <= 0), ihi = last index
+      // before the next cell (numerator >= 0 by construction)
+      .withColumn("ilo", expr(s"greatest(0L, (cell_us - own_us + ${stepUs - 1}) DIV $stepUs)"))
+      .withColumn("ihi", expr(s"least(k - 1, (cell_us + ${unitUs - 1} - own_us) DIV $stepUs)"))
 
-    partials.toDF()
-      .groupBy(col("conv_id"), col("cell_us"))
-      .agg(
-        sum(col("n")).as("n"),
-        sum(col("tr_sum")).as("tr_sum"), min(col("tr_min")).as("tr_min"),
-        max(col("tr_max")).as("tr_max"),
-        min_by(col("tr_first"), col("min_ts")).as("tr_first"),
-        max_by(col("tr_last"), col("max_ts")).as("tr_last"),
-        sum(col("tv_sum")).as("tv_sum"), min(col("tv_min")).as("tv_min"),
-        max(col("tv_max")).as("tv_max"),
-        min_by(col("tv_first"), col("min_ts")).as("tv_first"),
-        max_by(col("tv_last"), col("max_ts")).as("tv_last"))
+    // per-cell closed-form stats: the run's single nonzero point is index 0
+    def stats(v: String, p: String) = Seq(
+      expr(s"CASE WHEN ilo = 0 THEN $v ELSE 0D END").as(s"${p}_sum"),
+      expr(s"CASE WHEN ilo = 0 AND ihi = 0 THEN $v WHEN ilo = 0 THEN least($v, 0D) ELSE 0D END").as(s"${p}_min"),
+      expr(s"CASE WHEN ilo = 0 AND ihi = 0 THEN $v WHEN ilo = 0 THEN greatest($v, 0D) ELSE 0D END").as(s"${p}_max"),
+      expr(s"CASE WHEN ilo = 0 THEN $v ELSE 0D END").as(s"${p}_first"),
+      expr(s"CASE WHEN ihi = 0 THEN $v ELSE 0D END").as(s"${p}_last"))
+    val partials = cells.select(
+      Seq(col("conv_id"), col("cell_us"),
+        expr("ihi - ilo + 1").as("n"),
+        expr(s"own_us + ilo * $stepUs").as("min_ts"),
+        expr(s"own_us + ihi * $stepUs").as("max_ts")) ++
+        stats("turn_rate", "tr") ++ stats("token_volume", "tv"): _*)
+
+    // unit == step degenerates: every cell is exactly ONE grid point of
+    // exactly one run (cells never straddle runs), so the partial row IS
+    // the final cell and the merge aggregation — a hash map over #cells
+    // keys with zero reduction (every group has one row) — is pure
+    // overhead. This is the benched 60 s grid → 1 m tier shape.
+    val merged =
+      if (unitUs == stepUs)
+        partials.select(col("conv_id"), col("cell_us"), col("n"),
+          col("tr_sum"), col("tr_min"), col("tr_max"), col("tr_first"), col("tr_last"),
+          col("tv_sum"), col("tv_min"), col("tv_max"), col("tv_first"), col("tv_last"))
+      else partials
+        .groupBy(col("conv_id"), col("cell_us"))
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("tr_sum")).as("tr_sum"), min(col("tr_min")).as("tr_min"),
+          max(col("tr_max")).as("tr_max"),
+          min_by(col("tr_first"), col("min_ts")).as("tr_first"),
+          max_by(col("tr_last"), col("max_ts")).as("tr_last"),
+          sum(col("tv_sum")).as("tv_sum"), min(col("tv_min")).as("tv_min"),
+          max(col("tv_max")).as("tv_max"),
+          min_by(col("tv_first"), col("min_ts")).as("tv_first"),
+          max_by(col("tv_last"), col("max_ts")).as("tv_last"))
+    merged
       .select(col("conv_id"),
         expr("timestamp_micros(cell_us)").as("chunk_start"), col("n"),
         col("tr_sum"), col("tr_min"), col("tr_max"), col("tr_first"), col("tr_last"),
