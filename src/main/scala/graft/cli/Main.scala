@@ -1,0 +1,244 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.jobs.ProcessJob
+import graft.meta.TableIO
+import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
+
+/** Config-file-driven console entry points — the user surface the reference
+  * registers as console_scripts (/root/reference/setup.cfg:51-59:
+  * xcorr-snr/plmax/psd/ct/timelapse/beamform/swresp, plus the cc driver
+  * script /root/reference/xcorr/scripts/cc.py). One launcher, one
+  * subcommand per script:
+  *
+  * {{{
+  * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
+  * commands: cc | snr | ct | psd | timelapse | beamform | rollup
+  * }}}
+  *
+  * The config is a flat java.util.Properties file; every command reads
+  * `input` (parquet path or cc-table dir) and writes `output`. Defaults
+  * mirror the reference scripts' argparse defaults where one exists.
+  * Local runs without spark-submit work too (`sbt "runMain graft.cli.Main
+  * …"`): master falls back to `spark.master` in the config, then local[*].
+  */
+object Main {
+
+  final class Conf(p: java.util.Properties) {
+    def apply(k: String): String = {
+      val v = p.getProperty(k)
+      require(v != null, s"config key '$k' is required")
+      v
+    }
+    def get(k: String, d: String): String = Option(p.getProperty(k)).getOrElse(d)
+    def long(k: String, d: Long): Long = get(k, d.toString).toLong
+    def int(k: String, d: Int): Int = get(k, d.toString).toInt
+    def dbl(k: String, d: Double): Double = get(k, d.toString).toDouble
+    def bool(k: String, d: Boolean): Boolean = get(k, d.toString).toBoolean
+    def opt(k: String): Option[String] = Option(p.getProperty(k))
+  }
+
+  def session(c: Conf): SparkSession = {
+    val b = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit provides the master; standalone runs fall back
+    if (!SparkSession.getActiveSession.exists(_.sparkContext.isLocal))
+      c.opt("spark.master").orElse(sys.props.get("spark.master")) match {
+        case Some(m) => b.master(m)
+        case None if sys.env.contains("SPARK_MASTER") => b.master(sys.env("SPARK_MASTER"))
+        case None => b.master("local[*]")
+      }
+    c.opt("spark.sql.shuffle.partitions").foreach(n => b.config("spark.sql.shuffle.partitions", n))
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel(c.get("loglevel", "WARN"))
+    s
+  }
+
+  /** Long-form series from either a transcripts table or an already-long
+    * (conv_id, metric, ts, value) table.
+    */
+  private def seriesOf(spark: SparkSession, c: Conf): DataFrame = {
+    val in = spark.read.parquet(c("input"))
+    if (in.columns.contains("metric")) in
+    else Ingest.seriesSparse(in, c.long("step_sec", 60))
+  }
+
+  /** cc — the production driver (↔ scripts/cc.py + core/process.py):
+    * transcripts → checkpoint-resumable pairwise windowed CC table.
+    * Keys: input, output, step_sec, window_sec, stride_sec, normalize,
+    * clip_lag_sec, pairs (optional parquet of conv_a/conv_b; default all
+    * pairs), retry_missing.
+    */
+  def cc(spark: SparkSession, c: Conf): String = {
+    val t = spark.read.parquet(c("input"))
+    val cfg = ProcessJob.Config(
+      stepSec = c.long("step_sec", 60),
+      windowSec = c.long("window_sec", 86400),
+      strideSec = c.long("stride_sec", 43200),
+      normalize = c.bool("normalize", true),
+      clipLagSec = c.dbl("clip_lag_sec", -1),
+      hashInputs = c.bool("hash_inputs", false))
+    val pairs = c.opt("pairs") match {
+      case Some(p) => spark.read.parquet(p)
+      case None    => Correlate.allPairs(Ingest.seriesSparse(t, cfg.stepSec))
+    }
+    val st = ProcessJob.run(spark, t, pairs, c("output"), cfg,
+      retryMissing = c.bool("retry_missing", false))
+    s"cc: ${st.written} of ${st.total} cells written (resume-aware) -> ${c("output")}"
+  }
+
+  /** snr — postprocess chain + SNR (↔ xcorr-snr): validated cc-table read,
+    * unbias → demean → taper → timeshift → filter → taper → lag window
+    * (global or per-pair celerity), then SNR. Keys: input (cc table dir),
+    * output, step_sec, taper_sec, filter_freq_hz, filter_order, taper2_sec,
+    * lag_min_sec, lag_max_sec, pair_distance (optional parquet), celerity_min,
+    * celerity_max, signal_min/max, noise_min/max, envelope, power, decibels.
+    */
+  def snr(spark: SparkSession, c: Conf): String = {
+    val step = c.dbl("step_sec", 60)
+    val cc = ProcessJob.readCc(spark, c("input"))
+    val post = Postprocess(cc, Postprocess.Config(
+      stepSec = step,
+      lagMinSec = c.dbl("lag_min_sec", Double.NegativeInfinity),
+      lagMaxSec = c.dbl("lag_max_sec", Double.PositiveInfinity),
+      unbias = c.bool("unbias", true),
+      taperSec = c.dbl("taper_sec", 300),
+      filterFreqHz = c.dbl("filter_freq_hz", 0),
+      filterOrder = c.int("filter_order", 2),
+      taper2Sec = c.dbl("taper2_sec", 90),
+      celerityMin = c.dbl("celerity_min", 1460),
+      celerityMax = c.dbl("celerity_max", 1500)),
+      c.opt("pair_distance").map(spark.read.parquet))
+    val out = Postprocess.snr(post, step,
+      signalBand = (c.dbl("signal_min", -300), c.dbl("signal_max", 300)),
+      noiseBand = (c.dbl("noise_min", 600), c.dbl("noise_max", 1800)),
+      envelope = c.bool("envelope", false),
+      power = c.bool("power", false),
+      decibels = c.bool("decibels", false))
+    out.write.mode("overwrite").parquet(c("output"))
+    s"snr -> ${c("output")}"
+  }
+
+  /** ct — coincidence trigger (↔ xcorr-ct): characteristic function
+    * (key, time, value — by default pair/win_start/snr of an snr table) →
+    * trigger periods. Keys: input, output, threshold, coincidence,
+    * step_sec, min_duration_steps, extend_steps, values_output (optional:
+    * also write the period-labeled cf rows).
+    */
+  def ct(spark: SparkSession, c: Conf): String = {
+    val in = spark.read.parquet(c("input"))
+    val cf =
+      if (in.columns.contains("key")) in
+      else in.select(col("pair").as("key"), col("win_start").as("time"), col("snr").as("value"))
+    val periods = Trigger.periods(cf,
+      thrOn = c.dbl("threshold", 10),
+      coincidence = c.int("coincidence", 2),
+      stepSec = c.long("step_sec", 60),
+      minDurationSteps = c.int("min_duration_steps", 3),
+      extendSteps = c.int("extend_steps", 0))
+    periods.write.mode("overwrite").parquet(c("output"))
+    c.opt("values_output").foreach(p =>
+      Trigger.values(cf, spark.read.parquet(c("output")), c.long("step_sec", 60))
+        .write.mode("overwrite").parquet(p))
+    s"ct -> ${c("output")}"
+  }
+
+  /** psd — per-window PSD spectrograms (↔ xcorr-psd): series/transcripts →
+    * windows → spectrograms. Keys: input, output, step_sec, window_sec,
+    * stride_sec, nperseg, hop.
+    */
+  def psd(spark: SparkSession, c: Conf): String = {
+    val step = c.long("step_sec", 60)
+    val wins = Correlate.windows(seriesOf(spark, c),
+      c.long("window_sec", 86400), c.long("stride_sec", 43200), step)
+    Timelapse.spectrograms(wins, step.toDouble,
+        c.int("nperseg", 64), c.int("hop", 16))
+      .write.mode("overwrite").parquet(c("output"))
+    s"psd -> ${c("output")}"
+  }
+
+  /** timelapse — second-order (time1 × time2) spectrogram CC matrix
+    * (↔ xcorr-timelapse). Keys as psd.
+    */
+  def timelapse(spark: SparkSession, c: Conf): String = {
+    val step = c.long("step_sec", 60)
+    val wins = Correlate.windows(seriesOf(spark, c),
+      c.long("window_sec", 86400), c.long("stride_sec", 43200), step)
+    val specs = Timelapse.spectrograms(wins, step.toDouble,
+      c.int("nperseg", 64), c.int("hop", 16))
+    Timelapse.matrix(specs, step.toDouble)
+      .write.mode("overwrite").parquet(c("output"))
+    s"timelapse -> ${c("output")}"
+  }
+
+  /** beamform — plane-wave least squares per window (↔ xcorr-beamform):
+    * series + receiver coordinates → DOA/velocity. Keys: input, output,
+    * step_sec, window_sec, stride_sec, coords (conv_id:x:y,conv_id:x:y,…).
+    */
+  def beamform(spark: SparkSession, c: Conf): String = {
+    import spark.implicits._
+    val step = c.long("step_sec", 60)
+    val coords: Map[String, (Double, Double)] = c("coords").split(",").map { s =>
+      val Array(id, x, y) = s.trim.split(":")
+      id -> ((x.toDouble, y.toDouble))
+    }.toMap
+    val wins = Correlate.windows(seriesOf(spark, c),
+      c.long("window_sec", 86400), c.long("stride_sec", 43200), step)
+    wins.select(col("win_start"), col("conv_id"), col("values").cast("array<double>").as("values"))
+      .as[(java.sql.Timestamp, String, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (w, it) =>
+        val m = it.map(r => r._2 -> r._3).toMap
+        val keys = coords.keys.toSeq.sorted.filter(m.contains)
+        if (keys.size >= 3 && keys.forall(k => m(k).exists(_ != 0.0))) {
+          val res = graft.kernel.Beamform.planeWave(
+            keys.map(coords).toArray, keys.map(m).toArray, delta = step.toDouble)
+          Iterator((w, res.doaDeg, res.velocity, res.residual))
+        } else Iterator.empty
+      }
+      .toDF("win_start", "doa_deg", "velocity", "residual")
+      .write.mode("overwrite").parquet(c("output"))
+    s"beamform -> ${c("output")}"
+  }
+
+  /** rollup — continuous-aggregate cascade (engine-new, the north-rule
+    * job): series/transcripts → 1m/1h/1d tiers. Keys: input, output,
+    * step_sec.
+    */
+  def rollup(spark: SparkSession, c: Conf): String = {
+    val in = spark.read.parquet(c("input"))
+    val m1 =
+      if (in.columns.contains("metric")) graft.ops.Rollup.fromPoints(in, "minute")
+      else graft.ops.Rollup.tier1FromBuckets(
+        Ingest.bucketed(in, c.long("step_sec", 60)), c.long("step_sec", 60), "minute")
+    val h1 = graft.ops.Rollup.fromLower(m1, "hour")
+    val d1 = graft.ops.Rollup.fromLower(h1, "day")
+    m1.write.mode("overwrite").parquet(s"${c("output")}/tier_1m")
+    h1.write.mode("overwrite").parquet(s"${c("output")}/tier_1h")
+    d1.write.mode("overwrite").parquet(s"${c("output")}/tier_1d")
+    s"rollup -> ${c("output")}/tier_{1m,1h,1d}"
+  }
+
+  val commands: Map[String, (SparkSession, Conf) => String] = Map(
+    "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd,
+    "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup)
+
+  def run(command: String, configPath: String): String = {
+    require(commands.contains(command),
+      s"unknown command '$command' (have: ${commands.keys.toSeq.sorted.mkString(", ")})")
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(configPath))
+    try p.load(in) finally in.close()
+    val c = new Conf(p)
+    val spark = session(c)
+    commands(command)(spark, c)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      s"usage: graft.cli.Main <${commands.keys.toSeq.sorted.mkString("|")}> <config.properties>")
+    println(run(args(0), args(1)))
+  }
+}

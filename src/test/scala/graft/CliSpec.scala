@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.synth.Transcripts
+
+/** Console entry points (graft.cli.Main): the config-file-driven user
+  * surface mirroring the reference's console_scripts
+  * (/root/reference/setup.cfg:51-59). Each command is driven end-to-end on
+  * a tiny deterministic fixture: a properties file in, parquet out.
+  */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val transcriptsPath = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val p = Files.createTempDirectory("cli-in").toString + "/transcripts"
+    Transcripts.generate(spark, 4, 200).toDF().write.parquet(p)
+    p
+  }
+
+  private def conf(kv: (String, String)*): String = {
+    val f = Files.createTempFile("cli", ".properties")
+    Files.writeString(f, kv.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    f.toString
+  }
+
+  private def out(): String = Files.createTempDirectory("cli-out").toString + "/t"
+
+  test("cc -> snr -> ct chain runs from properties files end-to-end") {
+    val ccDir = out()
+    cli.Main.run("cc", conf(
+      "input" -> transcriptsPath, "output" -> ccDir,
+      "step_sec" -> "60", "window_sec" -> "1800", "stride_sec" -> "900"))
+    assert(graft.jobs.ProcessJob.readCc(spark, ccDir).count() > 0)
+    // resume: a second identical run writes nothing new
+    val again = cli.Main.run("cc", conf(
+      "input" -> transcriptsPath, "output" -> ccDir,
+      "step_sec" -> "60", "window_sec" -> "1800", "stride_sec" -> "900"))
+    assert(again.contains("0 of"), s"cc must resume, got: $again")
+
+    val snrDir = out()
+    cli.Main.run("snr", conf(
+      "input" -> ccDir, "output" -> snrDir,
+      "step_sec" -> "60", "taper_sec" -> "120", "taper2_sec" -> "60",
+      "lag_min_sec" -> "-900", "lag_max_sec" -> "900",
+      "signal_min" -> "-300", "signal_max" -> "300",
+      "noise_min" -> "400", "noise_max" -> "900"))
+    val snrDf = spark.read.parquet(snrDir)
+    assert(snrDf.count() > 0 && snrDf.columns.contains("snr"))
+
+    val ctDir = out()
+    cli.Main.run("ct", conf(
+      "input" -> snrDir, "output" -> ctDir,
+      "threshold" -> "0", "coincidence" -> "1",
+      "step_sec" -> "900", "min_duration_steps" -> "1"))
+    assert(spark.read.parquet(ctDir).columns.toSet ==
+      Set("period", "period_start", "period_end", "n_steps"))
+  }
+
+  test("rollup command writes the three tiers; psd writes spectrogram cells") {
+    val rDir = out()
+    cli.Main.run("rollup", conf("input" -> transcriptsPath, "output" -> rDir, "step_sec" -> "60"))
+    val m1 = spark.read.parquet(s"$rDir/tier_1m")
+    val d1 = spark.read.parquet(s"$rDir/tier_1d")
+    assert(m1.count() > d1.count() && d1.count() > 0)
+
+    val pDir = out()
+    cli.Main.run("psd", conf(
+      "input" -> transcriptsPath, "output" -> pDir,
+      "step_sec" -> "60", "window_sec" -> "1800", "stride_sec" -> "900",
+      "nperseg" -> "8", "hop" -> "4"))
+    val psd = spark.read.parquet(pDir)
+    assert(psd.count() > 0 && psd.columns.contains("spec"))
+  }
+
+  test("unknown command and missing keys fail with usable messages") {
+    intercept[IllegalArgumentException](cli.Main.run("nope", conf("input" -> "x")))
+    val e = intercept[IllegalArgumentException](
+      cli.Main.run("rollup", conf("input" -> transcriptsPath)))
+    assert(e.getMessage.contains("output"))
+  }
+}
