@@ -20,16 +20,23 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** word `n`-gram shingles, distinct per (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val t = tokens(col(textCol))
-    df.where(size(t) >= n)
-      .select(col(idCol).as("doc_id"),
+  /** word `n`-gram shingles, distinct per (id, shingle).
+    *
+    * The token array is materialized ONCE per row before the shingle
+    * lambda: referencing `split(trim(text))` inside the transform body
+    * re-runs the regex split per sequence ELEMENT (no common-subexpression
+    * hoisting across a lambda boundary), which made shingling O(tokens²)
+    * regex passes per document — the dominant cost of every shingle-based
+    * query at corpus scale.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(1, size(split(trim($textCol), '\\\\s+')) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(split(trim($textCol), '\\\\s+'), i, $n)))")).as("sh"))
+          s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("sh"))
       .distinct()
-  }
 
   /** Exact dedup groups: md5(text) → (hash, count, keeper = min id). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
