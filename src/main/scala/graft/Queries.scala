@@ -492,6 +492,28 @@ object Queries {
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp")),
     Some(raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents"))
 
+  /** BPE-ish regex tokenization (the GPT-2 pre-tokenizer's class structure
+    * — letter runs | digit runs | punctuation runs — without its
+    * lookahead, so the pattern is portable across Java regex and RE2).
+    * The alternatives match disjoint character classes, so alternation
+    * order cannot differ between engines.
+    */
+  private val bpePattern = raw"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+  val q45 = Q("q45_bpe_tokens",
+    (s, d) => docs(s, d).select(col("doc_id"),
+      expr(s"size(regexp_extract_all(text, '${bpePattern.replace("\\", "\\\\")}', 0))").as("n_bpe"),
+      expr(s"size($tokensSpark)").as("n_ws"))
+      .withColumn("bpe_per_ws",
+        when(col("n_ws") > 0, round(col("n_bpe") / col("n_ws"), 6))),
+    Some(s"""SELECT doc_id,
+            | len(regexp_extract_all(text, '$bpePattern')) AS n_bpe,
+            | len($tokensDuck) AS n_ws,
+            | CASE WHEN len($tokensDuck) > 0
+            |  THEN round(len(regexp_extract_all(text, '$bpePattern'))
+            |    / CAST(len($tokensDuck) AS DOUBLE), 6) END AS bpe_per_ws
+            |FROM documents""".stripMargin))
+
   val q36 = Q("q36_ngram_jaccard",
     // DF cap 100: a stop-shingle in >100 docs would make the self-join
     // quadratic on one key; the cap applies identically in the oracle
@@ -693,6 +715,26 @@ object Queries {
          |SELECT q_id, neighbor_id, cosine, rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
          |  FROM cand) WHERE rk <= 3""".stripMargin
+    })
+
+  val q46 = Q("q46_embedding_neardup",
+    // embedding-cosine near-dup: LSH-bucket candidates verified by exact
+    // cosine — the dedup-by-embedding mode (graft.ops.Similarity
+    // .cosineNearDup); keeper = lower vec_id
+    (s, d) => graft.ops.Similarity.cosineNearDup(emb(s, d), minCosine = 0.2),
+    q42.oracle.map { bucketSql =>
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+      s"""WITH b AS ($bucketSql),
+         |cand AS (SELECT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sc AS (SELECT v1 AS keeper, v2 AS dup,
+         |    round(${dotD("ea.v", "eb.v")}
+         |      / (sqrt(${dotD("ea.v", "ea.v")}) * sqrt(${dotD("eb.v", "eb.v")})), 9) AS cosine
+         |  FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2)
+         |SELECT keeper, dup, cosine FROM sc WHERE cosine >= 0.2""".stripMargin
     })
 
   // ---------------------------------------------------------------- E. flagship pipeline
@@ -1072,7 +1114,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44,
+    q40, q41, q42, q43, q44, q45, q46,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
   )
 }

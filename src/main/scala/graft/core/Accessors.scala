@@ -61,6 +61,28 @@ object Accessors {
                 normalize: Boolean = true, clipLagSec: Double = -1): Dataset[CcRow] =
       Correlate.ccPairs(df, pairs, stepSec, windowSec, normalize, unbiased = false, clipLagSec)
 
+    // ---- documents shape (doc_id, text)
+    def dedupExact(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      graft.ops.Dedup.exact(df, idCol, textCol)
+    def ngramJaccard(idCol: String = "doc_id", textCol: String = "text",
+                     n: Int = 3, minJaccard: Double = 0.2, dfCap: Int = 100): DataFrame =
+      graft.ops.Dedup.ngramJaccard(df, idCol, textCol, n, minJaccard, dfCap)
+    def minhashCandidates(idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3, nHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      graft.ops.Dedup.minhashLshCandidates(df, idCol, textCol, n, nHashes, rowsPerBand)
+    def simhash(idCol: String = "doc_id", textCol: String = "text", bits: Int = 64): DataFrame =
+      graft.ops.Dedup.simhash(df, idCol, textCol, bits)
+
+    // ---- embeddings shape (vec_id, embedding)
+    def cosineTopK(queryIds: Seq[Long], k: Int): DataFrame =
+      graft.ops.Similarity.cosineTopK(df, queryIds, k)
+    def lshBuckets(nPlanes: Int = 8, dim: Int = 64): DataFrame =
+      graft.ops.Similarity.lshBuckets(df, nPlanes, dim)
+    def cosineNearDup(minCosine: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame =
+      graft.ops.Similarity.cosineNearDup(df, minCosine, nPlanes, dim)
+    def ivfTopK(queryIds: Seq[Long], k: Int, nCentroids: Int = 8, nProbe: Int = 2): DataFrame =
+      graft.ops.Similarity.ivfTopK(df, queryIds, k, nCentroids, nProbe)
+
     // ---- cc shape (pair, metric, win_start, cc, status, offsets…)
     def postprocess(cfg: Postprocess.Config,
                     pairDistance: Option[DataFrame] = None): DataFrame =

@@ -67,6 +67,27 @@ object Similarity {
   private def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates verified
+    * by exact cosine >= `minCosine`; keeper = the lower vec_id. Candidate
+    * generation is the bucketed self-join (never all-pairs); verification
+    * joins the output-bounded candidate set back to the vectors on vec_id —
+    * both joins are equi-joins, so the whole dedup is hash-join shaped at
+    * any corpus size.
+    */
+  def cosineNearDup(
+      embeddings: DataFrame, minCosine: Double,
+      nPlanes: Int = 8, dim: Int = 64
+  ): DataFrame = {
+    val cand = lshCandidates(embeddings, nPlanes, dim).select(col("v1"), col("v2"))
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
+      .select(col("v1").as("keeper"), col("v2").as("dup"),
+        round(cosine("va", "vb"), 9).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Assign every vector to its max-cosine centroid with a NARROW map:
     * the codebook is collapsed to ONE row (an id-sorted array of
     * (cent_id, cv, cvn) structs), broadcast, and each vector row folds over

@@ -188,4 +188,24 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(got.count() > 0 && got.count() == want.count())
     assert(diff.count() == 0, "streaming tier differs from batch tier")
   }
+
+  test("streaming exact dedup keeps one doc per content hash (bounded state)") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    // 30 docs, 10 distinct texts, duplicates arriving within the horizon
+    val docs = (0 until 30).map(i => (i.toLong, ts(i), s"doc text number ${i % 10}"))
+      .toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingDedup.distinctDocs(streamIn, horizon = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("stream_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT content_hash FROM stream_dedup").collect().map(_.getString(0))
+    assert(got.length == 10, s"expected 10 distinct hashes, got ${got.length}")
+    assert(got.distinct.length == 10)
+  }
 }
