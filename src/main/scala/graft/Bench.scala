@@ -71,7 +71,12 @@ object Bench {
     val t0 = System.nanoTime()
     val t = spark.read.parquet(path)
     // sparse series: the CC path needs only occupied buckets (window
-    // assembly reconstructs the zeros; equivalence asserted in OpsSpec)
+    // assembly reconstructs the zeros; equivalence asserted in OpsSpec).
+    // windows→ccPairs (NOT ccPairsSparse): measured head-to-head at this
+    // workload the two-step path wins at low core counts — it aggregates
+    // each conv's windows ONCE regardless of pair fanout, while the fused
+    // path pushes points×fanout rows through its object agg (see
+    // Correlate.ccPairsSparse scaladoc for when the fused shape wins).
     val series = Ingest.seriesSparse(t, stepSec)
     val wins = Correlate.windows(series, windowSec, strideSec, stepSec)
     val pairs = spark.range(0, nConvs.toLong)

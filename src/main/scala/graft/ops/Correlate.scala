@@ -156,6 +156,62 @@ object Correlate {
     *                   the STORED (clipped) array, exactly as the reference
     *                   extracts on its clipped lag coordinate.
     */
+  /** The per-(pair, window) kernel body shared by [[ccPairs]] and
+    * [[ccPairsSparse]] — identical math, so the two assembly shapes are
+    * bitwise-interchangeable (asserted in OpsSpec).
+    */
+  private def kernelRow(
+      pairId: String, metric: String, winStart: Timestamp,
+      va: Array[Double], vb: Array[Double],
+      delta: Double, halfWin: Double,
+      normalize: Boolean, unbiased: Boolean, clipLagSec: Double,
+      hashInputs: Boolean, vaF: Array[Float], vbF: Array[Float]
+  ): CcRow = {
+    // a window with zero signal on either side carries no information:
+    // flag it missing_data like the reference's status=-1
+    // (/root/reference/xcorr/core/init.py:244-247) instead of emitting
+    // a spurious zero correlation
+    val degenerate = va.forall(_ == 0.0) || vb.forall(_ == 0.0)
+    val rxy = Cc.cc(va, vb, normalize = normalize, unbiased = unbiased)
+    val n = va.length
+    val nn = rxy.length // 2n-1
+    // clip by lag INDEX (lag(i) = (i-(n-1))·delta exactly): |lag|<=clip
+    // ⇔ |i-(n-1)| <= floor(clip/delta + eps)
+    val halfKeep =
+      if (clipLagSec < 0) n - 1
+      else math.min(n - 1, math.floor(clipLagSec / delta + 1e-9).toInt)
+    val i0 = (n - 1) - halfKeep
+    val i1 = (n - 1) + halfKeep
+    val clipped =
+      if (i0 == 0 && i1 == nn - 1) rxy
+      else java.util.Arrays.copyOfRange(rxy, i0, i1 + 1)
+    // shift/cc_max from the STORED array, so they stay consistent with
+    // the data when clipped (ties → first maximum, as Cc.extractShift)
+    var jm = 0
+    var j = 1
+    while (j < clipped.length) { if (clipped(j) > clipped(jm)) jm = j; j += 1 }
+    CcRow(
+      pair = pairId,
+      metric = metric,
+      win_start = winStart,
+      cc = clipped,
+      status = if (degenerate) -1 else 1,
+      // both series share the ingest grid → start-time difference 0
+      // (reference pair_offset, /root/reference/xcorr/core/init.py:275-287)
+      pair_offset = 0.0,
+      // first sample start vs window center (init.py:290-302)
+      time_offset = -halfWin,
+      shift = (jm + i0 - (n - 1)) * delta,
+      cc_max = clipped(jm),
+      npts = n,
+      lag0 = i0,
+      // optional per-cell input digest (↔ the reference's
+      // hash(pair,time) var, init.py:252-272 — off by default there
+      // too: ~10 s/step at the flagship size, init.py:95-97)
+      input_hash = if (!hashInputs) "" else sha256Floats(vaF, vbF)
+    )
+  }
+
   def ccPairs(
       wins: DataFrame,
       pairs: DataFrame,
@@ -201,53 +257,115 @@ object Correlate {
     val halfWin = windowSec / 2.0
     joined.mapPartitions { it =>
       it.map { case (pairId, metric, winStart, vaF, vbF) =>
-        val va = toDoubles(vaF)
-        val vb = toDoubles(vbF)
-        // a window with zero signal on either side carries no information:
-        // flag it missing_data like the reference's status=-1
-        // (/root/reference/xcorr/core/init.py:244-247) instead of emitting
-        // a spurious zero correlation
-        val degenerate = va.forall(_ == 0.0) || vb.forall(_ == 0.0)
-        val rxy = Cc.cc(va, vb, normalize = normalize, unbiased = unbiased)
-        val n = va.length
-        val nn = rxy.length // 2n-1
-        // clip by lag INDEX (lag(i) = (i-(n-1))·delta exactly): |lag|<=clip
-        // ⇔ |i-(n-1)| <= floor(clip/delta + eps)
-        val halfKeep =
-          if (clipLagSec < 0) n - 1
-          else math.min(n - 1, math.floor(clipLagSec / delta + 1e-9).toInt)
-        val i0 = (n - 1) - halfKeep
-        val i1 = (n - 1) + halfKeep
-        val clipped =
-          if (i0 == 0 && i1 == nn - 1) rxy
-          else java.util.Arrays.copyOfRange(rxy, i0, i1 + 1)
-        // shift/cc_max from the STORED array, so they stay consistent with
-        // the data when clipped (ties → first maximum, as Cc.extractShift)
-        var jm = 0
-        var j = 1
-        while (j < clipped.length) { if (clipped(j) > clipped(jm)) jm = j; j += 1 }
-        CcRow(
-          pair = pairId,
-          metric = metric,
-          win_start = winStart,
-          cc = clipped,
-          status = if (degenerate) -1 else 1,
-          // both series share the ingest grid → start-time difference 0
-          // (reference pair_offset, /root/reference/xcorr/core/init.py:275-287)
-          pair_offset = 0.0,
-          // first sample start vs window center (init.py:290-302)
-          time_offset = -halfWin,
-          shift = (jm + i0 - (n - 1)) * delta,
-          cc_max = clipped(jm),
-          npts = n,
-          lag0 = i0,
-          // optional per-cell input digest (↔ the reference's
-          // hash(pair,time) var, init.py:252-272 — off by default there
-          // too: ~10 s/step at the flagship size, init.py:95-97)
-          input_hash = if (!hashInputs) "" else sha256Floats(vaF, vbF)
-        )
+        kernelRow(pairId, metric, winStart, toDoubles(vaF), toDoubles(vbF),
+          delta, halfWin, normalize, unbiased, clipLagSec, hashInputs, vaF, vbF)
       }
     }
+  }
+
+  /** Fused sparse assembly + pairwise CC: ONE exchange of SPARSE points.
+    *
+    * [[windows]]→[[ccPairs]] moves the window arrays through two exchanges
+    * (the window-assembly groupBy keyed by conv, then the pair-assembly
+    * groupBy keyed by pair), both carrying DENSE float vectors. Here the
+    * nonzero points are tagged with every (pair, side, window) they serve
+    * (two broadcast-driven narrow maps), and a single groupBy on
+    * (pair, metric, win_start) collects the sparse (side, idx, value)
+    * structs; densify + FFT happen inside the kernel stage. Shuffled array
+    * bytes drop from 2 exchanges × npts floats to 1 exchange × occupied
+    * points — on sparse series an order of magnitude fewer bytes on the
+    * wire, and one whole shuffle barrier removed from the flagship path.
+    *
+    * Window completeness is identical: the pair-level candidate list (both
+    * sides' spans cover the window — computed from the tiny spans table)
+    * LEFT-joins the grouped points, so a complete-but-all-zero window still
+    * yields its status=-1 row. Output is bitwise-equal to
+    * windows→ccPairs (asserted in OpsSpec).
+    *
+    * WHEN TO USE WHICH (measured head-to-head, BENCH/BASELINE.md r3): the
+    * fused shape tags points with (pair, side) BEFORE aggregating, so its
+    * object agg processes points × overlap × pair-fanout rows; the
+    * two-step windows→ccPairs aggregates each conv's windows ONCE and fans
+    * out only the finished arrays. At the flagship workload (fanout 4,
+    * ~10% occupancy) the two-step path wins at low core counts and ties at
+    * 32 — prefer ccPairsSparse only when pair fanout is small (≤2) AND the
+    * series is very sparse (occupancy ≪ 1/fanout), e.g. sparse event
+    * streams correlated along a chain.
+    */
+  def ccPairsSparse(
+      series: DataFrame,
+      pairs: DataFrame,
+      windowSec: Long,
+      strideSec: Long,
+      stepSec: Long,
+      normalize: Boolean = true,
+      unbiased: Boolean = false,
+      clipLagSec: Double = -1,
+      hashInputs: Boolean = false
+  ): Dataset[CcRow] = {
+    require(windowSec % stepSec == 0, "window must be a multiple of the grid step")
+    require(strideSec % stepSec == 0, "stride must be a multiple of the grid step")
+    require(strideSec <= windowSec, "stride must not exceed the window (no gaps)")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val npts = (windowSec / stepSec).toInt
+    val delta = stepSec.toDouble
+    val halfWin = windowSec / 2.0
+
+    val sides = pairs
+      .select(col("conv_a").as("conv_id"),
+        concat(col("conv_a"), lit("-"), col("conv_b")).as("pair"), lit(0).as("side"))
+      .unionByName(pairs
+        .select(col("conv_b").as("conv_id"),
+          concat(col("conv_a"), lit("-"), col("conv_b")).as("pair"), lit(1).as("side")))
+
+    val winExpr =
+      s"""sequence(
+         |  CAST(ceil((unix_timestamp(cast(ts as timestamp)) - $windowSec + $stepSec) / $strideSec) AS BIGINT) * $strideSec,
+         |  (unix_timestamp(cast(ts as timestamp)) DIV $strideSec) * $strideSec,
+         |  $strideSec)""".stripMargin
+    val pts = series
+      .where(col("value") =!= 0.0)
+      .withColumn("win_start_s", explode(expr(winExpr)))
+      .where(col("win_start_s") >= 0)
+      .join(broadcast(sides), Seq("conv_id"))
+      .select(col("pair"), col("metric"), col("win_start_s"),
+        struct(
+          col("side"),
+          ((unix_timestamp(col("ts").cast("timestamp")) - col("win_start_s")) / stepSec).cast("int").as("idx"),
+          col("value").cast("float").as("v")).as("pt"))
+    val grouped = pts
+      .groupBy(col("pair"), col("metric"), col("win_start_s"))
+      .agg(collect_list(col("pt")).as("pts"))
+
+    // pair-level complete-window gate from the spans-only candidates query
+    val cand = candidates(series, windowSec, strideSec, stepSec)
+    val a = cand.select(col("conv_id").as("conv_a"), col("metric"), col("win_start_s"))
+    val b = cand.select(col("conv_id").as("conv_b"), col("metric"), col("win_start_s"))
+    val candPairs = a.join(broadcast(pairs), Seq("conv_a"))
+      .join(b, Seq("conv_b", "metric", "win_start_s"))
+      .select(concat(col("conv_a"), lit("-"), col("conv_b")).as("pair"),
+        col("metric"), col("win_start_s"))
+
+    val joined = candPairs
+      .join(grouped, Seq("pair", "metric", "win_start_s"), "left")
+      .select(col("pair"), col("metric"),
+        timestamp_seconds(col("win_start_s")).as("win_start"), col("pts"))
+
+    joined.mapPartitions { it =>
+      it.map { row =>
+        val vaF = new Array[Float](npts)
+        val vbF = new Array[Float](npts)
+        val pts = row.getSeq[org.apache.spark.sql.Row](3)
+        if (pts != null) pts.foreach { p =>
+          val tgt = if (p.getInt(0) == 0) vaF else vbF
+          tgt(p.getInt(1)) = p.getFloat(2)
+        }
+        kernelRow(row.getString(0), row.getString(1), row.getTimestamp(2),
+          toDoubles(vaF), toDoubles(vbF),
+          delta, halfWin, normalize, unbiased, clipLagSec, hashInputs, vaF, vbF)
+      }
+    }(org.apache.spark.sql.Encoders.product[CcRow])
   }
 
   private def sha256Floats(a: Array[Float], b: Array[Float]): String = {
