@@ -20,6 +20,18 @@ object Cc {
 
   /** Cross-correlate x and y. Returns the fftshift-ed estimate of length
     * 2n-1 (pad=true) or n (pad=false).
+    *
+    * Transform size: the OUTPUT is the reference's 2n-1 lags, but the
+    * linear correlation is transform-size-agnostic for any N >= 2n-1, and
+    * 2n-1 is always odd — computing at exactly 2n-1 runs Bluestein
+    * (~4 power-of-two transforms of TWICE the size per correlation). The
+    * pad=true path therefore transforms at the next power of two >= 2n-1
+    * (one radix-2 forward + one inverse) and assembles the 2n-1 lags from
+    * the circular result — >3x kernel speedup at the flagship window
+    * lengths, values equal to the exact-size transform up to ~1e-15
+    * relative (FP reordering only; all integral-domain oracles and the
+    * 1e-9 numpy fixtures are unaffected). pad=false keeps the exact size:
+    * circular correlation at n IS the requested semantics there.
     */
   def cc(
       x: Array[Double],
@@ -31,20 +43,23 @@ object Cc {
     val n = x.length
     require(y.length == n, "x and y must have the same length")
     val nn = if (pad) 2 * n - 1 else n
+    val nt = if (pad && !Fft.isPow2(nn)) Integer.highestOneBit(nn) * 2 else nn
     // packed complex buffer (thread-local scratch — only the returned array
-    // is freshly allocated): re = xx (left zero-pad), im = yy
-    val (re, im) = Fft.scratch(nn)
-    val off = nn - n
+    // is freshly allocated): re = x, im = y, zero-padded to nt.
+    // END padding (not the reference's left pad): correlation is invariant
+    // to a common shift of both inputs, and end padding makes the lag
+    // layout of the circular result explicit (positive lag m at c[m],
+    // negative lag -j at c[nt-j]) for any nt >= 2n-1.
+    val (re, im) = Fft.scratch(nt)
     var i = 0
-    while (i < off) { re(i) = 0.0; im(i) = 0.0; i += 1 }
-    i = 0
-    while (i < n) { re(off + i) = x(i); im(off + i) = y(i); i += 1 }
+    while (i < n) { re(i) = x(i); im(i) = y(i); i += 1 }
+    while (i < nt) { re(i) = 0.0; im(i) = 0.0; i += 1 }
     Fft.fft(re, im)
     // Z[k] = Fx[k] + i*Fy[k]; by symmetry of real signals:
     //   Fx[k] = (Z[k] + conj(Z[n-k]))/2, Fy[k] = (Z[k] - conj(Z[n-k]))/(2i)
     // G[k] = Fx[k] * conj(Fy[k]) — computed IN PLACE over conjugate pairs
-    // (k, nn-k): both G values derive from the same two Z values, so write
-    // them together (nn is odd for pad=true, so k never equals nn-k > 0)
+    // (k, nt-k): both G values derive from the same two Z values, so write
+    // them together; even nt has a self-conjugate midpoint
     @inline def g(zr: Double, zi: Double, wr: Double, wi: Double): (Double, Double) = {
       val fxr = 0.5 * (zr + wr)
       val fxi = 0.5 * (zi - wi)
@@ -57,7 +72,7 @@ object Cc {
       re(0) = g0r; im(0) = g0i
     }
     var k = 1
-    var j = nn - 1
+    var j = nt - 1
     while (k < j) {
       val zr = re(k); val zi = im(k)
       val wr = re(j); val wi = im(j)
@@ -68,7 +83,7 @@ object Cc {
       k += 1
       j -= 1
     }
-    if (k == j) { // even nn (pad=false only): self-conjugate midpoint
+    if (k == j) { // even nt: self-conjugate midpoint
       val (gr, gi) = g(re(k), im(k), re(k), im(k))
       re(k) = gr; im(k) = gi
     }
@@ -79,10 +94,20 @@ object Cc {
       val norm = math.sqrt(nx) * math.sqrt(ny)
       val s = if (norm == 0.0) 0.0 else 1.0 / norm
       k = 0
-      while (k < nn) { re(k) *= s; im(k) *= s; k += 1 }
+      while (k < nt) { re(k) *= s; im(k) *= s; k += 1 }
     }
     Fft.ifft(re, im)
-    val shifted = Fft.fftshift(re)
+    // assemble the nn lags in fftshift order (lag of out[i] = i-(n-1)):
+    // negative lag -j lives at c[nt-j], positive lag m at c[m]
+    val shifted =
+      if (!pad || nt == nn) Fft.fftshift(re)
+      else {
+        val out = new Array[Double](nn)
+        var t = 0
+        while (t < n - 1) { out(t) = re(nt - (n - 1) + t); t += 1 }
+        while (t < nn) { out(t) = re(t - (n - 1)); t += 1 }
+        out
+      }
     if (unbiased) {
       val w = weightCached(nn)
       k = 0
