@@ -34,17 +34,15 @@ object Signal2d {
     }
   }
 
-  private def fftshift2(a: Array[Array[Double]]): Array[Array[Double]] = {
-    val rows = a.length
-    val cols = a(0).length
-    val hr = (rows + 1) / 2
-    val hc = (cols + 1) / 2
-    Array.tabulate(rows, cols)((i, j) => a((i + hr) % rows)((j + hc) % cols))
-  }
-
-  /** 2-D frequency-domain cross-correlation with per-dim 2n-1 padding and
-    * fftshift (correlate.py:239-244). Optional normalization by the
-    * product of the 2-D L2 norms (norm2d, correlate.py:216-222).
+  /** 2-D frequency-domain cross-correlation over the per-dim 2n-1 lag grid
+    * (correlate.py:239-244). Optional normalization by the product of the
+    * 2-D L2 norms (norm2d, correlate.py:216-222).
+    *
+    * Like the 1-D kernel, the transforms run at the next POWER OF TWO per
+    * dimension (2n-1 is always odd — the exact size would put every row
+    * and column FFT on the Bluestein path at ~4x cost); the 2n-1 lag grid
+    * is assembled from the circular result (positive lag m at c[m],
+    * negative lag -j at c[M-j], per dimension independently).
     */
   def cc2d(
       x: Array[Array[Double]],
@@ -56,25 +54,28 @@ object Signal2d {
     require(y.length == n1 && y(0).length == n2, "x and y must have equal shapes")
     val m1 = 2 * n1 - 1
     val m2 = 2 * n2 - 1
-    // left/top zero-pad (xx[m-n:, m-n:] = x — same convention as 1-D cc)
+    val t1 = if (Fft.isPow2(m1)) m1 else Integer.highestOneBit(m1) * 2
+    val t2 = if (Fft.isPow2(m2)) m2 else Integer.highestOneBit(m2) * 2
+    // top-left placement, zero tail (correlation is invariant to a common
+    // cyclic shift of both inputs — the lag assembly below fixes indices)
     def pad(a: Array[Array[Double]]): Array[Array[Double]] = {
-      val out = Array.ofDim[Double](m1, m2)
+      val out = Array.ofDim[Double](t1, t2)
       var i = 0
       while (i < n1) {
-        System.arraycopy(a(i), 0, out(m1 - n1 + i), m2 - n2, n2)
+        System.arraycopy(a(i), 0, out(i), 0, n2)
         i += 1
       }
       out
     }
-    val xr = pad(x); val xi = Array.ofDim[Double](m1, m2)
-    val yr = pad(y); val yi = Array.ofDim[Double](m1, m2)
+    val xr = pad(x); val xi = Array.ofDim[Double](t1, t2)
+    val yr = pad(y); val yi = Array.ofDim[Double](t1, t2)
     fft2(xr, xi, inverse = false)
     fft2(yr, yi, inverse = false)
     // G = X * conj(Y)
     var i = 0
-    while (i < m1) {
+    while (i < t1) {
       var j = 0
-      while (j < m2) {
+      while (j < t2) {
         val gr = xr(i)(j) * yr(i)(j) + xi(i)(j) * yi(i)(j)
         val gi = xi(i)(j) * yr(i)(j) - xr(i)(j) * yi(i)(j)
         xr(i)(j) = gr; xi(i)(j) = gi
@@ -93,14 +94,28 @@ object Signal2d {
       val s = math.sqrt(nx) * math.sqrt(ny)
       val inv = if (s == 0) 0.0 else 1.0 / s
       i = 0
-      while (i < m1) {
+      while (i < t1) {
         var j = 0
-        while (j < m2) { xr(i)(j) *= inv; xi(i)(j) *= inv; j += 1 }
+        while (j < t2) { xr(i)(j) *= inv; xi(i)(j) *= inv; j += 1 }
         i += 1
       }
     }
     fft2(xr, xi, inverse = true)
-    fftshift2(xr)
+    // assemble the (m1, m2) lag grid in fftshift order: out(i)(j) has lags
+    // (i-(n1-1), j-(n2-1)); negative lag -d lives at circular index T-d
+    val out = Array.ofDim[Double](m1, m2)
+    i = 0
+    while (i < m1) {
+      val r = if (i < n1 - 1) t1 - (n1 - 1) + i else i - (n1 - 1)
+      var j = 0
+      while (j < m2) {
+        val c = if (j < n2 - 1) t2 - (n2 - 1) + j else j - (n2 - 1)
+        out(i)(j) = xr(r)(c)
+        j += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** Argmax of a 2-D CC surface → (delta1, delta2, max) with zero-lag at
