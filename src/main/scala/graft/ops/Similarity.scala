@@ -56,6 +56,13 @@ object Similarity {
   /** ANN candidate pairs: same-bucket self-join (vec_a < vec_b). At scale
     * the join key is the bucket hash — uniform by construction of the
     * random hyperplanes; multi-probe = union over Hamming-1 neighbors.
+    *
+    * SIZE `nPlanes` TO THE CORPUS: expected bucket occupancy is n / 2^p,
+    * and the self-join emits ~n²/2^p pairs on uniform data — pick
+    * p ≈ log2(n / targetBucketSize) (e.g. 30 planes for 10^9 vectors at
+    * ~1-doc buckets with multi-probe for recall). The default 8 suits the
+    * test corpus; it is NOT a corpus-scale setting — the same rule that
+    * sized the 64-bit SimHash's 16-bit bands.
     */
   def lshCandidates(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val b = lshBuckets(embeddings, nPlanes, dim)

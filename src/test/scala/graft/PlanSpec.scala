@@ -109,6 +109,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
   }
 
+  test("rollup chunk READ path has no Scala UDF (ChunkDecode is a codegen'd Expression)") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 3, 60).toDF()
+    val pts = Ingest.series(t, 60)
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    graft.ops.Rollup.toChunks(pts, "day").write.mode("overwrite").parquet(dir)
+    val p = plan(graft.ops.Rollup.fromChunks(spark.read.parquet(dir)))
+    assert(!p.contains("UDF("), s"Scala UDF broke codegen on the chunk read path:\n$p")
+    assert(p.contains("chunkdecode"), s"native decode expression missing:\n$p")
+  }
+
   test("Trigger.values: bucket equi-join (hash join), never a nested-loop range join") {
     import spark.implicits._
     def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
