@@ -156,11 +156,12 @@ object Correlate {
     *                   the STORED (clipped) array, exactly as the reference
     *                   extracts on its clipped lag coordinate.
     */
-  /** The per-(pair, window) kernel body shared by [[ccPairs]] and
-    * [[ccPairsSparse]] — identical math, so the two assembly shapes are
-    * bitwise-interchangeable (asserted in OpsSpec).
+  /** The per-(pair, window) kernel body shared by [[ccPairs]],
+    * [[ccPairsSparse]] and the streaming operator
+    * (graft.streaming.StreamingCc) — identical math, so the assembly
+    * shapes are bitwise-interchangeable (asserted in OpsSpec).
     */
-  private def kernelRow(
+  private[graft] def kernelRow(
       pairId: String, metric: String, winStart: Timestamp,
       va: Array[Double], vb: Array[Double],
       delta: Double, halfWin: Double,

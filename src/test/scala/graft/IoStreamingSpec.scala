@@ -189,6 +189,52 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(diff.count() == 0, "streaming tier differs from batch tier")
   }
 
+  test("streaming windowed CC: sealed windows equal the batch kernel bit-for-bit") {
+    import spark.implicits._
+    import graft.ops.{Correlate, Ingest}
+    // dense two-conv activity so every candidate window has data on both
+    // sides (streaming omits all-zero windows; head-of-feed windows with
+    // leading zeros are a documented semantic difference, so the assertion
+    // is batch-sealed ⊆ streaming with identical arrays)
+    val t = Transcripts.generate(spark, 2, 400).toDF()
+    val series = Ingest.seriesSparse(t, 60).cache()
+    val dir = java.nio.file.Files.createTempDirectory("stream-cc").toString
+    series.write.mode("overwrite").parquet(dir)
+    val pairs = Seq(("conv-000000", "conv-000001")).toDF("conv_a", "conv_b")
+
+    val streamIn = spark.readStream.schema(series.schema).parquet(dir)
+    val q = graft.streaming.StreamingCc.ccWindows(streamIn, pairs, 1800, 900, 60)
+      .writeStream.outputMode("append").format("memory").queryName("stream_cc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT pair, metric, win_start, cc, status FROM stream_cc")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getSeq[Double](3).toList, r.getByte(4)))
+    assert(got.nonEmpty, "no sealed windows emitted")
+    val gotKeys = got.map(x => (x._1, x._2, x._3)).toSet
+    assert(gotKeys.size == got.length, "duplicate emission for a sealed window")
+
+    // batch reference restricted to windows the final watermark sealed AND
+    // with signal on both sides (status=1): a both-sides-silent window has
+    // no streaming state to seal — the batch path only knows to emit its
+    // -1 row from the observed span, which a live feed does not have
+    val maxTsMs = series.agg(max("ts")).collect()(0).getTimestamp(0).getTime
+    val batch = Correlate.ccPairs(Correlate.windows(series, 1800, 900, 60), pairs, 60, 1800)
+      .toDF().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getSeq[Double](3).toList, r.getByte(4)))
+      .filter(x => x._3 + 1800 * 1000L < maxTsMs && x._5 == 1)
+    assert(batch.nonEmpty, "fixture produced no sealed batch windows")
+    val gotMap = got.map(x => (x._1, x._2, x._3) -> ((x._4, x._5))).toMap
+    batch.foreach { case (p, m, w, cc, st) =>
+      val g = gotMap.get((p, m, w))
+      assert(g.isDefined, s"batch window ($p,$m,$w) missing from the stream")
+      assert(g.get._1 == cc && g.get._2 == st, s"window ($p,$m,$w) differs from batch")
+    }
+  }
+
   test("streaming exact dedup keeps one doc per content hash (bounded state)") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
