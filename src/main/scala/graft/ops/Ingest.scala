@@ -21,7 +21,7 @@ object Ingest {
 
   /** Whitespace token count; empty/blank text counts 0. Custom codegen'd
     * Expression (graft.functions.TokenCount) — semantically equal to
-    * `size(split(trim(c), '\\s+'))` (equality asserted in QueriesSpec) but
+    * `size(split(trim(c), '\\s+'))` (equality asserted in OpsSpec) but
     * a zero-allocation single byte pass instead of a regex, which was the
     * dominant ingest cost at high parallelism.
     */

@@ -293,6 +293,11 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SparkEntry.entry: the driver's flagship smoke query returns rows") {
+    val rows = SparkEntry.entry(spark)
+    assert(rows.count() > 0, "driver smoke-checks rows>0 on entry()")
+  }
+
   test("accessor API chains the pipeline fluently") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 4, 100).toDF()
