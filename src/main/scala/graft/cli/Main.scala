@@ -159,6 +159,35 @@ object Main {
     s"psd -> ${c("output")}"
   }
 
+  /** plmax — per-window local maxima of the PSD spectrogram
+    * (↔ xcorr-plmax, /root/reference/xcorr/scripts/plmax.py): series →
+    * windows → spectrograms → 2-D peak_local_max, top `max_peaks` per
+    * window. Keys as psd, plus min_distance, threshold_rel, max_peaks.
+    */
+  def plmax(spark: SparkSession, c: Conf): String = {
+    import spark.implicits._
+    val step = c.long("step_sec", 60)
+    val minDist = c.int("min_distance", 1)
+    val thrRel = c.dbl("threshold_rel", 0.1)
+    val maxPeaks = c.int("max_peaks", 3)
+    val wins = Correlate.windows(seriesOf(spark, c),
+      c.long("window_sec", 86400), c.long("stride_sec", 43200), step)
+    Timelapse.spectrograms(wins, step.toDouble, c.int("nperseg", 64), c.int("hop", 16))
+      .select(col("conv_id"), col("metric"), col("win_start"),
+        col("spec"), col("n_seg"), col("n_freq"))
+      .as[(String, String, java.sql.Timestamp, Array[Double], Int, Int)]
+      .flatMap { case (cid, met, w, spec, nSeg, nFreq) =>
+        if (nSeg >= 3 && nFreq >= 3) {
+          val m = Array.tabulate(nSeg, nFreq)((i, j) => spec(i * nFreq + j))
+          graft.kernel.Signal2d.peakLocalMax(m, minDist, thrRel)
+            .take(maxPeaks).map { case (i, j, v) => (cid, met, w, i, j, v) }
+        } else Nil
+      }
+      .toDF("conv_id", "metric", "win_start", "seg_idx", "freq_idx", "power")
+      .write.mode("overwrite").parquet(c("output"))
+    s"plmax -> ${c("output")}"
+  }
+
   /** timelapse — second-order (time1 × time2) spectrogram CC matrix
     * (↔ xcorr-timelapse). Keys as psd.
     */
@@ -222,7 +251,7 @@ object Main {
   }
 
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
-    "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd,
+    "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup)
 
   def run(command: String, configPath: String): String = {

@@ -80,6 +80,16 @@ class CliSpec extends AnyFunSuite {
       "nperseg" -> "8", "hop" -> "4"))
     val psd = spark.read.parquet(pDir)
     assert(psd.count() > 0 && psd.columns.contains("spec"))
+
+    val lDir = out()
+    cli.Main.run("plmax", conf(
+      "input" -> transcriptsPath, "output" -> lDir,
+      "step_sec" -> "60", "window_sec" -> "1800", "stride_sec" -> "900",
+      "nperseg" -> "8", "hop" -> "4", "max_peaks" -> "3"))
+    val pl = spark.read.parquet(lDir)
+    assert(pl.count() > 0 && pl.columns.contains("power"))
+    assert(pl.groupBy("conv_id", "metric", "win_start").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0) <= 3)
   }
 
   test("unknown command and missing keys fail with usable messages") {
