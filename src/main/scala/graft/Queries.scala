@@ -737,6 +737,27 @@ object Queries {
          |SELECT keeper, dup, cosine FROM sc WHERE cosine >= 0.2""".stripMargin
     })
 
+  val q47 = Q("q47_dedup_clusters",
+    // candidate pairs → per-document cluster assignment (cluster_id = the
+    // smallest doc id reachable through the q37 MinHash-LSH pair graph;
+    // singletons map to themselves). Engine side: alternating large-star/
+    // small-star contraction — O(log² n) bounded shuffles, components never
+    // materialized on one node. Oracle side: transitive closure via a
+    // recursive CTE — feasible only at test scale, which is exactly why the
+    // engine uses star contraction instead.
+    (s, d) => graft.ops.Dedup.clusters(q37.fn(s, d), "d1", "d2",
+      docs(s, d), "doc_id"),
+    q37.oracle.map { candSql =>
+      s"""WITH RECURSIVE cand AS ($candSql),
+         |e AS (SELECT d1 AS a, d2 AS b FROM cand
+         |  UNION SELECT d2, d1 FROM cand),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- E. flagship pipeline
 
   val q50 = Q("q50_xcorr_e2e",
@@ -1114,7 +1135,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46,
+    q40, q41, q42, q43, q44, q45, q46, q47,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
   )
 }

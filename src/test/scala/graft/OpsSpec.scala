@@ -350,6 +350,39 @@ class OpsSpec extends AnyFunSuite {
     assert(cand.count() < n, "candidates should be near-dup-sized, not quadratic")
   }
 
+  test("dedup clusters: alternating-star CC == brute-force union-find (path, random, singletons)") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    def run(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = edges.toDF("d1", "d2")
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      graft.ops.Dedup.clusters(e, "d1", "d2", nodes, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    // path graph — the unbounded-diameter case naive min-label propagation
+    // needs O(n) rounds for; alternating star must stay logarithmic
+    val path = (0L until 19L).map(i => (i + 1, i))
+    assert(run(20, path) == (0L until 20L).map(_ -> 0L).toMap)
+    // seeded random graphs (dense and sparse) + untouched singletons
+    val rnd = new scala.util.Random(42)
+    for (m <- Seq(15, 40, 80)) {
+      val n = 60
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(n, edges) == unionFind(n, edges), s"mismatch at m=$m")
+    }
+    // empty edge set: everyone is a singleton
+    assert(run(5, Nil) == (0L until 5L).map(i => i -> i).toMap)
+  }
+
   test("postprocess per-pair celerity lag windows mask two pairs differently in one pass") {
     import spark.implicits._
     import graft.core.CcRow
