@@ -430,6 +430,30 @@ object Queries {
            |  EXCEPT
            |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')""".stripMargin))
 
+  val q27 = Q("q27_asof_join",
+    // as-of join: every event picks up the latest purchase value of the
+    // same user at-or-before its timestamp (AsofJoin.leftAsof — one
+    // union + one key exchange + a carry-forward window, no range join);
+    // oracled against DuckDB's native ASOF LEFT JOIN. The right side is
+    // deduped per (user_id, ts) so the match is unique by construction.
+    (s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      graft.ops.AsofJoin.leftAsof(
+        e.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        purchases, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        pick = Seq("ref_value"))
+        .transform(x => ntz(x, "ts", "asof_ts"))
+    },
+    Some("""WITH r AS (SELECT user_id, ts, max(value) AS ref_value
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           |  r.ref_value, r.ts AS asof_ts
+           |FROM events e ASOF LEFT JOIN r
+           |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin))
+
   val q23 = Q("q23_lttb_downsample",
     (s, d) => {
       val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
@@ -1014,7 +1038,13 @@ object Queries {
       // plane-wave co-array least squares per window: three "receivers"
       // (users 1..3) on a fixed triangle, pairwise CC delays → slowness →
       // DOA/velocity (rows-only; DOA recovery is K-tested on synthetic
-      // plane waves)
+      // plane waves).
+      // Why no SQL oracle: the LSE itself is closed-form-expressible, but
+      // the delay pick is argmax over |cc| of NONNEGATIVE integer count
+      // series, where equal-sum plateaus are common (e.g. a single-spike
+      // window reads out the other series' values directly); the engine's
+      // FFT evaluates tied lags with ~1e-12 noise, so its first-strict-max
+      // tie-break is not reproducible by exact time-domain sums.
       import s.implicits._
       val coords = Map("1" -> (0.0, 0.0), "2" -> (1000.0, 0.0), "3" -> (0.0, 1000.0))
       Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
@@ -1133,7 +1163,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the canonical time-series join Spark has no native operator
+  * for: attach to every left row the LATEST right row with
+  * `right.ts <= left.ts`, per key (the "most recent quote for each trade"
+  * shape; in the transcript domain, "most recent config/model change for
+  * each turn").
+  *
+  * Spark-first plan (no range join, no BNLJ, no per-row probe): tag and
+  * UNION the two sides, ONE hash exchange on the key, one in-partition sort
+  * by (ts, side), and a running `last(_, ignoreNulls)` window carries each
+  * right value forward to the left rows that follow it. Cost is one
+  * shuffle + sort regardless of how the two sides' timestamps interleave —
+  * a broadcast/range-join formulation would be O(|L|·|R|) per key in the
+  * worst case, this is O((|L|+|R|) log) per partition.
+  *
+  * Scale notes: the window partitions by key only, so ONE key's full
+  * history must fit a partition — the right-sized grain for conv/user keys
+  * (bounded per-key history). For a pathologically hot key, the same
+  * carry-forward works over (key, time-bucket) partitions with a per-bucket
+  * boundary hand-off — the bucketed-islands pattern `Trigger.periods`
+  * implements (Trigger.scala:55-98).
+  *
+  * Right-side ties (two right rows at the same key+ts) resolve to the later
+  * row in (ts, tiebreak...) order; pass `tiebreak` columns or pre-dedupe
+  * the right side for full determinism.
+  */
+object AsofJoin {
+
+  /** @param left      any schema; preserved verbatim in the output
+    * @param right     must contain `keys`, `rightTs`, and `pick`
+    * @param keys      equi-join key columns (present on both sides)
+    * @param leftTs    left event-time column name
+    * @param rightTs   right event-time column name
+    * @param pick      right columns to attach (null when no match)
+    * @param toleranceSec match only if left.ts - right.ts <= tolerance
+    * @param tiebreak  extra right-side sort columns for same-ts ties
+    * @return left columns + `pick` columns + `asof_ts` (matched right ts)
+    */
+  def leftAsof(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, pick: Seq[String],
+      toleranceSec: Option[Long] = None, tiebreak: Seq[String] = Nil
+  ): DataFrame = {
+    require(pick.nonEmpty, "pick at least one right column")
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rightTypes = pick.map(c => c -> right.schema(c).dataType).toMap
+    val tbTypes = tiebreak.map(c => c -> right.schema(c).dataType)
+
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"), leftStruct.as("__l"),
+        lit(null).cast(left.schema(leftTs).dataType).as("asof_ts")) ++
+        pick.map(c => lit(null).cast(rightTypes(c)).as(c)) ++
+        tbTypes.map { case (c, t) => lit(null).cast(t).as(s"__tb_$c") }: _*)
+    val leftLType = l.schema("__l").dataType
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(leftLType).as("__l"), col(rightTs).as("asof_ts")) ++
+        pick.map(col) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+
+    // right rows sort BEFORE left rows at equal ts (asof <= semantics)
+    val ord: Seq[Column] = col("__ts") +: col("__side") +:
+      tiebreak.map(c => col(s"__tb_$c"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = (pick :+ "asof_ts").foldLeft(r.unionByName(l)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val matched = toleranceSec match {
+      case Some(tol) =>
+        val stale = col("asof_ts").isNull ||
+          (unix_micros(col("__ts").cast("timestamp")) -
+            unix_micros(col("asof_ts").cast("timestamp"))) > tol * 1000000L
+        (pick :+ "asof_ts").foldLeft(carried) { (df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+        }
+      case None => carried
+    }
+    matched.where(col("__side") === 1)
+      .select(col("__l.*") +: (pick :+ "asof_ts").map(col): _*)
+  }
+}

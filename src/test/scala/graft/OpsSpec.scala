@@ -350,6 +350,23 @@ class OpsSpec extends AnyFunSuite {
     assert(cand.count() < n, "candidates should be near-dup-sized, not quadratic")
   }
 
+  test("asof join: latest at-or-before match per key, tolerance nulls stale matches") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(("A", t(10), 1L), ("A", t(20), 2L), ("A", t(30), 3L), ("B", t(15), 4L))
+      .toDF("k", "ts", "event_id")
+    val right = Seq(("A", t(10), 1.0), ("A", t(25), 2.0), ("B", t(100), 9.0))
+      .toDF("k", "rts", "ref")
+    def run(tol: Option[Long]) = graft.ops.AsofJoin.leftAsof(
+      left, right, Seq("k"), "ts", "rts", Seq("ref"), toleranceSec = tol)
+      .select(col("event_id"), col("ref")).as[(Long, Option[Double])]
+      .collect().toMap
+    // equal-ts matches (<= semantics); future right rows never match
+    assert(run(None) == Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0), 4L -> None))
+    // tolerance 5 s: A@20 is 10 s past its match -> null; A@30 is exactly 5 s -> kept
+    assert(run(Some(5L)) == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0), 4L -> None))
+  }
+
   test("dedup clusters: alternating-star CC == brute-force union-find (path, random, singletons)") {
     import spark.implicits._
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {

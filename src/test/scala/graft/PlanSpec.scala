@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("densifyfloat"), s"native densify expression missing:\n$p")
   }
 
+  test("asof join: one key exchange over the union, no range/nested-loop join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val r = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+    val df = graft.ops.AsofJoin.leftAsof(
+      e.select(col("event_id"), col("user_id"), col("ts")),
+      r, Seq("user_id"), "ts", "ts", Seq("ref_value"))
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of degraded to a per-row probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"as-of should not JOIN at all (union+window):\n$p")
+    val keyExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyExchanges == 1, s"want exactly 1 key exchange for the carry-forward window, got $keyExchanges:\n$p")
+  }
+
   test("q36: DF cap is groupBy+broadcast anti-join; shingle lineage reused, no window buffer") {
     val df = Queries.q36.fn(spark, "/root/testdata/sf0.001")
     df.collect() // AQE materializes ReusedExchange only in the final plan
