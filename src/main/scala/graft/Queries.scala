@@ -462,7 +462,64 @@ object Queries {
         .select(col("conv_id").cast("long").as("user_id"), col("ts"), col("value"))
         .transform(d => ntz(d, "ts"))
     },
-    None) // LTTB is not SQL-expressible; driver records rows-only check
+    // LTTB as a HARD oracle via a recursive CTE: bucket boundaries and the
+    // next-bucket centroids are selection-INDEPENDENT (precomputed in `bk`/
+    // `bkavg` with left-fold list_sum matching the kernel's ascending
+    // accumulation), so only the 48-step argmax chain is sequential — the
+    // recursive term advances every user one bucket per iteration, with
+    // row_number(area DESC, i ASC) reproducing the kernel's first-strict-max
+    // tie-break exactly (identical IEEE expression tree on both sides — no
+    // FFT noise here, unlike q57). Engine runs the hierarchical two-stage
+    // tier; stage 1 (per-day chunks) is the algorithm's own n <= threshold
+    // identity branch at every driver SF (max 11 points/chunk vs 50), which
+    // the `guard` CTE enforces: any over-threshold chunk empties the oracle
+    // and fails the gate LOUDLY instead of silently diverging.
+    Some("""WITH RECURSIVE
+           |pts AS (
+           |  SELECT user_id,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS i,
+           |    CAST(epoch_us(ts) AS DOUBLE) AS x, value AS y, ts, value AS v
+           |  FROM events),
+           |guard AS (SELECT max(c) AS m FROM (
+           |  SELECT count(*) AS c FROM events GROUP BY user_id, date_trunc('day', ts)) t),
+           |nn AS (SELECT user_id, count(*) AS n FROM pts GROUP BY 1),
+           |big AS (SELECT user_id, n, (n - 2) / CAST(48 AS DOUBLE) AS bs FROM nn WHERE n > 50),
+           |bk AS (
+           |  SELECT b.user_id, g.i,
+           |    CAST(trunc(g.i * b.bs) AS INT) + 1 AS b_start,
+           |    least(CAST(trunc((g.i + 1) * b.bs) AS INT) + 1, b.n - 1) AS b_end,
+           |    least(CAST(trunc((g.i + 1) * b.bs) AS INT) + 1, b.n - 1) AS c_start,
+           |    least(CAST(trunc((g.i + 2) * b.bs) AS INT) + 1, b.n) AS c_end
+           |  FROM big b CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS i) g),
+           |bkavg AS (
+           |  SELECT bk.user_id, bk.i, bk.b_start, bk.b_end,
+           |    list_sum(list(p.x ORDER BY p.i)) / (bk.c_end - bk.c_start) AS avg_x,
+           |    list_sum(list(p.y ORDER BY p.i)) / (bk.c_end - bk.c_start) AS avg_y
+           |  FROM bk JOIN pts p ON p.user_id = bk.user_id AND p.i >= bk.c_start AND p.i < bk.c_end
+           |  GROUP BY 1, 2, 3, 4, bk.c_end, bk.c_start),
+           |st(user_id, i, a) AS (
+           |  SELECT user_id, 0, 0 FROM big
+           |  UNION ALL
+           |  SELECT user_id, i, a FROM (
+           |    SELECT s.user_id, s.i + 1 AS i, p.i AS a,
+           |      row_number() OVER (PARTITION BY s.user_id, s.i ORDER BY
+           |        abs((pa.x - k.avg_x) * (p.y - pa.y) - (pa.x - p.x) * (k.avg_y - pa.y)) DESC,
+           |        p.i ASC) AS rk
+           |    FROM st s
+           |    JOIN bkavg k ON k.user_id = s.user_id AND k.i = s.i
+           |    JOIN pts pa ON pa.user_id = s.user_id AND pa.i = s.a
+           |    JOIN pts p ON p.user_id = s.user_id AND p.i >= k.b_start AND p.i < k.b_end
+           |    WHERE s.i < 48) q
+           |  WHERE rk = 1),
+           |sel AS (
+           |  SELECT user_id, a AS i FROM st WHERE i >= 1
+           |  UNION ALL SELECT user_id, 0 FROM big
+           |  UNION ALL SELECT user_id, n - 1 FROM big),
+           |keep AS (
+           |  SELECT p.user_id, p.ts, p.v AS value FROM sel JOIN pts p USING (user_id, i)
+           |  UNION ALL
+           |  SELECT p.user_id, p.ts, p.v FROM pts p JOIN nn USING (user_id) WHERE nn.n <= 50)
+           |SELECT user_id, ts, value FROM keep WHERE (SELECT m FROM guard) <= 50""".stripMargin))
 
   // ---------------------------------------------------------------- C. documents
 
