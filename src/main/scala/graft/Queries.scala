@@ -1196,16 +1196,83 @@ object Queries {
   val q52 = Q("q52_timelapse_matrix",
     (s, d) => {
       // second-order analysis: per-window spectrograms -> (time1 x time2)
-      // 2-D CC matrix, lower triangle computed + mirrored (tri_mask trick;
-      // golden-tested in TimelapseSpec — not SQL-expressible)
+      // 2-D CC matrix, lower triangle computed + mirrored (tri_mask trick).
+      // HARD-oracled (r3) by routing over the stored events table (q50's
+      // precedent): q56's proven DFT-sum spectrogram CTE feeds direct 2-D
+      // correlation sums + argmax in SQL. The production operators
+      // (Timelapse.spectrograms -> Timelapse.matrix with the FFT cc2d
+      // kernel + extractShift2d) are exactly what runs here; cc2_max is
+      // rounded to 1e-9 on both sides (normalized value in [-1,1],
+      // FFT-vs-direct-sum noise ~1e-14). The shift COORDINATES are
+      // excluded from the oracle surface: ~3% of window pairs here sit on
+      // exact rational cc plateaus (sparse count-derived PSDs — e.g.
+      // 1/sqrt(2)), where the argmax POSITION under FFT noise is the same
+      // untestable tie q57 documents; the max VALUE is tie-invariant. The
+      // shifts stay golden-tested in TimelapseSpec.
       import s.implicits._
-      val t = Transcripts.generate(s, nConvs = 3, baseTurns = 200).toDF()
-      val series = Ingest.series(t, 60)
-      val wins = Correlate.windows(series, windowSec = 1800, strideSec = 900, stepSec = 60)
-      val specs = graft.ops.Timelapse.spectrograms(wins, 60, npersegSamples = 16, hopSamples = 4)
-      graft.ops.Timelapse.matrix(specs, 60)
+      val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
+      val specs = graft.ops.Timelapse.spectrograms(wins, 3600, npersegSamples = 8, hopSamples = 4)
+      graft.ops.Timelapse.matrix(specs, 3600)
+        .select(col("conv_id"), col("metric"), col("time1"), col("time2"),
+          round(col("cc2_max"), 9).as("cc2_max"))
+        .transform(x => ntz(x, "time1", "time2"))
     },
-    None)
+    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+           |  WHERE user_id IN (1, 2, 3)),
+           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
+           |wins AS (SELECT user_id, unnest(generate_series(
+           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
+           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
+           |  FROM span
+           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
+           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
+           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
+           |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN cnt c
+           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+           |segs AS (SELECT unnest(generate_series(0, 4)) AS s),
+           |freqs AS (SELECT unnest(generate_series(0, 4)) AS f),
+           |win8 AS (SELECT i, 0.5 - 0.5 * cos(2 * pi() * i / 7) AS wgt
+           |  FROM (SELECT unnest(generate_series(0, 7)) AS i)),
+           |wss AS (SELECT sum(wgt * wgt) AS winsumsq FROM win8),
+           |sums AS (SELECT v.user_id, v.w, segs.s, freqs.f,
+           |    sum(v.v * w8.wgt * cos(2 * pi() * freqs.f * w8.i / 8)) AS re,
+           |    sum(v.v * w8.wgt * sin(2 * pi() * freqs.f * w8.i / 8)) AS im
+           |  FROM segs JOIN win8 w8 ON true
+           |  JOIN vals v ON v.i = segs.s * 4 + w8.i
+           |  CROSS JOIN freqs
+           |  GROUP BY 1, 2, 3, 4),
+           |spec AS (SELECT user_id, w, s, f,
+           |    (re * re + im * im) * (3600.0 / winsumsq)
+           |      * (CASE WHEN f BETWEEN 1 AND 3 THEN 2 ELSE 1 END) AS p
+           |  FROM sums CROSS JOIN wss),
+           |nrm AS (SELECT user_id, w, list_sum(list(p * p ORDER BY s, f)) AS nsq
+           |  FROM spec GROUP BY 1, 2),
+           |prs AS (SELECT a.user_id, a.w AS w1, b.w AS w2, a.nsq AS n1, b.nsq AS n2
+           |  FROM nrm a JOIN nrm b ON a.user_id = b.user_id AND a.w < b.w),
+           |d1s AS (SELECT unnest(generate_series(-4, 4)) AS d1),
+           |d2s AS (SELECT unnest(generate_series(-4, 4)) AS d2),
+           |cc AS (SELECT p.user_id, p.w1, p.w2, d1s.d1, d2s.d2,
+           |    CASE WHEN sqrt(p.n1) * sqrt(p.n2) = 0 THEN 0
+           |      ELSE sum(s1.p * s2.p) / (sqrt(p.n1) * sqrt(p.n2)) END AS val
+           |  FROM prs p
+           |  JOIN d1s ON true JOIN d2s ON true
+           |  JOIN spec s1 ON s1.user_id = p.user_id AND s1.w = p.w1
+           |  JOIN spec s2 ON s2.user_id = p.user_id AND s2.w = p.w2
+           |    AND s2.s = s1.s - d1s.d1 AND s2.f = s1.f - d2s.d2
+           |  GROUP BY 1, 2, 3, 4, 5, p.n1, p.n2),
+           |best AS (SELECT user_id, w1, w2, max(val) AS val
+           |  FROM cc GROUP BY 1, 2, 3),
+           |lower AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           |    'hourly_events' AS metric,
+           |    make_timestamp(w1 * 1000000) AS time1, make_timestamp(w2 * 1000000) AS time2,
+           |    round(val, 9) AS cc2_max
+           |  FROM best)
+           |SELECT * FROM lower
+           |UNION ALL
+           |SELECT conv_id, metric, time2 AS time1, time1 AS time2, cc2_max
+           |FROM lower""".stripMargin))
 
   val q60 = Q("q60_multimodal_features",
     (s, d) => {
