@@ -1144,7 +1144,66 @@ object Queries {
         .toDF("win_start", "ridge_freq_hz")
         .transform(x => ntz(x, "win_start"))
     },
-    None)
+    // HARD oracle (r3): the ridge needs the CWT coefficient at ONE center
+    // index per scale — two short convolution sums against the integrated
+    // cmor1.5-1.0 wavelet, all SQL-expressible. The 1024-point wavelet
+    // integration is a running window sum; scale subsampling replays the
+    // kernel's trunc(k/(a*step)) index math; coef = -sqrt(a)*diff(conv) at
+    // the center pair. The 12 pseudo-frequencies (1/(2*6^(s/11)*3600)) are
+    // BIT-exact between Java Math.pow and DuckDB pow, and the argmax is
+    // over transcendental-valued magnitudes (no rational plateaus — unlike
+    // q52/q57's integer-domain ties), so the output needs no rounding.
+    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id = 1),
+           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
+           |wins AS (SELECT user_id, unnest(generate_series(
+           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
+           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
+           |  FROM span
+           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
+           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
+           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
+           |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
+           |  FROM grid g LEFT JOIN cnt c
+           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+           |wgrid AS (SELECT g, -8.0 + g * (16.0 / 1023) AS t
+           |  FROM (SELECT unnest(generate_series(0, 1023)) AS g)),
+           |ipsi AS (SELECT g,
+           |    sum((1.0 / sqrt(pi() * 1.5)) * exp(-t * t / 1.5) * cos(2 * pi() * t) * (16.0 / 1023))
+           |      OVER (ORDER BY g) AS ire,
+           |    -sum((1.0 / sqrt(pi() * 1.5)) * exp(-t * t / 1.5) * sin(2 * pi() * t) * (16.0 / 1023))
+           |      OVER (ORDER BY g) AS iim
+           |  FROM wgrid),
+           |scales AS (SELECT s, 2.0 * pow(6.0, s / 11.0) AS a
+           |  FROM (SELECT unnest(generate_series(0, 11)) AS s)),
+           |sub AS (SELECT sc.s, sc.a, k.k,
+           |    CAST(trunc(k.k / (sc.a * (16.0 / 1023))) AS INT) AS j
+           |  FROM scales sc JOIN (SELECT unnest(generate_series(0, 200)) AS k) k
+           |    ON k.k <= CAST(trunc(sc.a * 16.0) AS INT)),
+           |subf AS (SELECT s, a, k, j FROM sub WHERE j < 1024),
+           |mm AS (SELECT s, count(*) AS m FROM subf GROUP BY 1),
+           |wtab AS (SELECT f.s, mm.m - 1 - f.k AS p, i.ire AS wre, i.iim AS wim
+           |  FROM subf f JOIN mm USING (s) JOIN ipsi i ON i.g = f.j),
+           |cpts AS (SELECT s, a, m, CAST(floor((m - 2) / 2.0) AS INT) + 12 AS j0
+           |  FROM mm JOIN scales USING (s)),
+           |conv AS (SELECT v.user_id, v.w, c.s, c.a, c.j0 + pd.d AS j,
+           |    sum(v.v * t.wre) AS cre, sum(v.v * t.wim) AS cim
+           |  FROM cpts c
+           |  JOIN (SELECT 0 AS d UNION ALL SELECT 1 AS d) pd ON true
+           |  JOIN vals v ON true
+           |  JOIN wtab t ON t.s = c.s AND t.p = (c.j0 + pd.d) - v.i
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |coef AS (SELECT a.user_id, a.w, a.s, a.a,
+           |    sqrt(pow(-sqrt(a.a) * (b.cre - a.cre), 2)
+           |       + pow(-sqrt(a.a) * (b.cim - a.cim), 2)) AS mag
+           |  FROM conv a JOIN conv b
+           |    ON a.user_id = b.user_id AND a.w = b.w AND a.s = b.s AND b.j = a.j + 1
+           |  JOIN cpts c ON c.s = a.s AND a.j = c.j0),
+           |ridge AS (SELECT user_id, w, a FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, w ORDER BY mag DESC, s) AS rk
+           |  FROM coef) WHERE rk = 1)
+           |SELECT make_timestamp(w * 1000000) AS win_start, 1.0 / (a * 3600) AS ridge_freq_hz
+           |FROM ridge""".stripMargin))
 
   val q59 = Q("q59_lombscargle",
     (s, d) => {
