@@ -128,12 +128,27 @@ object Dedup {
 
   /** `bits`-bit SimHash signature: bit j = sign of the sum of ±1 over token
     * occurrences, the ±1 being bit j of md5(token)'s 128-bit value.
+    *
+    * The `bits/4` hex-digit decodes are hoisted into a projection BEFORE
+    * the aggregation — one `conv(substring)` per digit per token row —
+    * and each of the `bits` per-bit sums then reads its digit column with
+    * two integer ops. Inlining `bitSign` into the aggregate expressions
+    * instead evaluates `bits` string decodes per token row (subexpression
+    * elimination does not reliably reach into aggregate buffers), which
+    * dominated the signature stage at corpus scale.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
     require(bits <= 128, "md5 provides 128 bits")
+    val nDig = (bits + 3) / 4
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitCols = (1 to bits).map(j => sum(bitSign(col("h"), j)).as(s"s$j"))
+      .select(col("doc_id") +: (1 to nDig).map(dd =>
+        conv(substring(col("h"), dd, 1), 16, 10).cast("int").as(s"d$dd")): _*)
+    val bitCols = (1 to bits).map { j =>
+      val dd = (j - 1) / 4 + 1
+      val w = 1 << (3 - (j - 1) % 4)
+      sum(when((col(s"d$dd") / w).cast("int") % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
     toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         concat((1 to bits).map(j =>
@@ -243,9 +258,12 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.simhash").as("h1"), col("y.simhash").as("h2"))
       .distinct()
-    val ham = (1 to bits).map(j =>
-      when(substring(col("h1"), j, 1) =!= substring(col("h2"), j, 1), lit(1)).otherwise(lit(0)))
-      .reduce(_ + _)
+    // per-band XOR + popcount (4 string→long decodes per side) instead of
+    // `bits` per-character comparisons per candidate pair
+    val ham = (0 until nBands).map { b =>
+      bit_count(conv(substring(col("h1"), w * b + 1, w), 2, 10).cast("long")
+        .bitwiseXOR(conv(substring(col("h2"), w * b + 1, w), 2, 10).cast("long")))
+    }.reduce(_ + _)
     cand.withColumn("hamming", ham)
       .where(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
