@@ -254,4 +254,88 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(got.length == 10, s"expected 10 distinct hashes, got ${got.length}")
     assert(got.distinct.length == 10)
   }
+
+  test("streaming as-of join: sealed left rows equal the batch operator") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // two keys; lefts every 60 s, rights every 150 s (unique right ts/key)
+    val lefts = (for {
+      k <- Seq("A", "B"); i <- 0 until 60
+    } yield (k, t(1000000L + i * 60), (if (k == "A") 0 else 1000) + i.toLong))
+      .toDF("key", "ts", "event_id")
+    val rights = (for {
+      k <- Seq("A", "B"); i <- 0 until 20
+    } yield (k, t(1000000L + 30 + i * 150), (if (k == "A") 0.5 else 100.5) + i))
+      .toDF("key", "ts", "ref_value")
+    val lDir = java.nio.file.Files.createTempDirectory("asof-l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("asof-r").toString
+    lefts.write.mode("overwrite").parquet(lDir)
+    rights.write.mode("overwrite").parquet(rDir)
+
+    val q = graft.streaming.StreamingAsof.leftAsof(
+        spark.readStream.schema(lefts.schema).parquet(lDir),
+        spark.readStream.schema(rights.schema).parquet(rDir))
+      .writeStream.outputMode("append").format("memory").queryName("stream_asof")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT key, event_id, ref_value, asof_ts FROM stream_asof")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.getTimestamp(3)).map(_.getTime))))
+      .toMap
+
+    // batch reference, restricted to lefts the final global watermark
+    // sealed (min of the two inputs' max event times, strict)
+    val wmMs = math.min(
+      lefts.agg(max("ts")).collect()(0).getTimestamp(0).getTime,
+      rights.agg(max("ts")).collect()(0).getTimestamp(0).getTime)
+    val batch = graft.ops.AsofJoin.leftAsof(
+        lefts, rights, Seq("key"), "ts", "ts", Seq("ref_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.getTimestamp(4)).map(_.getTime)))
+      .filter(_._2 < wmMs)
+    assert(batch.nonEmpty && got.nonEmpty)
+    batch.foreach { case (k, _, id, v, rts) =>
+      val g = got.get((k, id))
+      assert(g.isDefined, s"sealed left ($k,$id) missing from the stream")
+      assert(g.get == ((v, rts)), s"($k,$id): stream ${g.get} != batch ${(v, rts)}")
+    }
+    // no duplicates, no unsealed emissions
+    assert(got.size == batch.length,
+      s"stream emitted ${got.size} rows, batch sealed set has ${batch.length}")
+
+    // tolerance path: matches older than 120 s are nulled, and the carry
+    // becomes GC-able — still equal to the batch operator
+    val q2 = graft.streaming.StreamingAsof.leftAsof(
+        spark.readStream.schema(lefts.schema).parquet(lDir),
+        spark.readStream.schema(rights.schema).parquet(rDir),
+        toleranceSec = Some(120L))
+      .writeStream.outputMode("append").format("memory").queryName("stream_asof_tol")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val gotTol = spark.sql("SELECT key, event_id, ref_value, asof_ts FROM stream_asof_tol")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.getTimestamp(3)).map(_.getTime))))
+      .toMap
+    val batchTol = graft.ops.AsofJoin.leftAsof(
+        lefts, rights, Seq("key"), "ts", "ts", Seq("ref_value"),
+        toleranceSec = Some(120L))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.getTimestamp(4)).map(_.getTime)))
+      .filter(_._2 < wmMs)
+    assert(batchTol.exists(_._4.isEmpty), "fixture must exercise stale-match nulling")
+    batchTol.foreach { case (k, _, id, v, rts) =>
+      assert(gotTol.get((k, id)).contains((v, rts)),
+        s"tolerance ($k,$id): stream ${gotTol.get((k, id))} != batch ${(v, rts)}")
+    }
+  }
 }
