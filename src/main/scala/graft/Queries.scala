@@ -995,6 +995,27 @@ object Queries {
     * series of users 1..3 (the sparse form — window assembly reconstructs
     * the zeros, q53's oracle proves the equivalence).
     */
+  /** Shared oracle fragment (q52/q56/q58): gap-filled hourly grid of
+    * per-user event counts assembled into 24 h windows at 12 h stride —
+    * the SQL mirror of `hourlySeries` + `Correlate.windows`. Pre-stripped;
+    * embed inside a stripMargin'd oracle (embedded lines carry no `|`).
+    */
+  private def hourlyGridCtes(filter: String): String =
+    s"""bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+       |  WHERE $filter),
+       |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
+       |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
+       |wins AS (SELECT user_id, unnest(generate_series(
+       |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
+       |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
+       |  FROM span
+       |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
+       |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
+       |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
+       |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
+       |  FROM grid g LEFT JOIN cnt c
+       |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600)""".stripMargin
+
   private def hourlySeries(s: SparkSession, d: String, users: Long*): DataFrame =
     ev(s, d).where(col("user_id").isin(users: _*))
       .groupBy(col("user_id").cast("string").as("conv_id"),
@@ -1058,20 +1079,7 @@ object Queries {
           round(log10(lit(1.0) + col("psd")), 6).as("log_power"))
         .transform(x => ntz(x, "win_start"))
     },
-    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
-           |  WHERE user_id IN (1, 2, 3)),
-           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
-           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
-           |wins AS (SELECT user_id, unnest(generate_series(
-           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
-           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
-           |  FROM span
-           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
-           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
-           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
-           |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
-           |  FROM grid g LEFT JOIN cnt c
-           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+    Some(s"""WITH ${hourlyGridCtes("user_id IN (1, 2, 3)")},
            |segs AS (SELECT unnest(generate_series(0, 4)) AS s),
            |freqs AS (SELECT unnest(generate_series(0, 4)) AS f),
            |win8 AS (SELECT i, 0.5 - 0.5 * cos(2 * pi() * i / 7) AS wgt
@@ -1153,19 +1161,7 @@ object Queries {
     // BIT-exact between Java Math.pow and DuckDB pow, and the argmax is
     // over transcendental-valued magnitudes (no rational plateaus — unlike
     // q52/q57's integer-domain ties), so the output needs no rounding.
-    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id = 1),
-           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
-           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
-           |wins AS (SELECT user_id, unnest(generate_series(
-           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
-           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
-           |  FROM span
-           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
-           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
-           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
-           |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
-           |  FROM grid g LEFT JOIN cnt c
-           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+    Some(s"""WITH ${hourlyGridCtes("user_id = 1")},
            |wgrid AS (SELECT g, -8.0 + g * (16.0 / 1023) AS t
            |  FROM (SELECT unnest(generate_series(0, 1023)) AS g)),
            |ipsi AS (SELECT g,
@@ -1276,20 +1272,7 @@ object Queries {
           round(col("cc2_max"), 9).as("cc2_max"))
         .transform(x => ntz(x, "time1", "time2"))
     },
-    Some("""WITH bth AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events
-           |  WHERE user_id IN (1, 2, 3)),
-           |cnt AS (SELECT user_id, h, count(*) AS c FROM bth GROUP BY 1, 2),
-           |span AS (SELECT user_id, min(epoch(h)) AS t0, max(epoch(h)) AS t1 FROM bth GROUP BY 1),
-           |wins AS (SELECT user_id, unnest(generate_series(
-           |    CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200,
-           |    CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200, 43200)) AS w
-           |  FROM span
-           |  WHERE CAST(ceil(t0 / 43200.0) AS BIGINT) * 43200
-           |    <= CAST(floor((t1 - 86400 + 3600) / 43200.0) AS BIGINT) * 43200),
-           |grid AS (SELECT user_id, w, unnest(generate_series(0, 23)) AS i FROM wins),
-           |vals AS (SELECT g.user_id, g.w, g.i, CAST(coalesce(c.c, 0) AS DOUBLE) AS v
-           |  FROM grid g LEFT JOIN cnt c
-           |    ON c.user_id = g.user_id AND epoch(c.h) = g.w + g.i * 3600),
+    Some(s"""WITH ${hourlyGridCtes("user_id IN (1, 2, 3)")},
            |segs AS (SELECT unnest(generate_series(0, 4)) AS s),
            |freqs AS (SELECT unnest(generate_series(0, 4)) AS f),
            |win8 AS (SELECT i, 0.5 - 0.5 * cos(2 * pi() * i / 7) AS wgt

@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | timelapse | beamform | rollup
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -177,11 +177,11 @@ object Main {
         col("spec"), col("n_seg"), col("n_freq"))
       .as[(String, String, java.sql.Timestamp, Array[Double], Int, Int)]
       .flatMap { case (cid, met, w, spec, nSeg, nFreq) =>
-        if (nSeg >= 3 && nFreq >= 3) {
-          val m = Array.tabulate(nSeg, nFreq)((i, j) => spec(i * nFreq + j))
-          graft.kernel.Signal2d.peakLocalMax(m, minDist, thrRel)
-            .take(maxPeaks).map { case (i, j, v) => (cid, met, w, i, j, v) }
-        } else Nil
+        // peakLocalMax is well-defined for any nSeg, nFreq >= 1 — no
+        // silent window dropping
+        val m = Array.tabulate(nSeg, nFreq)((i, j) => spec(i * nFreq + j))
+        graft.kernel.Signal2d.peakLocalMax(m, minDist, thrRel)
+          .take(maxPeaks).map { case (i, j, v) => (cid, met, w, i, j, v) }
       }
       .toDF("conv_id", "metric", "win_start", "seg_idx", "freq_idx", "power")
       .write.mode("overwrite").parquet(c("output"))

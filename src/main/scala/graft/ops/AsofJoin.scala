@@ -47,23 +47,29 @@ object AsofJoin {
       toleranceSec: Option[Long] = None, tiebreak: Seq[String] = Nil
   ): DataFrame = {
     require(pick.nonEmpty, "pick at least one right column")
+    val reserved = pick :+ "asof_ts"
+    require(left.columns.intersect(reserved).isEmpty,
+      s"left columns collide with the output: ${left.columns.intersect(reserved).mkString(", ")}")
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
-    val rightTypes = pick.map(c => c -> right.schema(c).dataType).toMap
     val tbTypes = tiebreak.map(c => c -> right.schema(c).dataType)
 
-    val l = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTs).as("__ts"), lit(1).as("__side"), leftStruct.as("__l"),
-        lit(null).cast(left.schema(leftTs).dataType).as("asof_ts")) ++
-        pick.map(c => lit(null).cast(rightTypes(c)).as(c)) ++
-        tbTypes.map { case (c, t) => lit(null).cast(t).as(s"__tb_$c") }: _*)
-    val leftLType = l.schema("__l").dataType
+    // ONE struct per right row carries (asof_ts, picks...) together, so
+    // every output value comes from the SAME matched right row even when
+    // some pick columns are null there (a per-column ignoreNulls carry
+    // would mix values across right rows)
+    val rStruct = struct(col(rightTs).as("asof_ts") +: pick.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
-        lit(null).cast(leftLType).as("__l"), col(rightTs).as("asof_ts")) ++
-        pick.map(col) ++
+        col(rightTs).as("__ts"), lit(0).as("__side"), rStruct.as("__r")) ++
         tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val rType = r.schema("__r").dataType
+    val lWithR = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rType).as("__r"), leftStruct.as("__l")) ++
+        tbTypes.map { case (c, t) => lit(null).cast(t).as(s"__tb_$c") }: _*)
+    val rWithL = r.withColumn("__l", lit(null).cast(lWithR.schema("__l").dataType))
+      .select(lWithR.columns.map(col).toIndexedSeq: _*)
 
     // right rows sort BEFORE left rows at equal ts (asof <= semantics)
     val ord: Seq[Column] = col("__ts") +: col("__side") +:
@@ -71,20 +77,18 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (pick :+ "asof_ts").foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = rWithL.unionByName(lWithR)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     val matched = toleranceSec match {
       case Some(tol) =>
-        val stale = col("asof_ts").isNull ||
+        val stale = col("__r").isNull ||
           (unix_micros(col("__ts").cast("timestamp")) -
-            unix_micros(col("asof_ts").cast("timestamp"))) > tol * 1000000L
-        (pick :+ "asof_ts").foldLeft(carried) { (df, c) =>
-          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
-        }
+            unix_micros(col("__r.asof_ts").cast("timestamp"))) > tol * 1000000L
+        carried.withColumn("__r", when(stale, lit(null).cast(rType)).otherwise(col("__r")))
       case None => carried
     }
     matched.where(col("__side") === 1)
-      .select(col("__l.*") +: (pick :+ "asof_ts").map(col): _*)
+      .select(col("__l.*") +: (pick.map(c => col(s"__r.$c").as(c)) :+
+        col("__r.asof_ts").as("asof_ts")): _*)
   }
 }

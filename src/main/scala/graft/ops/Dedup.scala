@@ -258,11 +258,15 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.simhash").as("h1"), col("y.simhash").as("h2"))
       .distinct()
-    // per-band XOR + popcount (4 string→long decodes per side) instead of
-    // `bits` per-character comparisons per candidate pair
-    val ham = (0 until nBands).map { b =>
-      bit_count(conv(substring(col("h1"), w * b + 1, w), 2, 10).cast("long")
-        .bitwiseXOR(conv(substring(col("h2"), w * b + 1, w), 2, 10).cast("long")))
+    // chunked XOR + popcount instead of `bits` per-character comparisons:
+    // Hamming distance is band-agnostic, so decode fixed 16-bit chunks —
+    // always inside a signed long, whatever the band width (a single
+    // per-BAND decode would overflow at w >= 64)
+    val chunk = 16
+    val ham = (0 until (bits + chunk - 1) / chunk).map { c =>
+      val len = math.min(chunk, bits - c * chunk)
+      bit_count(conv(substring(col("h1"), chunk * c + 1, len), 2, 10).cast("long")
+        .bitwiseXOR(conv(substring(col("h2"), chunk * c + 1, len), 2, 10).cast("long")))
     }.reduce(_ + _)
     cand.withColumn("hamming", ham)
       .where(col("hamming") <= maxHamming)

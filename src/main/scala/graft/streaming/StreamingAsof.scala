@@ -66,6 +66,15 @@ object StreamingAsof {
 
     val tolUs = toleranceSec.map(_ * 1000000L)
 
+    // full microsecond precision: Timestamp.getTime truncates to millis,
+    // the sub-ms part lives in getNanos
+    def toUs(ts: Timestamp): Long = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def fromUs(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
     def matchLeft(lts: Long, rights: List[(Long, Double)], carry: Option[(Long, Double)]):
         (Option[Double], Option[Long]) = {
       val cands = rights.filter(_._1 <= lts) ++ carry.filter(_._1 <= lts)
@@ -87,8 +96,8 @@ object StreamingAsof {
       var rights = st0.rights
       var carry = st0.carry
       rows.foreach {
-        case (_, ts, 0, id, _) => lefts = (ts.getTime * 1000L, id) :: lefts
-        case (_, ts, _, _, v)  => rights = (ts.getTime * 1000L, v) :: rights
+        case (_, ts, 0, id, _) => lefts = (toUs(ts), id) :: lefts
+        case (_, ts, _, _, v)  => rights = (toUs(ts), v) :: rights
       }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
 
@@ -98,8 +107,7 @@ object StreamingAsof {
       val (ripe, pending) = lefts.partition(_._1 < wmUs)
       val out = ripe.sortBy(l => (l._1, l._2)).map { case (lts, id) =>
         val (v, rts) = matchLeft(lts, rights, carry)
-        AsofOut(key, id, new Timestamp(lts / 1000L), v,
-          rts.map(t => new Timestamp(t / 1000L)))
+        AsofOut(key, id, fromUs(lts), v, rts.map(fromUs))
       }
 
       // carry forward the newest sealed right; keep unsealed rights

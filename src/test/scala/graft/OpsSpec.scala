@@ -355,16 +355,23 @@ class OpsSpec extends AnyFunSuite {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     val left = Seq(("A", t(10), 1L), ("A", t(20), 2L), ("A", t(30), 3L), ("B", t(15), 4L))
       .toDF("k", "ts", "event_id")
-    val right = Seq(("A", t(10), 1.0), ("A", t(25), 2.0), ("B", t(100), 9.0))
+    val right = Seq(("A", t(10), Some(1.0)), ("A", t(25), Some(2.0)), ("B", t(100), Some(9.0)),
+        ("A", t(28), None)) // a matched right row whose pick value is genuinely NULL
       .toDF("k", "rts", "ref")
     def run(tol: Option[Long]) = graft.ops.AsofJoin.leftAsof(
       left, right, Seq("k"), "ts", "rts", Seq("ref"), toleranceSec = tol)
-      .select(col("event_id"), col("ref")).as[(Long, Option[Double])]
-      .collect().toMap
-    // equal-ts matches (<= semantics); future right rows never match
-    assert(run(None) == Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0), 4L -> None))
-    // tolerance 5 s: A@20 is 10 s past its match -> null; A@30 is exactly 5 s -> kept
-    assert(run(Some(5L)) == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0), 4L -> None))
+      .select(col("event_id"), col("ref"),
+        (unix_micros(col("asof_ts").cast("timestamp")) / 1000000L).cast("long"))
+      .as[(Long, Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // equal-ts matches (<= semantics); future rights never match; A@30's
+    // match IS the null-valued t(28) row (ASOF semantics: null ref carried
+    // from THAT row, never mixed with an older row's value)
+    assert(run(None) == Map(1L -> ((Some(1.0), Some(10L))), 2L -> ((Some(1.0), Some(10L))),
+      3L -> ((None, Some(28L))), 4L -> ((None, None))))
+    // tolerance 5 s: A@20 is 10 s past its match -> nulled; A@30 matched at 2 s -> kept
+    assert(run(Some(5L)) == Map(1L -> ((Some(1.0), Some(10L))), 2L -> ((None, None)),
+      3L -> ((None, Some(28L))), 4L -> ((None, None))))
   }
 
   test("dedup clusters: alternating-star CC == brute-force union-find (path, random, singletons)") {
