@@ -101,6 +101,19 @@ class PlanSpec extends AnyFunSuite {
     assert(keyExchanges == 1, s"want exactly 1 key exchange for the carry-forward window, got $keyExchanges:\n$p")
   }
 
+  test("dedup clusters: star-contraction rounds are equi-joins, never cartesian") {
+    import spark.implicits._
+    // capture the FIRST round's plan shape by running one large-star +
+    // small-star composition on a small edge set: the iteration is a
+    // fixpoint of exactly this plan, so gating one round gates them all
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val nodes = (0L to 5L).toDF("doc_id")
+    val out = graft.ops.Dedup.clusters(e, "d1", "d2", nodes, "doc_id")
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"), s"cartesian in the cluster assembly:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in the cluster assembly:\n$p")
+  }
+
   test("q36: DF cap is groupBy+broadcast anti-join; shingle lineage reused, no window buffer") {
     val df = Queries.q36.fn(spark, "/root/testdata/sf0.001")
     df.collect() // AQE materializes ReusedExchange only in the final plan
