@@ -839,6 +839,77 @@ object Queries {
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     })
 
+  val q48 = Q("q48_ann_recall",
+    // evaluation surface for the ANN family: recall@3 of LSH retrieval
+    // (q42 buckets, Hamming<=1 multi-probe: the query's own bucket + its 8
+    // one-bit-flip neighbors — probe count x9, bucket space unchanged, so
+    // the pattern stays output-bounded at corpus scale) ranked by exact
+    // cosine, against the brute-force truth (q40). n_cand shows the
+    // retrieval funnel; on near-orthogonal synthetic vectors recall is
+    // legitimately low — quantifying that IS the metric's job.
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
+      val buckets = q42.fn(s, d)
+      val probeExpr = // j=0: exact bucket; j=1..8: flip bit j
+        """explode(transform(sequence(0, 8), j -> CASE WHEN j = 0 THEN bucket
+          |  ELSE concat(substring(bucket, 1, j - 1),
+          |    CASE WHEN substring(bucket, j, 1) = '1' THEN '0' ELSE '1' END,
+          |    substring(bucket, j + 1, 8 - j)) END))""".stripMargin
+      val qb = buckets.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), expr(probeExpr).as("bucket"))
+      val cand = qb.join(buckets, Seq("bucket"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+        .join(e, Seq("vec_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(expr(dotSpark.format("qv", "v")) /
+            (sqrt(expr(dotSpark.format("qv", "qv"))) * sqrt(expr(dotSpark.format("v", "v")))), 9)
+            .as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      val retr = scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+      val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      q40.fn(s, d).select(col("q_id"), col("neighbor_id"))
+        .join(retr, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 3.0, 6).as("recall_at_3"))
+        .join(nCand, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("recall_at_3"))
+    },
+    for { knnSql <- q40.oracle; bucketSql <- q42.oracle } yield {
+      s"""WITH truth AS ($knnSql),
+         |b AS ($bucketSql),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |qb AS (SELECT vec_id AS q_id,
+         |    CASE WHEN j = 0 THEN bucket
+         |      ELSE substr(bucket, 1, j - 1)
+         |        || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+         |        || substr(bucket, j + 1, 8 - j) END AS bucket
+         |  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j)
+         |  WHERE vec_id < 5),
+         |cand AS (SELECT q_id, b.vec_id FROM qb JOIN b USING (bucket)
+         |  WHERE b.vec_id <> qb.q_id),
+         |nc AS (SELECT q_id, count(*) AS n_cand FROM cand GROUP BY 1),
+         |scored AS (SELECT c.q_id, c.vec_id AS neighbor_id,
+         |  round(list_sum(list_transform(range(1, 65), i -> eq.v[i] * en.v[i]))
+         |   / (sqrt(list_sum(list_transform(range(1, 65), i -> eq.v[i] * eq.v[i])))
+         |      * sqrt(list_sum(list_transform(range(1, 65), i -> en.v[i] * en.v[i])))), 9) AS cosine
+         |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.vec_id),
+         |retr AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rk FROM scored) WHERE rk <= 3),
+         |rec AS (SELECT t.q_id, round(count(r.neighbor_id) / 3.0, 6) AS recall_at_3
+         |  FROM truth t LEFT JOIN retr r
+         |    ON r.q_id = t.q_id AND r.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT rec.q_id, CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand, rec.recall_at_3
+         |FROM rec LEFT JOIN nc USING (q_id)""".stripMargin
+    })
+
   // ---------------------------------------------------------------- E. flagship pipeline
 
   val q50 = Q("q50_xcorr_e2e",
@@ -1331,7 +1402,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47,
+    q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
   )
 }
