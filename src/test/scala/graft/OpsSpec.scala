@@ -374,6 +374,39 @@ class OpsSpec extends AnyFunSuite {
       3L -> ((None, Some(28L))), 4L -> ((None, None))))
   }
 
+  test("asof join: seeded random data == brute-force reference (with and without tolerance)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val keys = Seq("k1", "k2", "k3", "k4")
+      val lefts = (0 until 150).map { i =>
+        (keys(rnd.nextInt(4)), new java.sql.Timestamp(rnd.nextInt(500) * 1000L), i.toLong)
+      }
+      // unique (key, ts) on the right so ties cannot make the match ambiguous
+      val rights = rnd.shuffle(
+        for { k <- keys; t <- 0 until 500 by 7 } yield (k, t))
+        .take(60).map { case (k, t) =>
+          (k, new java.sql.Timestamp(t * 1000L), rnd.nextDouble()) }
+      val lDf = lefts.toDF("k", "ts", "event_id")
+      val rDf = rights.toDF("k", "ts", "ref")
+      for (tol <- Seq(None, Some(20L))) {
+        val got = graft.ops.AsofJoin.leftAsof(lDf, rDf, Seq("k"), "ts", "ts",
+            Seq("ref"), toleranceSec = tol)
+          .select(col("event_id"), col("ref")).as[(Long, Option[Double])]
+          .collect().toMap
+        lefts.foreach { case (k, lts, id) =>
+          val cands = rights.filter(r => r._1 == k && !r._2.after(lts))
+          val expect = if (cands.isEmpty) None else {
+            val m = cands.maxBy(_._2.getTime)
+            if (tol.exists(t => lts.getTime - m._2.getTime > t * 1000L)) None
+            else Some(m._3)
+          }
+          assert(got(id) == expect, s"trial $trial tol=$tol left ($k,$lts,$id)")
+        }
+      }
+    }
+  }
+
   test("dedup clusters: alternating-star CC == brute-force union-find (path, random, singletons)") {
     import spark.implicits._
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
