@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -250,9 +250,55 @@ object Main {
     s"rollup -> ${c("output")}/tier_{1m,1h,1d}"
   }
 
+  /** dedup — near-duplicate cluster assignment over a documents table
+    * (engine-new; no reference counterpart). Keys: input (parquet with
+    * id_col + text_col), output, mode = exact | minhash (default),
+    * id_col, text_col, ngram, n_hashes, rows_per_band. Output one row per
+    * document: (doc_id, cluster_id, keep) — keep marks the canonical
+    * (minimum-id) member of each near-dup group.
+    */
+  def dedup(spark: SparkSession, c: Conf): String = {
+    import graft.ops.Dedup
+    val in = spark.read.parquet(c("input"))
+    val idCol = c.get("id_col", "doc_id")
+    val textCol = c.get("text_col", "text")
+    val edges = c.get("mode", "minhash") match {
+      case "minhash" => Dedup.minhashLshCandidates(in, idCol, textCol,
+        n = c.int("ngram", 3), nHashes = c.int("n_hashes", 8),
+        rowsPerBand = c.int("rows_per_band", 2))
+      case "exact" =>
+        val h = in.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+        val keep = h.groupBy(col("h")).agg(min(col("doc_id")).as("d1"))
+        h.join(keep, "h").where(col("doc_id") =!= col("d1"))
+          .select(col("d1"), col("doc_id").as("d2"))
+      case m => throw new IllegalArgumentException(s"unknown dedup mode '$m'")
+    }
+    Dedup.clusters(edges, "d1", "d2", in, idCol)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .write.mode("overwrite").parquet(c("output"))
+    s"dedup -> ${c("output")}"
+  }
+
+  /** asof — as-of enrichment of an event table from a reference table.
+    * Keys: left, right (parquet paths), output, keys (comma-separated),
+    * left_ts, right_ts, pick (comma-separated right columns),
+    * tolerance_sec (optional).
+    */
+  def asof(spark: SparkSession, c: Conf): String = {
+    val out = graft.ops.AsofJoin.leftAsof(
+      spark.read.parquet(c("left")), spark.read.parquet(c("right")),
+      keys = c("keys").split(',').map(_.trim).toSeq,
+      leftTs = c.get("left_ts", "ts"), rightTs = c.get("right_ts", "ts"),
+      pick = c("pick").split(',').map(_.trim).toSeq,
+      toleranceSec = c.opt("tolerance_sec").map(_.toLong))
+    out.write.mode("overwrite").parquet(c("output"))
+    s"asof -> ${c("output")}"
+  }
+
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
-    "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup)
+    "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
+    "dedup" -> dedup, "asof" -> asof)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

@@ -92,6 +92,38 @@ class CliSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0) <= 3)
   }
 
+  test("dedup and asof commands run end-to-end from properties files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val dDir = out()
+    cli.Main.run("dedup", conf("input" -> docs, "output" -> dDir, "mode" -> "minhash"))
+    val cl = spark.read.parquet(dDir)
+    val nDocs = spark.read.parquet(docs).count()
+    assert(cl.count() == nDocs, "one row per document")
+    assert(cl.columns.sorted.sameElements(Array("cluster_id", "doc_id", "keep")))
+    // every cluster id is its own keeper; keepers <= docs
+    assert(cl.where(col("keep")).count() == cl.select(col("cluster_id")).distinct().count())
+
+    val eDir = out()
+    cli.Main.run("dedup", conf("input" -> docs, "output" -> eDir, "mode" -> "exact"))
+    assert(spark.read.parquet(eDir).count() == nDocs)
+
+    val events = "/root/testdata/sf0.001/events.parquet"
+    val refDir = out()
+    spark.read.parquet(events)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+      .write.parquet(refDir)
+    val aDir = out()
+    cli.Main.run("asof", conf(
+      "left" -> events, "right" -> refDir, "output" -> aDir,
+      "keys" -> "user_id", "pick" -> "ref_value", "tolerance_sec" -> "3600"))
+    val a = spark.read.parquet(aDir)
+    assert(a.count() == spark.read.parquet(events).count())
+    assert(a.columns.contains("asof_ts") && a.columns.contains("ref_value"))
+  }
+
   test("unknown command and missing keys fail with usable messages") {
     intercept[IllegalArgumentException](cli.Main.run("nope", conf("input" -> "x")))
     val e = intercept[IllegalArgumentException](
