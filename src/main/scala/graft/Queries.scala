@@ -454,6 +454,23 @@ object Queries {
            |FROM events e ASOF LEFT JOIN r
            |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin))
 
+  val q28 = Q("q28_percentile_rollup",
+    // exact-percentile continuous aggregate (p50/p95 per user per day) —
+    // the quantile face of the rollup tiers. Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation-at-rank-p(n-1)
+    // definition; round(6) absorbs the last-ulp interpolation arithmetic.
+    (s, d) => ev(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n")),
+    Some("""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           |  round(quantile_cont(value, 0.5), 6) AS p50,
+           |  round(quantile_cont(value, 0.95), 6) AS p95,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   val q23 = Q("q23_lttb_downsample",
     (s, d) => {
       val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
@@ -1400,7 +1417,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60

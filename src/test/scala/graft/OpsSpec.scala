@@ -440,6 +440,22 @@ class OpsSpec extends AnyFunSuite {
     assert(run(5, Nil) == (0L until 5L).map(i => i -> i).toMap)
   }
 
+  test("simhash candidates: chunked Hamming is exact at 128-bit signatures (64-bit bands)") {
+    import spark.implicits._
+    // the configuration a single per-band long decode overflowed on:
+    // bits=128, nBands=2 -> band width 64. Cross-check against a direct
+    // per-character count on signatures with known distances
+    val a = "1" * 128
+    val b = "1" * 60 + "0" * 3 + "1" * 65 // vs a: hamming 3; shares band 1
+    val c = "0" * 2 + "1" * 126           // vs a: hamming 2; shares band 1
+    val sig = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "simhash")
+    val got = graft.ops.Dedup.simhashCandidates(sig, bits = 128, nBands = 2, maxHamming = 127)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def ham(x: String, y: String) = x.zip(y).count { case (p, q) => p != q }
+    assert(got((1L, 2L)) == ham(a, b) && got((1L, 3L)) == ham(a, c) && got((2L, 3L)) == ham(b, c),
+      s"got $got, want ${ham(a, b)}/${ham(a, c)}/${ham(b, c)}")
+  }
+
   test("postprocess per-pair celerity lag windows mask two pairs differently in one pass") {
     import spark.implicits._
     import graft.core.CcRow
