@@ -471,6 +471,113 @@ object Queries {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** q29's filter constants, computed ONCE with the exact code path the
+    * engine's registry op uses (param string → toDouble → butter →
+    * sosfiltZi), then inlined into the oracle as shortest-round-trip
+    * decimal literals (Double.toString ↔ DuckDB strtod are both
+    * correctly-rounded, so the constants are bit-identical cross-engine).
+    */
+  private lazy val q29Filter: (graft.kernel.Filter.Sos, Array[Double], String) = {
+    val freqStr = (1.0 / 43200).toString          // highpass cutoff, Hz (12 h period)
+    val fs = 1e6 / 3600000000L                    // what perKeyKernel computes for an hourly grid
+    val wn = freqStr.toDouble / (fs / 2)
+    val sos = graft.kernel.Filter.butter(2, Array(wn), "highpass")
+    require(sos.length == 1)
+    (sos(0), graft.kernel.Filter.sosfiltZi(sos)(0), freqStr)
+  }
+
+  val q29 = Q("q29_filtfilt",
+    // the zero-phase Butterworth IIR filter — long claimed "not
+    // SQL-expressible" — as a HARD oracle: filter DESIGN math stays in
+    // Scala (constants inlined as round-trip literals), and the oracle
+    // replays only scipy-semantics sosfiltfilt mechanics: odd extension,
+    // zi-seeded forward recurrence, reversal, zi-seeded backward
+    // recurrence, crop. Identical IEEE expression trees per step on
+    // identical doubles → BIT-exact output, no rounding. Engine side runs
+    // the real user surface (Preprocess registry 'filter' via
+    // perKeyKernel) on gap-filled hourly counts. The oracle fixes
+    // padlen = 9 (valid whenever every series is longer than 10 samples —
+    // the kernel's min(9, n-1) branch); a guard empties the output and
+    // fails the gate loudly if any series is ever that short.
+    (s, d) => {
+      val (_, _, freqStr) = q29Filter
+      val b = ev(s, d).where(col("user_id").isin(1L, 2L, 3L))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val spans = b.groupBy(col("user_id")).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = spans.select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("ts"))
+      val series = grid
+        .join(b, grid("user_id") === b("user_id") && grid("ts") === b("h"), "left")
+        .select(grid("user_id").cast("string").as("conv_id"),
+          lit("hourly_events").as("metric"), grid("ts"),
+          coalesce(col("c"), lit(0L)).cast("double").as("value"))
+      graft.ops.Preprocess(series, Seq("filter" ->
+          Map("type" -> "highpass", "freq" -> freqStr, "order" -> "2")))
+        .select(col("conv_id").cast("long").as("user_id"), col("ts"),
+          col("value").as("filtered"))
+        .transform(x => ntz(x, "ts"))
+    },
+    Some {
+      val (sos, zi, _) = q29Filter
+      val (b0, b1, b2, a1, a2) = (sos.b0.toString, sos.b1.toString, sos.b2.toString,
+        sos.a1.toString, sos.a2.toString)
+      val (z0c, z1c) = (zi(0).toString, zi(1).toString)
+      s"""WITH RECURSIVE bb AS MATERIALIZED (SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+         |  FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2),
+         |sp AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM bb GROUP BY 1),
+         |gr AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM sp),
+         |x AS MATERIALIZED (SELECT gr.user_id, gr.ts,
+         |    row_number() OVER (PARTITION BY gr.user_id ORDER BY gr.ts) - 1 AS i,
+         |    CAST(coalesce(bb.c, 0) AS DOUBLE) AS v
+         |  FROM gr LEFT JOIN bb ON gr.user_id = bb.user_id AND gr.ts = bb.h),
+         |nn AS MATERIALIZED (SELECT user_id, count(*) AS n FROM x GROUP BY 1),
+         |pd AS (SELECT unnest(generate_series(0, 8)) AS p),
+         |ext AS MATERIALIZED (
+         |  SELECT nn.user_id, pd.p AS i, 2 * x0.v - xr.v AS v
+         |  FROM nn JOIN pd ON true
+         |  JOIN x x0 ON x0.user_id = nn.user_id AND x0.i = 0
+         |  JOIN x xr ON xr.user_id = nn.user_id AND xr.i = 9 - pd.p
+         |  UNION ALL SELECT user_id, i + 9, v FROM x
+         |  UNION ALL
+         |  SELECT nn.user_id, nn.n + 9 + pd.p, 2 * xl.v - xr.v
+         |  FROM nn JOIN pd ON true
+         |  JOIN x xl ON xl.user_id = nn.user_id AND xl.i = nn.n - 1
+         |  JOIN x xr ON xr.user_id = nn.user_id AND xr.i = nn.n - 2 - pd.p),
+         |fwd(user_id, i, y, z0, z1) AS (
+         |  SELECT e.user_id, 0, $b0 * e.v + $z0c * e.v,
+         |    $b1 * e.v - $a1 * ($b0 * e.v + $z0c * e.v) + $z1c * e.v,
+         |    $b2 * e.v - $a2 * ($b0 * e.v + $z0c * e.v)
+         |  FROM ext e WHERE e.i = 0
+         |  UNION ALL
+         |  SELECT user_id, i, y, $b1 * v - $a1 * y + z1p, $b2 * v - $a2 * y FROM (
+         |    SELECT s.user_id, s.i + 1 AS i, e.v AS v, $b0 * e.v + s.z0 AS y, s.z1 AS z1p
+         |    FROM fwd s
+         |    JOIN nn ON nn.user_id = s.user_id
+         |    JOIN ext e ON e.user_id = s.user_id AND e.i = s.i + 1
+         |    WHERE s.i < nn.n + 17) q),
+         |fr AS MATERIALIZED (SELECT f.user_id, nn.n + 17 - f.i AS i, f.y AS v
+         |  FROM fwd f JOIN nn ON nn.user_id = f.user_id),
+         |bwd(user_id, i, y, z0, z1) AS (
+         |  SELECT e.user_id, 0, $b0 * e.v + $z0c * e.v,
+         |    $b1 * e.v - $a1 * ($b0 * e.v + $z0c * e.v) + $z1c * e.v,
+         |    $b2 * e.v - $a2 * ($b0 * e.v + $z0c * e.v)
+         |  FROM fr e WHERE e.i = 0
+         |  UNION ALL
+         |  SELECT user_id, i, y, $b1 * v - $a1 * y + z1p, $b2 * v - $a2 * y FROM (
+         |    SELECT s.user_id, s.i + 1 AS i, e.v AS v, $b0 * e.v + s.z0 AS y, s.z1 AS z1p
+         |    FROM bwd s
+         |    JOIN nn ON nn.user_id = s.user_id
+         |    JOIN fr e ON e.user_id = s.user_id AND e.i = s.i + 1
+         |    WHERE s.i < nn.n + 17) q)
+         |SELECT b.user_id, x.ts, b.y AS filtered
+         |FROM bwd b
+         |JOIN nn ON nn.user_id = b.user_id
+         |JOIN x ON x.user_id = b.user_id AND x.i = nn.n + 17 - b.i - 9
+         |WHERE nn.n + 17 - b.i BETWEEN 9 AND nn.n + 8
+         |  AND (SELECT min(n) FROM nn) > 9""".stripMargin
+    })
+
   val q23 = Q("q23_lttb_downsample",
     (s, d) => {
       val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
@@ -1417,7 +1524,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
