@@ -1223,8 +1223,11 @@ object Queries {
     (s, d) => {
       // the full postprocess chain (unbias → demean → taper → timeshift →
       // highpass filtfilt → taper → lag-window) + snr over DISTRIBUTED
-      // windowed CC on a stored table — filtfilt is not SQL-expressible,
-      // so rows-only here; the chain is golden-tested in OpsSpec
+      // windowed CC on a stored table — rows-only: the filter STAGE is
+      // bit-exactly oracled in isolation (q29), but replaying the whole
+      // 7-stage composition (incl. FFT timeshift) in SQL would be an
+      // oracle larger than the engine; the chain is golden-tested in
+      // OpsSpec against manual stage composition
       import s.implicits._
       val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
       val pairs = Seq(("1", "2"), ("2", "3")).toDF("conv_a", "conv_b")
