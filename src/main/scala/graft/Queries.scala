@@ -1525,11 +1525,111 @@ object Queries {
     },
     None)
 
+  val q61 = Q("q61_multimodal_headers",
+    (s, d) => {
+      // HARD oracle for the multimodal header-DECODE path (r3 verdict item
+      // #3): media table whose header fields are integer arithmetic of the
+      // asset id, REAL GRFT1 byte encode → real byte decode (magic/version
+      // checks, big-endian u16/u32 reads, declared-length validation), and
+      // the oracle recomputes every decoded field from generate_series
+      // arithmetic — decode-vs-truth equality, all-integer, hash-exact.
+      // Only the body math (histogram q60 / resize) stays rows-only.
+      graft.ops.Multimodal.decodeHeaders(graft.ops.Multimodal.deterministic(s, 200))
+    },
+    Some("""WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i)
+           |SELECT i AS asset_id,
+           | CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           | CAST(CASE i % 3 WHEN 0 THEN 16 + (7*i)%17 WHEN 1 THEN 0 ELSE 8 + (3*i)%9 END AS BIGINT) AS width,
+           | CAST(CASE i % 3 WHEN 0 THEN 16 + (5*i)%17 WHEN 1 THEN 0 ELSE 8 + (11*i)%9 END AS BIGINT) AS height,
+           | CAST(CASE i % 3 WHEN 1 THEN 8000 + (i%5)*2000 ELSE 0 END AS BIGINT) AS sample_rate,
+           | CAST(CASE i % 3 WHEN 1 THEN 512 + (31*i)%512 ELSE 0 END AS BIGINT) AS n_samples,
+           | CAST(CASE i % 3 WHEN 2 THEN 2 + (13*i)%15 ELSE 1 END AS BIGINT) AS n_frames,
+           | CAST(CASE i % 3 WHEN 0 THEN (16 + (7*i)%17) * (16 + (5*i)%17)
+           |   WHEN 1 THEN 2 * (512 + (31*i)%512)
+           |   ELSE (2 + (13*i)%15) * (8 + (3*i)%9) * (8 + (11*i)%9) END AS BIGINT) AS declared_body_len,
+           | CAST(CASE i % 3 WHEN 0 THEN (16 + (7*i)%17) * (16 + (5*i)%17)
+           |   WHEN 1 THEN 2 * (512 + (31*i)%512)
+           |   ELSE (2 + (13*i)%15) * (8 + (3*i)%9) * (8 + (11*i)%9) END AS BIGINT) AS actual_body_len
+           |FROM ids""".stripMargin))
+
+  val q62 = Q("q62_beamform_solve",
+    (s, d) => {
+      // q57 split (r3 verdict item #4): the beamform LSE solve stage
+      // (AᵀA)⁻¹Aᵀτ fed PINNED per-pair delays — taus derived from stored
+      // per-day event counts of three "receivers" on the fixed triangle
+      // (0,0)/(1000,0)/(0,1000), so the pair-difference matrix A is a
+      // literal and the whole solve (slowness, residual) is an identical
+      // IEEE expression tree on both engines (q29's inline-constants
+      // pattern): sx/sy/residual hash UNROUNDED. Only doa (libm atan2 /
+      // degrees ordering) and velocity (Math.hypot vs sqrt-of-squares)
+      // differ ~1 ulp across engines → round(6). The argmax delay PICK
+      // stays rows-only in q57 with its tie taxonomy documented.
+      import s.implicits._
+      ev(s, d).where(col("user_id").isin(1, 2, 3))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          sum(when(col("user_id") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("user_id") === 2, 1L).otherwise(0L)).as("c2"),
+          sum(when(col("user_id") === 3, 1L).otherwise(0L)).as("c3"))
+        .where(col("c1") > 0 && col("c2") > 0 && col("c3") > 0)
+        .select(col("day"),
+          ((col("c2") - col("c1")) / 100.0).as("t12"),
+          ((col("c3") - col("c1")) / 100.0).as("t13"),
+          ((col("c3") - col("c2")) / 100.0).as("t23"))
+        .as[(java.sql.Timestamp, Double, Double, Double)]
+        .mapPartitions { it =>
+          // pairs (1,2)/(1,3)/(2,3) on the fixed triangle -> A rows
+          val a = Array(Array(1000.0, 0.0), Array(0.0, 1000.0), Array(-1000.0, 1000.0))
+          it.map { case (day, t12, t13, t23) =>
+            val r = graft.kernel.Beamform.solve(a, Array(t12, t13, t23))
+            (day, r.sx, r.sy,
+              BigDecimal(r.doaDeg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              if (r.velocity.isInfinite) None
+              else Some(BigDecimal(r.velocity).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+              r.residual)
+          }
+        }
+        .toDF("day", "sx", "sy", "doa_deg", "velocity", "residual")
+        .transform(x => ntz(x, "day"))
+    },
+    // A = [[1000,0],[0,1000],[-1000,1000]] -> AᵀA = [[2e6,-1e6],[-1e6,2e6]],
+    // det = 3e12; sx = (2e6·b0 + 1e6·b1)/det, sy = (2e6·b1 + 1e6·b0)/det
+    // with b0 = 1000·t12 - 1000·t23, b1 = 1000·t13 + 1000·t23 — written so
+    // each product/sum matches the engine's accumulation order bitwise.
+    Some("""WITH c AS (SELECT date_trunc('day', ts) AS day,
+           |    CAST(sum(CASE WHEN user_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(sum(CASE WHEN user_id = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           |    CAST(sum(CASE WHEN user_id = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+           |  FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1
+           |  HAVING sum(CASE WHEN user_id = 1 THEN 1 ELSE 0 END) > 0
+           |    AND sum(CASE WHEN user_id = 2 THEN 1 ELSE 0 END) > 0
+           |    AND sum(CASE WHEN user_id = 3 THEN 1 ELSE 0 END) > 0),
+           |t AS (SELECT day, (c2 - c1) / 100.0 AS t12, (c3 - c1) / 100.0 AS t13,
+           |    (c3 - c2) / 100.0 AS t23 FROM c),
+           |b AS (SELECT day, t12, t13, t23,
+           |    1000.0 * t12 - 1000.0 * t23 AS b0,
+           |    1000.0 * t13 + 1000.0 * t23 AS b1 FROM t),
+           |sol AS (SELECT day, t12, t13, t23,
+           |    (2000000.0 * b0 + 1000000.0 * b1) / 3000000000000.0 AS sx,
+           |    (2000000.0 * b1 + 1000000.0 * b0) / 3000000000000.0 AS sy
+           |  FROM b),
+           |r AS (SELECT day, sx, sy,
+           |    1000.0 * sx + 0.0 * sy - t12 AS r1,
+           |    0.0 * sx + 1000.0 * sy - t13 AS r2,
+           |    -1000.0 * sx + 1000.0 * sy - t23 AS r3
+           |  FROM sol)
+           |SELECT day, sx, sy,
+           |  round(fmod(degrees(atan2(sx, sy)) + 360.0, 360.0), 6) AS doa_deg,
+           |  CASE WHEN sx * sx + sy * sy = 0 THEN NULL
+           |    ELSE round(1.0 / sqrt(sx * sx + sy * sy), 6) END AS velocity,
+           |  r1 * r1 + r2 * r2 + r3 * r3 AS residual
+           |FROM r""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62
   )
 }

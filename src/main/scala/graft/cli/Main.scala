@@ -68,8 +68,13 @@ object Main {
   /** cc — the production driver (↔ scripts/cc.py + core/process.py):
     * transcripts → checkpoint-resumable pairwise windowed CC table.
     * Keys: input, output, step_sec, window_sec, stride_sec, normalize,
-    * clip_lag_sec, pairs (optional parquet of conv_a/conv_b; default all
-    * pairs), retry_missing.
+    * clip_lag_sec, pairs (optional parquet of conv_a/conv_b), retry_missing,
+    * max_auto_pairs_convs. Without an explicit `pairs` table the implicit
+    * all-pairs fallback is GUARDED: it refuses above `max_auto_pairs_convs`
+    * (default 1024) distinct conversations, because the triangular pairing
+    * is quadratic — at corpus scale the pair list is production CONFIG, not
+    * something a CLI default should synthesize (the reference reads its
+    * pair list from explicit config, scripts/cc.py:136-145).
     */
   def cc(spark: SparkSession, c: Conf): String = {
     val t = spark.read.parquet(c("input"))
@@ -82,7 +87,8 @@ object Main {
       hashInputs = c.bool("hash_inputs", false))
     val pairs = c.opt("pairs") match {
       case Some(p) => spark.read.parquet(p)
-      case None    => Correlate.allPairs(Ingest.seriesSparse(t, cfg.stepSec))
+      case None    => Correlate.allPairs(Ingest.seriesSparse(t, cfg.stepSec),
+        maxConvs = c.long("max_auto_pairs_convs", 1024))
     }
     val st = ProcessJob.run(spark, t, pairs, c("output"), cfg,
       retryMissing = c.bool("retry_missing", false))

@@ -46,11 +46,25 @@ object Beamform {
       // negated argmax shift
       tau(k) = -(best - rxy.length / 2) * delta
     }
-    // normal equations: s = (A^T A)^-1 A^T tau (2x2 solve — beamform.py:142-154)
+    solve(a, tau)
+  }
+
+  /** The least-squares solve stage in isolation: s = (AᵀA)⁻¹Aᵀτ by normal
+    * equations (2×2 closed form — beamform.py:142-154), then DOA/velocity/
+    * residual. Split out of [[planeWave]] so the deterministic math can be
+    * fed PINNED per-pair delays and oracle-checked as closed-form SQL
+    * arithmetic (q62) independently of the argmax delay pick (whose
+    * integer-plateau ties are the documented untestable part of q57).
+    *
+    * @param a   pairwise coordinate-difference rows (Δx, Δy)
+    * @param tau observed per-pair delays, seconds
+    */
+  def solve(a: Array[Array[Double]], tau: Array[Double]): Result = {
+    require(a.length == tau.length && a.length >= 2, "need >= 2 pair equations")
     var a00 = 0.0; var a01 = 0.0; var a11 = 0.0
     var b0 = 0.0; var b1 = 0.0
     var k = 0
-    while (k < pairs.length) {
+    while (k < a.length) {
       a00 += a(k)(0) * a(k)(0); a01 += a(k)(0) * a(k)(1); a11 += a(k)(1) * a(k)(1)
       b0 += a(k)(0) * tau(k); b1 += a(k)(1) * tau(k)
       k += 1
@@ -61,7 +75,7 @@ object Beamform {
     val sy = (a00 * b1 - a01 * b0) / det
     var e = 0.0
     k = 0
-    while (k < pairs.length) {
+    while (k < a.length) {
       val r = a(k)(0) * sx + a(k)(1) * sy - tau(k)
       e += r * r
       k += 1

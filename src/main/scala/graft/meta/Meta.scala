@@ -148,6 +148,16 @@ object TableFormat {
     * overwrite — a concurrent writer racing to the same index fails and
     * retries at the next index instead of silently replacing committed
     * history.
+    *
+    * FILESYSTEM CONTRACT: concurrent-writer safety relies on
+    * rename-without-overwrite being ATOMIC, which HDFS and local
+    * filesystems guarantee but object stores (e.g. S3A) do NOT — there two
+    * racing writers can both "succeed" at one index and a record is
+    * silently lost. On schemes without the atomic-rename guarantee the
+    * commit is verified by reading the destination back: a writer whose
+    * content lost the race deletes nothing it owns and retries at the next
+    * index. (The reference sidesteps this by being single-writer per file,
+    * /root/reference/xcorr/io/write.py:31-184.)
     */
   def appendSnapshot(dir: String, record: Map[String, String]): Unit = {
     val snapDir = new Path(dir, "_snapshots")
@@ -160,15 +170,26 @@ object TableFormat {
         case _          => None
       }).foldLeft(-1)(math.max) + 1
     val fc = FileContext.getFileContext(snapDir.toUri, conf)
+    // schemes where rename(no-overwrite) is atomic; anything else (s3a,
+    // gs, abfs, ...) gets the read-back verification
+    val atomicRename = Set("file", "hdfs", "viewfs", "webhdfs")
+      .contains(Option(snapDir.toUri.getScheme).getOrElse(fs.getScheme))
+    val payload = Hasher.json(record)
     var attempts = 0
     var committed = false
     while (!committed) {
       val n = nextIndex()
+      val dst = new Path(snapDir, f"snap-$n%05d.json")
       val tmp = new Path(snapDir, s".snap-$n-${java.util.UUID.randomUUID()}.json.tmp")
-      write(tmp, Hasher.json(record))
+      write(tmp, payload)
       try {
-        fc.rename(tmp, new Path(snapDir, f"snap-$n%05d.json")) // NO overwrite
-        committed = true
+        fc.rename(tmp, dst) // NO overwrite
+        committed = atomicRename || {
+          val in = fs.open(dst)
+          val back = try new String(in.readAllBytes(), UTF_8) finally in.close()
+          back == payload // lost a non-atomic race -> retry at next index
+        }
+        if (!committed) attempts += 1
       } catch {
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           fs.delete(tmp, false)

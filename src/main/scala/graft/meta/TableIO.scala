@@ -81,10 +81,18 @@ object TableIO {
     // caller forever
     val rest = dirs.tail.toList.map(d =>
       d -> Future(read(spark, d, requiredColumns, headHash, maskStatus)))
-    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    // Per-dir budget, not one shared deadline: with a shared deadline one
+    // slow-but-healthy early dir eats the budget and spuriously times out
+    // the rest. All futures run CONCURRENTLY, so waiting `timeoutSec` at
+    // each in turn still bounds the total wall clock by
+    // timeoutSec + max(read time), while every dir gets its full budget.
+    // Caveat (JVM futures are not cancelable): a timed-out read keeps
+    // running detached on the global ExecutionContext until its filesystem
+    // call returns — the ValidationError names the offender so the caller
+    // can act, but the thread itself is only reclaimed when the read
+    // completes or the session dies.
     head +: rest.map { case (d, f) =>
-      val left = math.max(deadline - System.nanoTime(), 0L)
-      try Await.result(f, left.nanos)
+      try Await.result(f, timeoutSec.seconds)
       catch {
         case _: TimeoutException =>
           throw ValidationError(s"validateList timed out after ${timeoutSec}s waiting on $d")

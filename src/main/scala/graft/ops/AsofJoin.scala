@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: the window partitions by key only, so ONE key's full
   * history must fit a partition — the right-sized grain for conv/user keys
-  * (bounded per-key history). For a pathologically hot key, the same
-  * carry-forward works over (key, time-bucket) partitions with a per-bucket
-  * boundary hand-off — the bucketed-islands pattern `Trigger.periods`
-  * implements (Trigger.scala:55-98).
+  * (bounded per-key history). For a pathologically hot key use
+  * [[leftAsofBucketed]]: the same carry-forward over (key, time-bucket)
+  * partitions with a per-bucket boundary hand-off — the bucketed-islands
+  * pattern `Trigger.periods` implements (Trigger.scala:55-98).
   *
   * Right-side ties (two right rows at the same key+ts) resolve to the later
   * row in (ts, tiebreak...) order; pass `tiebreak` columns or pre-dedupe
@@ -90,5 +90,107 @@ object AsofJoin {
     matched.where(col("__side") === 1)
       .select(col("__l.*") +: (pick.map(c => col(s"__r.$c").as(c)) :+
         col("__r.asof_ts").as("asof_ts")): _*)
+  }
+
+  /** Hot-key variant of [[leftAsof]]: identical semantics (asserted
+    * equal on seeded random data in OpsSpec), but the carry-forward window
+    * partitions by (key, `bucketSec` time bucket) so a single
+    * pathologically hot key's history spreads across partitions instead of
+    * having to fit one. The per-bucket boundary hand-off runs on the
+    * BUCKET-LEVEL table (one row per (key, bucket) — bounded by
+    * time-range / bucketSec, not by row count), the same islands pattern
+    * as Trigger.periods (Trigger.scala:44-113):
+    *
+    *  1. within-bucket pass — the leftAsof union + running-last window,
+    *     partitioned by (key, bucket);
+    *  2. hand-off — per (key, bucket) the LATEST right struct, carried to
+    *     later buckets by a window over the tiny bucket-level rows (left
+    *     probes sort BEFORE right bucket-lasts at equal bucket, so a probe
+    *     sees only strictly-earlier buckets);
+    *  3. a left row's match = its within-bucket carry, else the hand-off
+    *     from earlier buckets.
+    *
+    * Pick `bucketSec` so one key's rows per bucket fit a partition
+    * (e.g. a day for a key logging thousands of rows per second).
+    */
+  def leftAsofBucketed(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, pick: Seq[String],
+      bucketSec: Long,
+      toleranceSec: Option[Long] = None, tiebreak: Seq[String] = Nil
+  ): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    require(pick.nonEmpty, "pick at least one right column")
+    val reserved = pick :+ "asof_ts"
+    require(left.columns.intersect(reserved).isEmpty,
+      s"left columns collide with the output: ${left.columns.intersect(reserved).mkString(", ")}")
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val tbTypes = tiebreak.map(c => c -> right.schema(c).dataType)
+    val bucketUs = bucketSec * 1000000L
+
+    val rStruct = struct(col(rightTs).as("asof_ts") +: pick.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"), rStruct.as("__r")) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val rType = r.schema("__r").dataType
+    val lWithR = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rType).as("__r"), leftStruct.as("__l")) ++
+        tbTypes.map { case (c, t) => lit(null).cast(t).as(s"__tb_$c") }: _*)
+    val rWithL = r.withColumn("__l", lit(null).cast(lWithR.schema("__l").dataType))
+      .select(lWithR.columns.map(col).toIndexedSeq: _*)
+
+    // floor division (DIV truncates toward zero; pre-epoch needs the floor)
+    val withBkt = rWithL.unionByName(lWithR)
+      .withColumn("__us", unix_micros(col("__ts").cast("timestamp")))
+      .withColumn("__bkt", expr(
+        s"__us DIV $bucketUs + (CASE WHEN __us % $bucketUs < 0 THEN -1 ELSE 0 END)"))
+
+    // 1. within-bucket carry — the leftAsof window, bucket-partitioned
+    val ord: Seq[Column] = col("__ts") +: col("__side") +:
+      tiebreak.map(c => col(s"__tb_$c"))
+    val wIn = Window.partitionBy(keys.map(col) :+ col("__bkt"): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = withBkt
+      .withColumn("__rin", last(col("__r"), ignoreNulls = true).over(wIn))
+
+    // 2. boundary hand-off over the bucket-level rows. Latest-right ties at
+    // identical (ts, tiebreak) resolve arbitrarily — same contract as
+    // leftAsof (pass tiebreak columns or pre-dedupe the right side).
+    val ordStruct = struct(col("__ts") +: tiebreak.map(c => col(s"__tb_$c")): _*)
+    val lastPerBucket = withBkt.where(col("__side") === 0)
+      .groupBy(keys.map(col) :+ col("__bkt"): _*)
+      .agg(max_by(col("__r"), ordStruct).as("__rlast"))
+      .withColumn("__bside", lit(1))
+    val lBuckets = withBkt.where(col("__side") === 1)
+      .select(keys.map(col) :+ col("__bkt"): _*).distinct()
+      .withColumn("__rlast", lit(null).cast(rType))
+      .withColumn("__bside", lit(0))
+    // at equal __bkt the left probe (side 0) sorts FIRST, so its running
+    // last sees only right bucket-lasts from strictly earlier buckets
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bkt"), col("__bside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryIn = lastPerBucket.unionByName(lBuckets)
+      .withColumn("__rprev", last(col("__rlast"), ignoreNulls = true).over(wB))
+      .where(col("__bside") === 0)
+      .select(keys.map(col) ++ Seq(col("__bkt"), col("__rprev")): _*)
+
+    // 3. combine; then the leftAsof tolerance/projection verbatim
+    val combined = carried.where(col("__side") === 1)
+      .join(carryIn, keys :+ "__bkt")
+      .withColumn("__r", coalesce(col("__rin"), col("__rprev")))
+    val matched = toleranceSec match {
+      case Some(tol) =>
+        val stale = col("__r").isNull ||
+          (unix_micros(col("__ts").cast("timestamp")) -
+            unix_micros(col("__r.asof_ts").cast("timestamp"))) > tol * 1000000L
+        combined.withColumn("__r", when(stale, lit(null).cast(rType)).otherwise(col("__r")))
+      case None => combined
+    }
+    matched.select(col("__l.*") +: (pick.map(c => col(s"__r.$c").as(c)) :+
+      col("__r.asof_ts").as("asof_ts")): _*)
   }
 }

@@ -133,9 +133,26 @@ object Correlate {
     * reference's `triu_indices` co-array / tri_mask "compute half" trick
     * (/root/reference/xcorr/signal/tri.py:19-55,
     * /root/reference/xcorr/signal/beamform.py:109-117).
+    *
+    * PRODUCTION CONTRACT: this is an O(n²) pair explosion and is therefore
+    * GUARDED — above `maxConvs` distinct conversations it refuses and the
+    * caller must supply an explicit pair table (or a pairing predicate such
+    * as the ring pairing Bench uses), exactly as the reference takes its
+    * pair list from explicit config
+    * (/root/reference/xcorr/scripts/cc.py:136-145). At corpus scale
+    * (millions of conv_ids) the triangular self-join is a quadratic
+    * candidate explosion before any kernel runs; no default should ever
+    * launch it silently. The pair count is logged before returning.
     */
-  def allPairs(series: DataFrame): DataFrame = {
+  def allPairs(series: DataFrame, maxConvs: Long = 4096): DataFrame = {
     val convs = series.select(col("conv_id")).distinct()
+    val n = convs.count()
+    require(n <= maxConvs,
+      s"allPairs: $n distinct conversations would generate ${n * (n - 1) / 2} " +
+        s"pairs (quadratic). Supply an explicit pairs table (conv_a, conv_b) " +
+        s"or raise maxConvs (currently $maxConvs) if the explosion is intended.")
+    series.sparkSession.sparkContext.setJobDescription(
+      s"allPairs: $n convs -> ${n * (n - 1) / 2} pairs")
     convs.as("a")
       .join(convs.as("b"), col("a.conv_id") < col("b.conv_id"))
       .select(col("a.conv_id").as("conv_a"), col("b.conv_id").as("conv_b"))

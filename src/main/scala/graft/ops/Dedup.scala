@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Max stop-shingle-set size still broadcast in [[ngramJaccard]]'s DF-cap
+    * anti-join; above it the anti-join falls back to a shuffle join.
+    */
+  val hotBroadcastMax: Long = 2_000_000L
+
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -71,7 +76,16 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .where(col("dfc") > dfCap).select(col("sh"))
-    val shc = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    // The stop-shingle set is bounded by total-occurrences/dfCap, which is
+    // tiny at test scale but on a heavy-tailed corpus-scale distribution
+    // can outgrow the driver/broadcast limit — so the broadcast is GUARDED
+    // by an actual count (one cheap map-side-combined agg) with a shuffle
+    // left_anti fallback above the threshold.
+    val hotCount = hot.count()
+    val hotSmall = hotCount <= hotBroadcastMax
+    val shc =
+      if (hotSmall) sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      else sh.join(hot, Seq("sh"), "left_anti")
     shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -198,8 +212,15 @@ object Dedup {
       edges: DataFrame, d1: String, d2: String,
       nodes: DataFrame, nodeCol: String, maxIter: Int = 50
   ): DataFrame = {
-    var e = edges.select(col(d1).as("a"), col(d2).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    // lineage truncation per round: RELIABLE checkpoint when the session
+    // has a checkpoint dir configured (survives executor loss — the
+    // production setting), executor-local otherwise (in-sandbox default;
+    // a lost executor would fail the job mid-iteration)
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var e = truncate(edges.select(col(d1).as("a"), col(d2).as("b"))
+      .where(col("a") =!= col("b")).distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
@@ -229,9 +250,16 @@ object Dedup {
     var converged = e.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(e)))
       val nfp = fingerprint(next)
-      converged = nfp == fp
+      if (nfp == fp) {
+        // The fingerprint is probabilistic (count + xxhash64 sum): a
+        // collision between consecutive DIFFERENT edge sets would
+        // terminate early with silently wrong clusters. Confirm the
+        // fixpoint EXACTLY once, on fingerprint equality only — one extra
+        // anti-join pass at the end, never in the hot loop.
+        converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      }
       fp = nfp; e = next; it += 1
     }
     require(converged, s"clusters() did not converge in $maxIter rounds")

@@ -85,6 +85,84 @@ object Multimodal {
     }.toDF("asset_id", "kind", "bytes", "width", "height", "sample_rate", "n_frames")
   }
 
+  /** Deterministic media table whose HEADER fields are pure integer
+    * arithmetic of the asset id (bodies stay seeded-random bytes) — the
+    * oracle-able variant of [[synthesize]]: a DuckDB oracle recomputes the
+    * same fields from `generate_series` arithmetic, so the real byte-level
+    * header DECODE (magic/version/kind dispatch, u16/u32 big-endian reads,
+    * declared-length validation) is hash-gated end-to-end (q61). Field
+    * rules, `i` = asset_id:
+    *   image (i%3==0): w = 16 + (7i)%17,  h = 16 + (5i)%17
+    *   audio (i%3==1): sr = 8000 + (i%5)*2000, ns = 512 + (31i)%512
+    *   video (i%3==2): w = 8 + (3i)%9, h = 8 + (11i)%9, nf = 2 + (13i)%15
+    */
+  def deterministic(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n.toLong).map { i =>
+      val rng = new java.util.Random(0x0dd5 ^ i)
+      (i % 3).toInt match {
+        case 0 =>
+          val w = (16 + (7 * i) % 17).toInt
+          val h = (16 + (5 * i) % 17).toInt
+          val bb = ByteBuffer.allocate(6 + 4 + w * h)
+          bb.put(Magic).put(1.toByte).put(0.toByte)
+          bb.putShort(w.toShort).putShort(h.toShort)
+          val px = new Array[Byte](w * h)
+          rng.nextBytes(px)
+          bb.put(px)
+          (i, "image", bb.array())
+        case 1 =>
+          val sr = (8000 + (i % 5) * 2000).toInt
+          val ns = (512 + (31 * i) % 512).toInt
+          val bb = ByteBuffer.allocate(6 + 8 + 2 * ns)
+          bb.put(Magic).put(1.toByte).put(1.toByte)
+          bb.putInt(sr).putInt(ns)
+          var k = 0
+          while (k < ns) { bb.putShort(((rng.nextInt(65536)) - 32768).toShort); k += 1 }
+          (i, "audio", bb.array())
+        case _ =>
+          val w = (8 + (3 * i) % 9).toInt
+          val h = (8 + (11 * i) % 9).toInt
+          val nf = (2 + (13 * i) % 15).toInt
+          val bb = ByteBuffer.allocate(6 + 6 + nf * w * h)
+          bb.put(Magic).put(1.toByte).put(2.toByte)
+          bb.putShort(w.toShort).putShort(h.toShort).putShort(nf.toShort)
+          val px = new Array[Byte](nf * w * h)
+          rng.nextBytes(px)
+          bb.put(px)
+          (i, "video", bb.array())
+      }
+    }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Decode every asset's header fields from the RAW bytes (no metadata
+    * columns consulted) — the q61 oracle surface: per-kind decoded fields
+    * plus the declared body length and the ACTUAL trailing byte count, so
+    * the size-validation arithmetic is checked too.
+    */
+  def decodeHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = parseHeader(bytes)
+          val kind = h.kind match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+          val declared = h.kind match {
+            case 0 => h.width.toLong * h.height
+            case 1 => 2L * h.nSamples
+            case _ => h.nFrames.toLong * h.width * h.height
+          }
+          (id, kind, h.width.toLong, h.height.toLong, h.sampleRate.toLong,
+            h.nSamples.toLong, h.nFrames.toLong, declared,
+            (bytes.length - h.bodyOffset).toLong)
+        }
+      }
+      .toDF("asset_id", "kind", "width", "height", "sample_rate",
+        "n_samples", "n_frames", "declared_body_len", "actual_body_len")
+  }
+
   final case class Header(kind: Int, width: Int, height: Int,
       sampleRate: Int, nSamples: Int, nFrames: Int, bodyOffset: Int)
 

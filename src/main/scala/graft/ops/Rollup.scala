@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.codec.{ChunkBlob, Lttb}
 
@@ -176,26 +177,60 @@ object Rollup {
     t
   }
 
-  private val encodeChunk = udf { (pts: Seq[Row]) =>
-    // pts sorted by ts (array_sort on struct sorts by first field)
-    val ts = pts.map(r => tsToMicros(r.getTimestamp(0))).toArray
-    val vs = pts.map(_.getDouble(1)).toArray
-    ChunkBlob.encode(ts, vs)
+  /** Primitive-array (ts, value) accumulator for [[ChunkEncodeAgg]]:
+    * amortized-doubling appends, merged by concatenation, sorted once at
+    * finish. Bounded by points-per-chunk (unit / grid step), like the
+    * collect_list buffer it replaces — but holding two primitive arrays
+    * instead of boxed Rows.
+    */
+  final case class ChunkAcc(var ts: Array[Long], var vs: Array[Double], var n: Int) {
+    def append(t: Long, v: Double): ChunkAcc = {
+      if (n == ts.length) {
+        ts = java.util.Arrays.copyOf(ts, n * 2)
+        vs = java.util.Arrays.copyOf(vs, n * 2)
+      }
+      ts(n) = t; vs(n) = v; n += 1
+      this
+    }
+  }
+
+  /** Typed Aggregator building the Gorilla chunk blob from (epoch-micros,
+    * value) input rows — the SURVEY §7.3 shape: no `collect_list` of boxed
+    * Rows, no Scala UDF on the encode path, no java.sql.Timestamp boxing
+    * (micros stay longs end-to-end, mirroring the ChunkDecode read path).
+    * Encoding still happens once per chunk at `finish` on the ts-sorted
+    * arrays, so blobs are byte-identical to the previous
+    * array_sort(collect_list)+UDF form (q22's round-trip gate).
+    */
+  object ChunkEncodeAgg extends Aggregator[(Long, Double), ChunkAcc, Array[Byte]] {
+    def zero: ChunkAcc = ChunkAcc(new Array[Long](8), new Array[Double](8), 0)
+    def reduce(b: ChunkAcc, a: (Long, Double)): ChunkAcc = b.append(a._1, a._2)
+    def merge(b1: ChunkAcc, b2: ChunkAcc): ChunkAcc = {
+      var i = 0
+      while (i < b2.n) { b1.append(b2.ts(i), b2.vs(i)); i += 1 }
+      b1
+    }
+    def finish(b: ChunkAcc): Array[Byte] = {
+      val idx = Array.range(0, b.n).sortBy(b.ts(_)) // grid ts are unique per key
+      ChunkBlob.encode(idx.map(b.ts(_)), idx.map(b.vs(_)))
+    }
+    def bufferEncoder: Encoder[ChunkAcc] = Encoders.product[ChunkAcc]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** Chunked storage form: per (conv, metric, `unit` chunk) the raw grid
     * points delta-of-delta + Gorilla compressed into one binary blob
-    * (Gorilla §4.1, public algorithm — see graft.codec).
+    * (Gorilla §4.1, public algorithm — see graft.codec) by the typed
+    * [[ChunkEncodeAgg]].
     */
-  def toChunks(points: DataFrame, unit: String): DataFrame =
+  def toChunks(points: DataFrame, unit: String): DataFrame = {
+    val enc = udaf(ChunkEncodeAgg)
     points
       .groupBy(col("conv_id"), col("metric"), date_trunc(unit, col("ts")).as("chunk_start"))
-      .agg(array_sort(collect_list(struct(col("ts").cast("timestamp").as("ts"), col("value")))).as("pts"))
-      .select(
-        col("conv_id"), col("metric"), col("chunk_start"),
-        size(col("pts")).as("n_points"),
-        encodeChunk(col("pts")).as("chunk_blob")
-      )
+      .agg(
+        count(lit(1)).cast("int").as("n_points"),
+        enc(unix_micros(col("ts").cast("timestamp")), col("value")).as("chunk_blob"))
+  }
 
   /** Explode chunk blobs back into (conv_id, metric, ts, value) points.
     * Decode is a native codegen'd Expression (graft.functions.ChunkDecode):

@@ -403,6 +403,16 @@ class OpsSpec extends AnyFunSuite {
           }
           assert(got(id) == expect, s"trial $trial tol=$tol left ($k,$lts,$id)")
         }
+        // hot-key bucketed variant == the single-window form, incl.
+        // tolerance, at a bucket size (60 s over a 500 s span) that forces
+        // within-bucket, adjacent-bucket AND multi-bucket-gap hand-offs
+        for (bucketSec <- Seq(60L, 7L)) {
+          val gotB = graft.ops.AsofJoin.leftAsofBucketed(lDf, rDf, Seq("k"), "ts", "ts",
+              Seq("ref"), bucketSec = bucketSec, toleranceSec = tol)
+            .select(col("event_id"), col("ref")).as[(Long, Option[Double])]
+            .collect().toMap
+          assert(gotB == got, s"trial $trial tol=$tol bucket=$bucketSec: bucketed != single-window")
+        }
       }
     }
   }

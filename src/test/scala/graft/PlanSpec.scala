@@ -101,6 +101,33 @@ class PlanSpec extends AnyFunSuite {
     assert(keyExchanges == 1, s"want exactly 1 key exchange for the carry-forward window, got $keyExchanges:\n$p")
   }
 
+  test("bucketed asof: carry-forward window is (key, bucket)-partitioned; no range/BNLJ") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val r = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+    val df = graft.ops.AsofJoin.leftAsofBucketed(
+      e.select(col("event_id"), col("user_id"), col("ts")),
+      r, Seq("user_id"), "ts", "ts", Seq("ref_value"), bucketSec = 86400)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed as-of degraded to a per-row probe:\n$p")
+    // the hot-key point: the big row-level sort exchange hashes on
+    // (key, bucket) — a hot key's history spreads across partitions
+    assert("Exchange hashpartitioning\\(user_id[^)]*__bkt".r.findFirstIn(p).isDefined,
+      s"row-level carry window is not bucket-partitioned:\n$p")
+  }
+
+  test("allPairs refuses an implicit quadratic pairing above maxConvs") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 12, 20).toDF()
+    val s = Ingest.seriesSparse(t, 60)
+    val ex = intercept[IllegalArgumentException] {
+      Correlate.allPairs(s, maxConvs = 8)
+    }
+    assert(ex.getMessage.contains("explicit pairs table"), ex.getMessage)
+    assert(Correlate.allPairs(s, maxConvs = 12).count() == 12L * 11 / 2)
+  }
+
   test("dedup clusters: star-contraction rounds are equi-joins, never cartesian") {
     import spark.implicits._
     // capture the FIRST round's plan shape by running one large-star +
