@@ -17,6 +17,43 @@ import graft.ops.Ingest
   */
 object StreamingRollup {
 
+  /** Compose a HIGHER tier from the sealed lower-tier stats stream — the
+    * streaming form of `Rollup.fromLower` and what a live retention
+    * pipeline actually runs: tier-1 seals 1m cells (append mode after the
+    * watermark closes them), those sealed rows land in the 1m table, and
+    * this query folds them into 1h (then 1d) cells with the SAME
+    * composable stats, so the streaming cascade is cell-for-cell equal to
+    * the batch cascade on watermark-closed chunks (asserted in
+    * IoStreamingSpec). Stats use sum/min/max plus min_by/max_by on the
+    * (unique per key) lower chunk_start, exactly as the batch fold —
+    * late-but-within-watermark lower cells merge correctly because the
+    * stats compose.
+    *
+    * `unit` ∈ minute/hour/day. State per key is one stats row per OPEN
+    * window, bounded by the watermark horizon over the lower tier's
+    * chunk_start — not by history.
+    */
+  def fromSealed(lower: DataFrame, unit: String, lateness: String = "0 seconds"): DataFrame = {
+    val span = unit match {
+      case "minute" => "1 minute"
+      case "hour"   => "1 hour"
+      case "day"    => "1 day"
+      case other    => throw new IllegalArgumentException(s"unsupported tier unit: $other")
+    }
+    lower
+      .withWatermark("chunk_start", lateness)
+      .groupBy(col("conv_id"), col("metric"), window(col("chunk_start"), span))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum")).as("sum"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        min_by(col("first"), col("chunk_start")).as("first"),
+        max_by(col("last"), col("chunk_start")).as("last"))
+      .select(col("conv_id"), col("metric"), col("window.start").as("chunk_start"),
+        col("n"), col("sum"), col("min"), col("max"), col("first"), col("last"))
+  }
+
   /** Per-(conv, 1m window) turn_rate/token_volume stats over a stream. */
   def tier1m(transcripts: DataFrame, lateness: String = "5 minutes"): DataFrame =
     transcripts

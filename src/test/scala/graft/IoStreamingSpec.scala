@@ -158,6 +158,43 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming cascade: 1h from sealed 1m, then 1d from sealed 1h == batch fromLower") {
+    import spark.implicits._
+    // ~3-day span so day-tier cells actually seal
+    val t = Transcripts.generate(spark, 3, 1600).toDF()
+    val m1 = graft.ops.Rollup.fromPoints(graft.ops.Ingest.series(t, 60), "minute")
+      .cache()
+
+    // one cascade stage: sealed lower-tier parquet -> fromSealed(unit) vs
+    // the batch fold restricted to windows the watermark closed
+    def stage(lower: org.apache.spark.sql.DataFrame, unit: String, span: String,
+        qname: String): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"stream-cascade-$unit").toString
+      lower.write.mode("overwrite").parquet(dir)
+      val streamIn = spark.readStream.schema(lower.schema).parquet(dir)
+      val q = StreamingRollup.fromSealed(streamIn, unit, lateness = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql(s"SELECT * FROM $qname")
+      val maxChunk = lower.agg(max("chunk_start")).collect()(0).getTimestamp(0)
+      val want = graft.ops.Rollup.fromLower(lower, unit)
+        .where(col("chunk_start") + expr(s"interval $span") <= lit(maxChunk))
+      // all stats are integral-valued doubles/longs -> exact equality
+      val cols = got.columns.toSeq
+      val diff = got.union(want.select(cols.map(col): _*))
+        .groupBy(cols.map(col): _*).count().where(col("count") =!= 2)
+      assert(got.count() > 0 && got.count() == want.count(),
+        s"$unit: ${got.count()} streamed vs ${want.count()} batch-sealed cells")
+      assert(diff.count() == 0, s"$unit tier differs from batch fromLower")
+      got
+    }
+
+    val h1sealed = stage(m1, "hour", "1 hour", "cascade_h1")
+    stage(h1sealed, "day", "1 day", "cascade_d1")
+  }
+
   test("streaming tier-1 rollup equals the batch tier on the same data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
