@@ -1625,11 +1625,36 @@ object Queries {
            |  r1 * r1 + r2 * r2 + r3 * r3 AS residual
            |FROM r""".stripMargin))
 
+  val q63 = Q("q63_asof_bucketed",
+    // the hot-key as-of variant through the SAME driver gate as q27: the
+    // identical semantics routed through AsofJoin.leftAsofBucketed
+    // ((key, 1h-bucket)-partitioned carry-forward + bucket-level boundary
+    // hand-off), oracled against DuckDB's native ASOF LEFT JOIN — so the
+    // scale path is hash-gated, not just spec-gated against the
+    // single-window form.
+    (s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      graft.ops.AsofJoin.leftAsofBucketed(
+        e.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        purchases, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        pick = Seq("ref_value"), bucketSec = 3600)
+        .transform(x => ntz(x, "ts", "asof_ts"))
+    },
+    Some("""WITH r AS (SELECT user_id, ts, max(value) AS ref_value
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           |  r.ref_value, r.ts AS asof_ts
+           |FROM events e ASOF LEFT JOIN r
+           |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63
   )
 }

@@ -56,6 +56,18 @@ object Accessors {
     def rollupHigher(unit: String): DataFrame = Rollup.fromLower(df, unit)
     def fromChunks: DataFrame = Rollup.fromChunks(df)
 
+    // ---- any keyed event shape (keys…, ts)
+    def asofJoin(right: DataFrame, keys: Seq[String], leftTs: String,
+                 rightTs: String, pick: Seq[String],
+                 toleranceSec: Option[Long] = None): DataFrame =
+      graft.ops.AsofJoin.leftAsof(df, right, keys, leftTs, rightTs, pick, toleranceSec)
+    /** Hot-key as-of: (key, time-bucket) partitioned carry-forward. */
+    def asofJoinBucketed(right: DataFrame, keys: Seq[String], leftTs: String,
+                         rightTs: String, pick: Seq[String], bucketSec: Long,
+                         toleranceSec: Option[Long] = None): DataFrame =
+      graft.ops.AsofJoin.leftAsofBucketed(df, right, keys, leftTs, rightTs,
+        pick, bucketSec, toleranceSec)
+
     // ---- windows shape (conv_id, metric, win_start, values)
     def ccPairs(pairs: DataFrame, stepSec: Long, windowSec: Long,
                 normalize: Boolean = true, clipLagSec: Double = -1): Dataset[CcRow] =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.codec.{ChunkBlob, Lttb}
@@ -165,17 +165,10 @@ object Rollup {
     (m1, h1, d1)
   }
 
-  /** Timestamps are stored in the blob at MICROsecond precision (the
-    * parquet/Spark timestamp resolution) so decode(encode(x)) == x exactly.
-    */
-  private def tsToMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
-
-  private def microsToTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  // Timestamps are stored in blobs at MICROsecond precision (the
+  // parquet/Spark timestamp resolution) so decode(encode(x)) == x exactly;
+  // micros stay longs end-to-end (unix_micros in, timestamp_micros /
+  // ChunkDecode out).
 
   /** Primitive-array (ts, value) accumulator for [[ChunkEncodeAgg]]:
     * amortized-doubling appends, merged by concatenation, sorted once at
@@ -245,11 +238,27 @@ object Rollup {
       )
       .select(col("conv_id"), col("metric"), col("pt.ts").as("ts"), col("pt.value").as("value"))
 
-  private val lttbUdf = udf { (pts: Seq[Row], threshold: Int) =>
-    val ts = pts.map(r => tsToMicros(r.getTimestamp(0))).toArray
-    val vs = pts.map(_.getDouble(1)).toArray
-    val (dt, dv) = Lttb.downsample(ts, vs, threshold)
-    dt.indices.map(i => (microsToTs(dt(i)), dv(i)))
+  /** LTTB keeper arrays — [[LttbAgg]]'s output (parallel ts/value arrays,
+    * exploded back to rows by the caller).
+    */
+  final case class LttbPts(ts: Array[Long], vs: Array[Double])
+
+  /** Typed Aggregator for one LTTB pass: accumulate (epoch-micros, value)
+    * into the same primitive buffer as [[ChunkEncodeAgg]], sort once at
+    * finish, downsample. Replaces the r1-r3 array_sort(collect_list(
+    * struct))+UDF stage — same keeper selection, no Row boxing.
+    */
+  final case class LttbAgg(threshold: Int) extends Aggregator[(Long, Double), ChunkAcc, LttbPts] {
+    def zero: ChunkAcc = ChunkEncodeAgg.zero
+    def reduce(b: ChunkAcc, a: (Long, Double)): ChunkAcc = b.append(a._1, a._2)
+    def merge(b1: ChunkAcc, b2: ChunkAcc): ChunkAcc = ChunkEncodeAgg.merge(b1, b2)
+    def finish(b: ChunkAcc): LttbPts = {
+      val idx = Array.range(0, b.n).sortBy(b.ts(_))
+      val (dt, dv) = Lttb.downsample(idx.map(b.ts(_)), idx.map(b.vs(_)), threshold)
+      LttbPts(dt, dv)
+    }
+    def bufferEncoder: Encoder[ChunkAcc] = Encoders.product[ChunkAcc]
+    def outputEncoder: Encoder[LttbPts] = Encoders.product[LttbPts]
   }
 
   /** LTTB visualization tier: at most `threshold` points per (conv, metric),
@@ -266,18 +275,19 @@ object Rollup {
     * stage 2 and the global first/last are exact. The keeper count per key
     * equals the single-pass count (min(threshold, n_points)); the selected
     * interior points are the hierarchical approximation standard for
-    * streaming LTTB.
+    * streaming LTTB. Both passes run through the typed [[LttbAgg]].
     */
   def lttbTier(points: DataFrame, threshold: Int, chunkUnit: String = "day"): DataFrame = {
-    val stage1 = points
-      .groupBy(col("conv_id"), col("metric"), date_trunc(chunkUnit, col("ts")).as("chunk"))
-      .agg(array_sort(collect_list(struct(col("ts").cast("timestamp").as("ts"), col("value")))).as("pts"))
-      .select(col("conv_id"), col("metric"), explode(lttbUdf(col("pts"), lit(threshold))).as("pt"))
-      .select(col("conv_id"), col("metric"), col("pt._1").as("ts"), col("pt._2").as("value"))
-    stage1
-      .groupBy(col("conv_id"), col("metric"))
-      .agg(array_sort(collect_list(struct(col("ts").cast("timestamp").as("ts"), col("value")))).as("pts"))
-      .select(col("conv_id"), col("metric"), explode(lttbUdf(col("pts"), lit(threshold))).as("pt"))
-      .select(col("conv_id"), col("metric"), col("pt._1").as("ts"), col("pt._2").as("value"))
+    val ds = udaf(LttbAgg(threshold))
+    def pass(df: DataFrame, grouping: Seq[org.apache.spark.sql.Column]): DataFrame =
+      df.groupBy(grouping: _*)
+        .agg(ds(unix_micros(col("ts").cast("timestamp")), col("value")).as("pts"))
+        .select(col("conv_id"), col("metric"),
+          explode(arrays_zip(col("pts.ts").as("ts"), col("pts.vs").as("vs"))).as("pt"))
+        .select(col("conv_id"), col("metric"),
+          timestamp_micros(col("pt.ts")).as("ts"), col("pt.vs").as("value"))
+    val stage1 = pass(points,
+      Seq(col("conv_id"), col("metric"), date_trunc(chunkUnit, col("ts")).as("chunk")))
+    pass(stage1, Seq(col("conv_id"), col("metric")))
   }
 }

@@ -124,6 +124,16 @@ class CliSpec extends AnyFunSuite {
     assert(a.columns.contains("asof_ts") && a.columns.contains("ref_value"))
   }
 
+  test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {
+    val ex = intercept[IllegalArgumentException] {
+      cli.Main.run("cc", conf(
+        "input" -> transcriptsPath, "output" -> out(),
+        "step_sec" -> "60", "window_sec" -> "1800", "stride_sec" -> "900",
+        "max_auto_pairs_convs" -> "2")) // fixture has 4 convs
+    }
+    assert(ex.getMessage.contains("explicit pairs table"), ex.getMessage)
+  }
+
   test("unknown command and missing keys fail with usable messages") {
     intercept[IllegalArgumentException](cli.Main.run("nope", conf("input" -> "x")))
     val e = intercept[IllegalArgumentException](
