@@ -9,14 +9,18 @@ import org.apache.spark.sql.SparkSession
   * throughput at both levels + efficiency in BENCH/BASELINE.md.
   *
   * Measurement methodology (round 4 — variance-proofed): this VM's
-  * attainable throughput drifts ±20%+ over minutes, so a control measured
-  * once per run cannot be compared with a job measured minutes away (the
-  * r3 controls swung 0.60→0.87 across same-binary runs). Here every job
-  * run is BRACKETED by its own hardware control (control, job, control —
-  * A/B/A within one drift regime, at each core count, every visit), the
-  * per-VISIT engine-vs-floor ratio divides quantities measured seconds
-  * apart, and the shipped number is the MEDIAN ratio over >= 3 visits with
-  * its spread (max-min)/2 as the confidence band.
+  * attainable throughput drifts ±20%+ over minutes, so EVERY 8-vs-32
+  * division must happen inside one narrow drift window. Per job per
+  * visit: a back-to-back pure-JVM floor pair (8 then 32 threads, seconds
+  * apart), job@8 (warm + best-of-2), job@32 ~30 s later (one session
+  * restart), a third floor pair; the per-visit engine-vs-floor ratio
+  * divides the job's raw 8→32 efficiency by the MEDIAN of its three
+  * bracketing floor-pair efficiencies, and the shipped number is the
+  * median over >= 3 visits with MAD (and full range) as the band. (The r3
+  * design measured the control once per run, minutes from the jobs — its
+  * ratios swung 0.60→0.87 on the same binary; a first r4 cut that paired
+  * the two LEVELS minutes apart swung ±0.08-0.14 the same way, in the
+  * jobs or the floors depending on where the drift landed.)
   *
   * Three jobs × two floors, matched by resource profile:
   *  - CC kernel stage (scan -> mapPartitions FFT -> count): floor =
@@ -66,7 +70,7 @@ object Scaling {
     val x = Array.fill(2880)(rng.nextGaussian())
     val y = Array.fill(2880)(rng.nextGaussian())
     Cc.cc(x, y)
-    val per = 3840 / threads
+    val per = 15360 / threads
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { _ =>
       new Thread(() => { var i = 0; while (i < per) { Cc.cc(x, y); i += 1 } })
@@ -99,7 +103,11 @@ object Scaling {
       while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
       d
     }
-    val passes = math.max(1, 20 * 8 / threads) // ~constant total work per level
+    // ~constant total work per level, sized so each burn runs multiple
+    // seconds — sub-second burns measure thread-start overhead and timer
+    // noise, not throughput (the r4-B rollup floor pair that read 0.398
+    // was a 0.06 s burn)
+    val passes = math.max(2, 40 * 8 / threads)
     val sink = new java.util.concurrent.atomic.LongAdder
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
@@ -132,8 +140,10 @@ object Scaling {
     val n = 4 << 20 // 4M doubles = 32 MB per thread
     val arrays = Array.fill(threads)(Array.tabulate(n)(i => i * 0.5 + 1.0))
     val sink = new java.util.concurrent.atomic.LongAdder
-    val totalPasses = 192
-    val per = totalPasses / threads
+    // ~100 GB streamed per burn regardless of thread count: ≥ 1 s at this
+    // box's ~50-100 GB/s, so the burn measures bandwidth, not thread-start
+    // overhead (192 total passes = 6 GB = 0.06 s at 32 threads — garbage)
+    val per = math.max(8, 3200 / threads)
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
       new Thread(() => {
@@ -151,14 +161,6 @@ object Scaling {
     ts.foreach(_.start()); ts.foreach(_.join())
     threads.toLong * per * n * 8.0 / 1e9 / ((System.nanoTime() - t0) / 1e9)
   }
-
-  /** One core-count level of one visit: the three jobs, each bracketed by
-    * control PAIRS (see [[main]]'s methodology note), plus the absolute
-    * floor throughputs at this level for the report tables.
-    */
-  final case class LevelMeas(
-      kernel: M, e2e: M, rollup: M,
-      kFloorAbs: Double, rFloorAbs: Double, kFft: Double)
 
   def main(args: Array[String]): Unit = {
     val nConvs = sys.env.getOrElse("SCALE_CONVS", "4000").toInt
@@ -190,91 +192,102 @@ object Scaling {
     }
 
     // Control pairs: the floors are pure-JVM thread burns, independent of
-    // the live Spark session's core count — so each 8-vs-32 floor ratio is
-    // measured BACK-TO-BACK (seconds apart, same drift regime), the one
-    // place the r4-first-cut still carried minutes-scale drift (its
-    // per-level floors paired measurements minutes apart and the floor
-    // ratio swung ±0.08 while the job raw ratios held ±0.03). Pairs are
-    // taken around every job block at both levels; the per-visit floor
-    // efficiency is the MEDIAN pair ratio.
-    val kFloorPairs = scala.collection.mutable.ArrayBuffer[Double]()
-    val rFloorPairs = scala.collection.mutable.ArrayBuffer[Double]()
-    def kPair(): (Double, Double) = {
+    // the live Spark session's core count — each 8-vs-32 floor ratio is
+    // measured BACK-TO-BACK (seconds apart, same drift regime). Returns
+    // (abs8, abs32, pairEff).
+    def kPair(): (Double, Double, Double) = {
       val c8 = kernelMemCeiling(8); val c32 = kernelMemCeiling(32)
-      kFloorPairs += (c32 / c8) / 4.0
-      (c8, c32)
+      (c8, c32, (c32 / c8) / 4.0)
     }
-    def rPair(): (Double, Double) = {
+    def rPair(): (Double, Double, Double) = {
       val c8 = memCeiling(8); val c32 = memCeiling(32)
-      rFloorPairs += (c32 / c8) / 4.0
-      (c8, c32)
+      (c8, c32, (c32 / c8) / 4.0)
     }
 
-    def measureLevel(cores: Int): LevelMeas = {
-      val spark = session(cores)
-      // per-plan warmups: JIT + codegen + page-faults (each PLAN needs its
-      // own warmup — best-of-2 below makes the first timed pass double as
-      // the warmup for that plan's generated stages)
-      Bench.rollupThroughput(spark, 64, 100)
-      Bench.ccKernelThroughput(spark, pwPath)
-      kernelMemCeiling(cores) // JIT the control loops too
-      memCeiling(cores)
-      def best2(f: => (Long, Double)): M = {
-        val a = f; val b = f
+    // One job's tight 8-vs-32 comparison: floor pair, job@8 (warm +
+    // best-of-2), job@32 (warm + best-of-2), floor pair. The two levels
+    // sit ~30 s apart (one session restart + one warm pass) instead of
+    // the per-level design's 4-5 minutes — the r4-first-cut showed the
+    // raw job ratio drifts ±0.08 at minutes-scale separation while the
+    // back-to-back floor pairs hold, so BOTH divisions now happen inside
+    // one narrow drift window. Per-visit floor eff = mean of the two
+    // bracketing pairs.
+    final case class JobMeas(m8: M, m32: M, floorEff: Double, f8: Double, f32: Double)
+    def measureJob(pair: () => (Double, Double, Double))(
+        run: SparkSession => (Long, Double)): JobMeas = {
+      def best2(spark: SparkSession): M = {
+        run(spark) // warm: JIT + codegen + page-faults for THIS plan
+        val a = run(spark); val b = run(spark)
         M(a._1, math.min(a._2, b._2))
       }
-      kPair()
-      val kFft = kernelCeiling(cores) // secondary reference only
-      val k = best2(Bench.ccKernelThroughput(spark, pwPath))
-      val kfAbs = kPair()
-      val c = best2(Bench.ccThroughput(spark, ccPath, ccConvs,
-        stepSec = 10, windowSec = 28800, strideSec = 14400, neighbors = 2))
-      kPair()
-      val rfAbs = rPair()
-      val r = best2 { val (cl, _, sec) = Bench.rollupThroughput(spark, rollupPath); (cl, sec) }
-      rPair()
-      spark.stop()
-      LevelMeas(k, c, r,
-        if (cores == 8) kfAbs._1 else kfAbs._2,
-        if (cores == 8) rfAbs._1 else rfAbs._2, kFft)
+      // THREE floor pairs (before / between levels / after), MEDIAN ratio:
+      // a single drift spike inside one pair must not poison the floor
+      val f1 = pair()
+      val s8 = session(8)
+      val m8 = best2(s8)
+      s8.stop()
+      val f2 = pair()
+      val s32 = session(32)
+      val m32 = best2(s32)
+      s32.stop()
+      val f3 = pair()
+      JobMeas(m8, m32, median(Seq(f1._3, f2._3, f3._3)),
+        Seq(f1._1, f2._1, f3._1).max, Seq(f1._2, f2._2, f3._2).max)
     }
 
     final case class VisitRatios(
         kRaw: Double, kFloorEff: Double, kRatio: Double,
-        eRaw: Double, eFloorEff: Double, eRatio: Double,
+        eRaw: Double, eFloorEff: Double, eRatio: Double, eRatioMem: Double,
         rRaw: Double, rFloorEff: Double, rRatio: Double)
+
+    // JIT the control loops once before any pair is trusted
+    kernelMemCeiling(8); memCeiling(8)
 
     val visits = sys.env.getOrElse("SCALE_VISITS", "3").toInt
     val ms = (1 to visits).map { v =>
       println(s"[scaling] visit $v/$visits")
-      kFloorPairs.clear(); rFloorPairs.clear()
-      val m8 = measureLevel(8)
-      val m32 = measureLevel(32)
-      require(m8.kernel.cells == m32.kernel.cells &&
-        m8.e2e.cells == m32.e2e.cells && m8.rollup.cells == m32.rollup.cells,
-        "non-deterministic workload")
-      (m8, m32, median(kFloorPairs.toSeq), median(rFloorPairs.toSeq))
+      val k = measureJob(kPair)(s => Bench.ccKernelThroughput(s, pwPath))
+      val e = measureJob(kPair)(s => Bench.ccThroughput(s, ccPath, ccConvs,
+        stepSec = 10, windowSec = 28800, strideSec = 14400, neighbors = 2))
+      val r = measureJob(rPair)(s =>
+        { val (cl, _, sec) = Bench.rollupThroughput(s, rollupPath); (cl, sec) })
+      require(k.m8.cells == k.m32.cells && e.m8.cells == e.m32.cells &&
+        r.m8.cells == r.m32.cells, "non-deterministic workload")
+      (k, e, r)
     }
-    val ratios = ms.map { case (m8, m32, kF, rF) =>
+    // secondary cache-resident FFT reference, once (back-to-back pair)
+    val kFft8 = kernelCeiling(8)
+    val kFft32 = kernelCeiling(32)
+    val ratios = ms.map { case (k, e, r) =>
       def eff(a: Double, b: Double) = (b / a) / 4.0
-      val kRaw = eff(m8.kernel.pps, m32.kernel.pps)
-      val eRaw = eff(m8.e2e.pps, m32.e2e.pps)
-      val rRaw = eff(m8.rollup.pps, m32.rollup.pps)
-      VisitRatios(kRaw, kF, kRaw / kF, eRaw, kF, eRaw / kF, rRaw, rF, rRaw / rF)
+      val kRaw = eff(k.m8.pps, k.m32.pps)
+      val eRaw = eff(e.m8.pps, e.m32.pps)
+      val rRaw = eff(r.m8.pps, r.m32.pps)
+      VisitRatios(kRaw, k.floorEff, kRaw / k.floorEff,
+        eRaw, e.floorEff, eRaw / e.floorEff, eRaw / r.floorEff,
+        rRaw, r.floorEff, rRaw / r.floorEff)
     }
     def spread(xs: Seq[Double]): Double = (xs.max - xs.min) / 2
-    def agg(f: VisitRatios => Double): (Double, Double) =
-      (median(ratios.map(f)), spread(ratios.map(f)))
+    // median absolute deviation: the robust band (one outlier visit on a
+    // drifting VM must widen, not dominate, the confidence band); the full
+    // range is reported alongside for transparency
+    def mad(xs: Seq[Double]): Double = {
+      val m = median(xs)
+      median(xs.map(x => math.abs(x - m)))
+    }
+    def agg(f: VisitRatios => Double): (Double, Double, Double) =
+      (median(ratios.map(f)), mad(ratios.map(f)), spread(ratios.map(f)))
 
-    val (kRawM, kRawS) = agg(_.kRaw)
-    val (kRatM, kRatS) = agg(_.kRatio)
-    val (eRawM, eRawS) = agg(_.eRaw)
-    val (eRatM, eRatS) = agg(_.eRatio)
-    val (rRawM, rRawS) = agg(_.rRaw)
-    val (rRatM, rRatS) = agg(_.rRatio)
-    val (kFm, _) = agg(_.kFloorEff)
-    val (eFm, _) = agg(_.eFloorEff)
-    val (rFm, _) = agg(_.rFloorEff)
+    val (kRawM, kRawD, kRawS) = agg(_.kRaw)
+    val (kRatM, kRatD, kRatS) = agg(_.kRatio)
+    val (eRawM, eRawD, eRawS) = agg(_.eRaw)
+    val (eRatM, eRatD, eRatS) = agg(_.eRatio)
+    val (eMemM, eMemD, eMemS) = agg(_.eRatioMem)
+    val (rRawM, rRawD, rRawS) = agg(_.rRaw)
+    val (rRatM, rRatD, rRatS) = agg(_.rRatio)
+    val (kFm, _, _) = agg(_.kFloorEff)
+    val (eFm, _, _) = agg(_.eFloorEff)
+    val (rFm, _, _) = agg(_.rFloorEff)
 
     // representative absolute-throughput rows: the visit with the median
     // kernel ratio (absolute numbers are for scale context; the shipped
@@ -283,7 +296,7 @@ object Scaling {
       case -1 => ratios.indices.minBy(i => math.abs(ratios(i).kRatio - kRatM))
       case i  => i
     }
-    val (r8, r32, _, _) = ms(repIdx)
+    val (repK, repE, repR) = ms(repIdx)
 
     def visitRows(f: VisitRatios => (Double, Double, Double)): String =
       ratios.zipWithIndex.map { case (r, i) =>
@@ -300,16 +313,22 @@ object Scaling {
          |generator is partitioning-independent — asserted in PipelineSpec);
          |generation is setup, not measured.
          |
-         |**Methodology (r4, variance-proofed)**: the floors are pure-JVM
-         |thread burns independent of the live Spark session, so each 8-vs-32
-         |floor ratio is measured BACK-TO-BACK (seconds apart — the same
-         |drift regime; pairing floor levels minutes apart is what made the
-         |r3 ratios swing 0.60-0.87). Floor pairs bracket every job block at
-         |both core counts (6 kernel-floor + 4 mem-floor pairs per visit);
-         |the per-visit floor efficiency is the MEDIAN pair ratio, the
-         |per-visit engine-vs-floor ratio divides the visit's raw job
-         |efficiency by it, and the shipped number is the median over $visits
-         |interleaved visits with spread (max-min)/2 as the confidence band.
+         |**Methodology (r4, variance-proofed)**: the box's throughput drifts
+         |±20%% at minutes scale, so EVERY 8-vs-32 division is measured inside
+         |one narrow drift window. Per job per visit: floor pair (pure-JVM
+         |burns at 8 then 32 threads, seconds apart), job@8 (warm +
+         |best-of-2), job@32 (warm + best-of-2, ~30 s after job@8 — one
+         |session restart), floor pair — three pairs per job per visit, the
+         |job's floor efficiency being their MEDIAN (one drift spike inside
+         |a pair must not poison the floor; burns stream ~100 GB / run for
+         |seconds so they measure throughput, not thread-start overhead).
+         |The per-visit engine-vs-floor ratio divides the job's raw 8→32
+         |efficiency by its floor efficiency; the shipped number is the
+         |median over $visits interleaved visits with the median absolute
+         |deviation as the confidence band (full range alongside). (The r3 design measured the control once per
+         |run, minutes from the jobs — its ratios swung 0.60-0.87 on the
+         |same binary; the first r4 cut paired levels minutes apart and the
+         |raw job ratios swung ±0.08 the same way.)
          |Controls are matched to each job's resource profile: the CC jobs'
          |floor is bare threads running the IDENTICAL per-window work
          |(float32 pairs streamed from thread-private cache-busting memory ->
@@ -327,8 +346,8 @@ object Scaling {
          |
          || parallelism | cc windows | seconds | cc/sec | floor cc/sec (bare threads) |
          ||---|---|---|---|---|
-         || local[8]  (N)  | ${r8.kernel.cells}%,d | ${r8.kernel.secs}%.1f | ${r8.kernel.pps}%,.1f | ${r8.kFloorAbs}%,.1f |
-         || local[32] (4N) | ${r32.kernel.cells}%,d | ${r32.kernel.secs}%.1f | ${r32.kernel.pps}%,.1f | ${r32.kFloorAbs}%,.1f |
+         || local[8]  (N)  | ${repK.m8.cells}%,d | ${repK.m8.secs}%.1f | ${repK.m8.pps}%,.1f | ${repK.f8}%,.1f |
+         || local[32] (4N) | ${repK.m32.cells}%,d | ${repK.m32.secs}%.1f | ${repK.m32.pps}%,.1f | ${repK.f32}%,.1f |
          |
          |Per-visit (raw eff | floor eff | engine-vs-floor ratio):
          |
@@ -336,12 +355,14 @@ object Scaling {
          ||---|---|---|---|
          |${visitRows(r => (r.kRaw, r.kFloorEff, r.kRatio))}
          |
-         |**Kernel: raw efficiency $kRawM%.3f ± $kRawS%.3f; floor efficiency $kFm%.3f;
-         |engine-vs-floor $kRatM%.3f ± $kRatS%.3f** (target: ratio >= 0.85, spread <= 0.05)
+         |**Kernel: raw efficiency $kRawM%.3f ± $kRawD%.3f MAD (range ±$kRawS%.3f);
+         |floor efficiency $kFm%.3f;
+         |engine-vs-floor $kRatM%.3f ± $kRatD%.3f MAD (range ±$kRatS%.3f)**
+         |(target: ratio >= 0.85, band <= 0.05)
          |
          |Secondary reference: the cache-resident shared-input FFT burn (the
-         |r1-r3 control) attained ${r8.kFft}%,.0f cc/s @8 / ${r32.kFft}%,.0f @32 in the
-         |median visit — it bounds pure-compute scaling but no job that
+         |r1-r3 control) attained ${kFft8}%,.0f cc/s @8 / ${kFft32}%,.0f @32 (one
+         |back-to-back pair) — it bounds pure-compute scaling but no job that
          |streams rows from memory can match it, which is why ratios against
          |it were noisy (r3: 0.65-0.96 across runs).
          |
@@ -355,15 +376,21 @@ object Scaling {
          |
          || parallelism | cc windows | seconds | cc/sec | floor cc/sec |
          ||---|---|---|---|---|
-         || local[8]  (N)  | ${r8.e2e.cells}%,d | ${r8.e2e.secs}%.1f | ${r8.e2e.pps}%,.1f | ${r8.kFloorAbs}%,.1f |
-         || local[32] (4N) | ${r32.e2e.cells}%,d | ${r32.e2e.secs}%.1f | ${r32.e2e.pps}%,.1f | ${r32.kFloorAbs}%,.1f |
+         || local[8]  (N)  | ${repE.m8.cells}%,d | ${repE.m8.secs}%.1f | ${repE.m8.pps}%,.1f | ${repE.f8}%,.1f |
+         || local[32] (4N) | ${repE.m32.cells}%,d | ${repE.m32.secs}%.1f | ${repE.m32.pps}%,.1f | ${repE.f32}%,.1f |
          |
          || visit | raw | floor | ratio |
          ||---|---|---|---|
          |${visitRows(r => (r.eRaw, r.eFloorEff, r.eRatio))}
          |
-         |**e2e CC: raw efficiency $eRawM%.3f ± $eRawS%.3f; floor efficiency $eFm%.3f;
-         |engine-vs-floor $eRatM%.3f ± $eRatS%.3f**
+         |**e2e CC: raw efficiency $eRawM%.3f ± $eRawD%.3f MAD (range ±$eRawS%.3f);
+         |floor efficiency $eFm%.3f;
+         |engine-vs-compute-floor $eRatM%.3f ± $eRatD%.3f MAD (range ±$eRatS%.3f);
+         |engine-vs-bandwidth-floor $eMemM%.3f ± $eMemD%.3f MAD** — the job both
+         |computes (kernel) and streams/shuffles (assembly), so its TRUE
+         |attainable floor lies between the two controls and the two ratios
+         |bracket it: the compute-floor ratio is the pessimistic bound, the
+         |bandwidth-floor ratio the optimistic one.
          |
          |## Job 2 — ingest -> tier-1 rollup (shuffle/memory-bound)
          |
@@ -374,15 +401,16 @@ object Scaling {
          |
          || parallelism | tier-1 points | seconds | points/sec | floor GB/s |
          ||---|---|---|---|---|
-         || local[8]  (N)  | ${r8.rollup.cells}%,d | ${r8.rollup.secs}%.1f | ${r8.rollup.pps}%,.0f | ${r8.rFloorAbs}%,.1f |
-         || local[32] (4N) | ${r32.rollup.cells}%,d | ${r32.rollup.secs}%.1f | ${r32.rollup.pps}%,.0f | ${r32.rFloorAbs}%,.1f |
+         || local[8]  (N)  | ${repR.m8.cells}%,d | ${repR.m8.secs}%.1f | ${repR.m8.pps}%,.0f | ${repR.f8}%,.1f |
+         || local[32] (4N) | ${repR.m32.cells}%,d | ${repR.m32.secs}%.1f | ${repR.m32.pps}%,.0f | ${repR.f32}%,.1f |
          |
          || visit | raw | floor | ratio |
          ||---|---|---|---|
          |${visitRows(r => (r.rRaw, r.rFloorEff, r.rRatio))}
          |
-         |**Rollup: raw efficiency $rRawM%.3f ± $rRawS%.3f; floor efficiency $rFm%.3f;
-         |engine-vs-floor $rRatM%.3f ± $rRatS%.3f**
+         |**Rollup: raw efficiency $rRawM%.3f ± $rRawD%.3f MAD (range ±$rRawS%.3f);
+         |floor efficiency $rFm%.3f;
+         |engine-vs-floor $rRatM%.3f ± $rRatD%.3f MAD (range ±$rRatS%.3f)**
          |
          |Caveat (single-box honesty): both "cluster sizes" share ONE JVM, one
          |memory bus and one shuffle substrate, so raw efficiencies top out on
@@ -408,6 +436,6 @@ object Scaling {
         if (i >= 0) "\n" + old.substring(i) else ""
       } else ""
     Files.writeString(out, md + history)
-    println(f"""{"kernel_raw_med":$kRawM%.3f,"kernel_raw_spread":$kRawS%.3f,"kernel_vs_floor_med":$kRatM%.3f,"kernel_vs_floor_spread":$kRatS%.3f,"e2e_raw_med":$eRawM%.3f,"e2e_raw_spread":$eRawS%.3f,"e2e_vs_floor_med":$eRatM%.3f,"e2e_vs_floor_spread":$eRatS%.3f,"rollup_raw_med":$rRawM%.3f,"rollup_raw_spread":$rRawS%.3f,"rollup_vs_floor_med":$rRatM%.3f,"rollup_vs_floor_spread":$rRatS%.3f,"visits":$visits}""")
+    println(f"""{"kernel_raw_med":$kRawM%.3f,"kernel_raw_spread":$kRawS%.3f,"kernel_vs_floor_med":$kRatM%.3f,"kernel_vs_floor_mad":$kRatD%.3f,"kernel_vs_floor_spread":$kRatS%.3f,"e2e_raw_med":$eRawM%.3f,"e2e_raw_spread":$eRawS%.3f,"e2e_vs_floor_med":$eRatM%.3f,"e2e_vs_floor_mad":$eRatD%.3f,"e2e_vs_floor_spread":$eRatS%.3f,"e2e_vs_memfloor_med":$eMemM%.3f,"e2e_vs_memfloor_spread":$eMemS%.3f,"rollup_raw_med":$rRawM%.3f,"rollup_raw_spread":$rRawS%.3f,"rollup_vs_floor_med":$rRatM%.3f,"rollup_vs_floor_mad":$rRatD%.3f,"rollup_vs_floor_spread":$rRatS%.3f,"visits":$visits}""")
   }
 }

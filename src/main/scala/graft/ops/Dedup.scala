@@ -17,11 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Max stop-shingle-set size still broadcast in [[ngramJaccard]]'s DF-cap
-    * anti-join; above it the anti-join falls back to a shuffle join.
-    */
-  val hotBroadcastMax: Long = 2_000_000L
-
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -76,16 +71,17 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .where(col("dfc") > dfCap).select(col("sh"))
-    // The stop-shingle set is bounded by total-occurrences/dfCap, which is
-    // tiny at test scale but on a heavy-tailed corpus-scale distribution
-    // can outgrow the driver/broadcast limit — so the broadcast is GUARDED
-    // by an actual count (one cheap map-side-combined agg) with a shuffle
-    // left_anti fallback above the threshold.
-    val hotCount = hot.count()
-    val hotSmall = hotCount <= hotBroadcastMax
-    val shc =
-      if (hotSmall) sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      else sh.join(hot, Seq("sh"), "left_anti")
+    // The stop-shingle set is bounded by total-occurrences/dfCap — tiny at
+    // test scale, but on a heavy-tailed corpus-scale distribution it can
+    // outgrow the driver/broadcast limit, so the anti-join carries NO
+    // broadcast hint: AQE's runtime size-based join selection broadcasts
+    // the hot set when its ACTUAL materialized size is under the adaptive
+    // broadcast threshold and keeps the shuffled anti-join otherwise
+    // (gated in PlanSpec: the small-scale final plan is a broadcast
+    // anti-join). An explicit driver-side count() guard measured an extra
+    // full shingle pass per query (+25% on q36) for the same decision AQE
+    // makes from sizes it already knows.
+    val shc = sh.join(hot, Seq("sh"), "left_anti")
     shc.as("x").join(shc.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
