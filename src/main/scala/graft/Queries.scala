@@ -1223,11 +1223,11 @@ object Queries {
     (s, d) => {
       // the full postprocess chain (unbias → demean → taper → timeshift →
       // highpass filtfilt → taper → lag-window) + snr over DISTRIBUTED
-      // windowed CC on a stored table — rows-only: the filter STAGE is
-      // bit-exactly oracled in isolation (q29), but replaying the whole
-      // 7-stage composition (incl. FFT timeshift) in SQL would be an
-      // oracle larger than the engine; the chain is golden-tested in
-      // OpsSpec against manual stage composition
+      // windowed CC on a stored table — rows-only: the filter, taper and
+      // timeshift STAGES are each hard-oracled in isolation (q29/q64/q65),
+      // but replaying the 7-stage COMPOSITION in SQL would be an oracle
+      // larger than the engine; the chain is golden-tested in OpsSpec
+      // against manual stage composition
       import s.implicits._
       val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
       val pairs = Seq(("1", "2"), ("2", "3")).toDF("conv_a", "conv_b")
@@ -1650,11 +1650,75 @@ object Queries {
            |FROM events e ASOF LEFT JOIN r
            |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin))
 
+  val q64 = Q("q64_taper_registry",
+    (s, d) => {
+      // another q55-chain stage isolated to a hard oracle (q29's pattern):
+      // the registry 'taper' op (edge Hann, max_percentage sizing rule)
+      // on the stored hourly series. w(i) = 0.5 - 0.5*cos(2*pi*i/(2m)) is
+      // computed by the identical IEEE expression tree in SQL; the libm
+      // cos differs ~1 ulp, so values round(6) on both sides (+0.0
+      // normalizes a potential -0.0).
+      graft.ops.Preprocess(hourlySeries(s, d, 1L, 2L, 3L),
+          Seq("taper" -> Map("max_percentage" -> "0.1")))
+        .select(col("conv_id"), col("metric"), col("ts"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+        .transform(x => ntz(x, "ts"))
+    },
+    Some("""WITH h AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           |    date_trunc('hour', ts) AS ts, CAST(count(*) AS DOUBLE) AS v
+           |  FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2),
+           |idx AS (SELECT conv_id, ts, v,
+           |    row_number() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS i,
+           |    count(*) OVER (PARTITION BY conv_id) AS n
+           |  FROM h),
+           |par AS (SELECT *, CAST(trunc(0.1 * n) AS BIGINT) AS m FROM idx)
+           |SELECT conv_id, 'hourly_events' AS metric, ts,
+           |  round(CASE WHEN m < 1 THEN v
+           |    WHEN i < m THEN v * (0.5 - 0.5 * cos(2 * pi() * i / (2 * m)))
+           |    WHEN i >= n - m THEN v * (0.5 - 0.5 * cos(2 * pi() * (n - 1 - i) / (2 * m)))
+           |    ELSE v END, 6) + 0.0 AS value
+           |FROM par""".stripMargin))
+
+  val q65 = Q("q65_timeshift",
+    (s, d) => {
+      // the q55-chain timeshift stage isolated: an FFT phase-ramp delay of
+      // exactly 2 grid steps equals a circular roll of the (even-trimmed)
+      // series in exact arithmetic, so the whole rfft -> ramp -> irfft
+      // round-trip is oracled by pure SQL index arithmetic; FFT noise
+      // ~1e-12 on integral counts is absorbed by round(6) (+0.0 for -0.0).
+      import s.implicits._
+      hourlySeries(s, d, 1L, 2L, 3L)
+        .select(col("conv_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (cid: String, it: Iterator[(String, Long, Double)]) =>
+          val vs = it.toArray.sortBy(_._2).map(_._3)
+          val out = graft.kernel.Signal.timeshift(vs, delay = 7200.0, delta = 3600.0)
+          out.indices.iterator.map(i => (cid, i.toLong, out(i)))
+        }
+        .toDF("conv_id", "idx", "value")
+        .select(col("conv_id"), col("idx"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+    },
+    Some("""WITH h AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           |    date_trunc('hour', ts) AS ts, CAST(count(*) AS DOUBLE) AS v
+           |  FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2),
+           |idx AS (SELECT conv_id, v,
+           |    row_number() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS i,
+           |    count(*) OVER (PARTITION BY conv_id) AS n
+           |  FROM h),
+           |t AS (SELECT conv_id, i, v, n - (n % 2) AS n2 FROM idx)
+           |SELECT a.conv_id, a.i AS idx, round(b.v, 6) + 0.0 AS value
+           |FROM t a JOIN t b
+           |  ON a.conv_id = b.conv_id AND b.i = (a.i - 2 + a.n2) % a.n2
+           |WHERE a.i < a.n2 AND b.i < a.n2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65
   )
 }
