@@ -1714,11 +1714,40 @@ object Queries {
            |  ON a.conv_id = b.conv_id AND b.i = (a.i - 2 + a.n2) % a.n2
            |WHERE a.i < a.n2 AND b.i < a.n2""".stripMargin))
 
+  val q66 = Q("q66_multimodal_histogram",
+    (s, d) => {
+      // the multimodal BODY decode hash-gated (q61 covers headers): the
+      // deterministic table's pixel/sample bytes are integer arithmetic of
+      // (asset, index), so the per-bin feature histograms — real byte
+      // reads, big-endian s16 sample decode, intensity/amplitude binning —
+      // oracle as SQL arithmetic over generate_series. Counts recovered
+      // as integers (round(frac*total)), so the output carries no
+      // cross-engine float rounding. Only q55's 7-op composition and
+      // q57's integer-plateau argmax remain rows-only.
+      graft.ops.Multimodal.histogramCounts(graft.ops.Multimodal.deterministic(s, 200))
+    },
+    Some("""WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i),
+           |dims AS (SELECT i,
+           |  CASE i % 3 WHEN 0 THEN (16 + (7*i)%17) * (16 + (5*i)%17)
+           |             WHEN 1 THEN 512 + (31*i)%512
+           |             ELSE (2 + (13*i)%15) * (8 + (3*i)%9) * (8 + (11*i)%9) END AS total
+           | FROM ids),
+           |elems AS (SELECT d.i, unnest(generate_series(0, d.total - 1)) AS j FROM dims d),
+           |binned AS (SELECT i, CASE i % 3
+           |    WHEN 1 THEN LEAST(abs((11*i + 17*j) % 65536 - 32768) // 2048, 15)
+           |    ELSE ((7*i + 31*j) % 256) // 16 END AS bin
+           |  FROM elems),
+           |counts AS (SELECT i, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+           |bins AS (SELECT i, unnest(generate_series(0, 15)) AS bin FROM ids)
+           |SELECT b.i AS asset_id, CAST(b.bin AS INT) AS bin,
+           |  CAST(coalesce(c.c, 0) AS BIGINT) AS n
+           |FROM bins b LEFT JOIN counts c ON c.i = b.i AND c.bin = b.bin""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66
   )
 }

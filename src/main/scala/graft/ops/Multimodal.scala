@@ -85,21 +85,25 @@ object Multimodal {
     }.toDF("asset_id", "kind", "bytes", "width", "height", "sample_rate", "n_frames")
   }
 
-  /** Deterministic media table whose HEADER fields are pure integer
-    * arithmetic of the asset id (bodies stay seeded-random bytes) — the
-    * oracle-able variant of [[synthesize]]: a DuckDB oracle recomputes the
-    * same fields from `generate_series` arithmetic, so the real byte-level
-    * header DECODE (magic/version/kind dispatch, u16/u32 big-endian reads,
-    * declared-length validation) is hash-gated end-to-end (q61). Field
-    * rules, `i` = asset_id:
-    *   image (i%3==0): w = 16 + (7i)%17,  h = 16 + (5i)%17
-    *   audio (i%3==1): sr = 8000 + (i%5)*2000, ns = 512 + (31i)%512
-    *   video (i%3==2): w = 8 + (3i)%9, h = 8 + (11i)%9, nf = 2 + (13i)%15
+  /** Deterministic media table whose HEADER fields AND body bytes are pure
+    * integer arithmetic of (asset id, byte index) — the oracle-able
+    * variant of [[synthesize]]: a DuckDB oracle recomputes the same fields
+    * from `generate_series` arithmetic, so the real byte-level header
+    * DECODE (magic/version/kind dispatch, u16/u32 big-endian reads,
+    * declared-length validation — q61) and the body feature HISTOGRAMS
+    * (q66) are hash-gated end-to-end. Rules, `i` = asset_id:
+    *   image (i%3==0): w = 16 + (7i)%17,  h = 16 + (5i)%17;
+    *                   pixel j = (7i + 31j) % 256
+    *   audio (i%3==1): sr = 8000 + (i%5)*2000, ns = 512 + (31i)%512;
+    *                   sample k = (11i + 17k) % 65536 - 32768 (s16 BE)
+    *   video (i%3==2): w = 8 + (3i)%9, h = 8 + (11i)%9, nf = 2 + (13i)%15;
+    *                   pixel j (frame-sequential) = (7i + 31j) % 256
     */
   def deterministic(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, n.toLong).map { i =>
-      val rng = new java.util.Random(0x0dd5 ^ i)
+      def px(sz: Int): Array[Byte] =
+        Array.tabulate(sz)(j => ((7 * i + 31L * j) % 256).toByte)
       (i % 3).toInt match {
         case 0 =>
           val w = (16 + (7 * i) % 17).toInt
@@ -107,9 +111,7 @@ object Multimodal {
           val bb = ByteBuffer.allocate(6 + 4 + w * h)
           bb.put(Magic).put(1.toByte).put(0.toByte)
           bb.putShort(w.toShort).putShort(h.toShort)
-          val px = new Array[Byte](w * h)
-          rng.nextBytes(px)
-          bb.put(px)
+          bb.put(px(w * h))
           (i, "image", bb.array())
         case 1 =>
           val sr = (8000 + (i % 5) * 2000).toInt
@@ -118,7 +120,10 @@ object Multimodal {
           bb.put(Magic).put(1.toByte).put(1.toByte)
           bb.putInt(sr).putInt(ns)
           var k = 0
-          while (k < ns) { bb.putShort(((rng.nextInt(65536)) - 32768).toShort); k += 1 }
+          while (k < ns) {
+            bb.putShort((((11 * i + 17L * k) % 65536) - 32768).toShort)
+            k += 1
+          }
           (i, "audio", bb.array())
         case _ =>
           val w = (8 + (3 * i) % 9).toInt
@@ -127,12 +132,35 @@ object Multimodal {
           val bb = ByteBuffer.allocate(6 + 6 + nf * w * h)
           bb.put(Magic).put(1.toByte).put(2.toByte)
           bb.putShort(w.toShort).putShort(h.toShort).putShort(nf.toShort)
-          val px = new Array[Byte](nf * w * h)
-          rng.nextBytes(px)
-          bb.put(px)
+          bb.put(px(nf * w * h))
           (i, "video", bb.array())
       }
     }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Integer per-bin histogram COUNTS recovered from [[decodeFeatures]]'s
+    * normalized float histogram (count = round(frac·total) is exact for
+    * total < ~8M at float precision) — the q66 oracle surface: the body
+    * decode (pixel reads / big-endian s16 sample reads) and binning math
+    * hash-gated as integers, no cross-engine float rounding in the output.
+    */
+  def histogramCounts(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("asset_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val h = parseHeader(bytes)
+          val total = h.kind match {
+            case 1 => h.nSamples.toLong
+            case _ => bytes.length.toLong - h.bodyOffset
+          }
+          val hist = decodeFeatures(bytes)
+          hist.indices.map(b => (id, b, math.round(hist(b).toDouble * total)))
+        }
+      }
+      .toDF("asset_id", "bin", "n")
   }
 
   /** Decode every asset's header fields from the RAW bytes (no metadata
