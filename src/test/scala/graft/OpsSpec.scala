@@ -104,6 +104,13 @@ class OpsSpec extends AnyFunSuite {
     // hash (the reuse-revalidation gate) covers them
     assert(Preprocess.hashOps(ops).length == 64)
     assert(Preprocess.hashOps(ops) != Preprocess.hashOps(ops.take(1)))
+    // degenerate taper: n < 1/max_percentage gives edge width m < 1 — the
+    // op must be a no-op, not a 1-sample window (q64's m<1 oracle branch)
+    val tiny = (0 until 8).map(i => ("c1", "m", ts(i), i.toDouble))
+      .toDF("conv_id", "metric", "ts", "value")
+    val tg = Preprocess(tiny, Seq("taper" -> Map("max_percentage" -> "0.1")))
+      .orderBy("ts").select("value").as[Double].collect()
+    assert(tg.toSeq == (0 until 8).map(_.toDouble))
   }
 
   test("preprocess interpolate: lanczos re-rates the grid, low-freq sine preserved") {
@@ -413,6 +420,16 @@ class OpsSpec extends AnyFunSuite {
             .collect().toMap
           assert(gotB == got, s"trial $trial tol=$tol bucket=$bucketSec: bucketed != single-window")
         }
+        // a key with NO right rows at all: every left row must still come
+        // back, unmatched (the bucket-level hand-off has no rows to carry)
+        val loneKey = lefts.map { case (_, t, id) => ("kNONE", t, id + 1000L) }
+        val gotLone = graft.ops.AsofJoin.leftAsofBucketed(
+            loneKey.toDF("k", "ts", "event_id"), rDf, Seq("k"), "ts", "ts",
+            Seq("ref"), bucketSec = 60L, toleranceSec = tol)
+          .select(col("event_id"), col("ref")).as[(Long, Option[Double])]
+          .collect().toMap
+        assert(gotLone.size == loneKey.size && gotLone.values.forall(_.isEmpty),
+          s"trial $trial: right-less key must yield all-null matches")
       }
     }
   }
