@@ -128,6 +128,17 @@ class PlanSpec extends AnyFunSuite {
     assert(Correlate.allPairs(s, maxConvs = 12).count() == 12L * 11 / 2)
   }
 
+  test("toChunks: typed Aggregator encode — object hash agg, no Scala UDF, no collect_list") {
+    import spark.implicits._
+    val t = Transcripts.generate(spark, 4, 60).toDF()
+    val df = graft.ops.Rollup.toChunks(Ingest.series(t, 60), "hour")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"), s"encode agg not object-hash:\n$p")
+    assert(!p.contains("UDF("), s"Scala UDF on the encode path:\n$p")
+    assert(!p.contains("collect_list"), s"boxed-Row collect_list is back:\n$p")
+  }
+
   test("dedup clusters: star-contraction rounds are equi-joins, never cartesian") {
     import spark.implicits._
     // capture the FIRST round's plan shape by running one large-star +
