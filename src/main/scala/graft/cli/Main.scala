@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -301,10 +301,51 @@ object Main {
     s"asof -> ${c("output")}"
   }
 
+  /** streamrollup — the LIVE retention pipeline: streaming tier-1 (1 m)
+    * stats from a transcript feed, then the sealed cascade 1m→1h→1d
+    * (graft.streaming.StreamingRollup), each tier a parquet sink with its
+    * own checkpoint. Triggers are AvailableNow, so a cron re-run processes
+    * only NEW input files and state (open windows, watermarks) resumes
+    * from the checkpoints — a rerun over unchanged input writes nothing.
+    * Keys: input (transcript parquet dir — the stream source), output,
+    * lateness (watermark, default "5 minutes").
+    */
+  def streamrollup(spark: SparkSession, c: Conf): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingRollup
+    val out = c("output")
+    val lateness = c.get("lateness", "5 minutes")
+    def runStage(df: DataFrame, name: String): Unit = {
+      val q = df.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$out/$name")
+        .option("checkpointLocation", s"$out/_checkpoints/$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val statsSchema = StructType(Seq(
+      StructField("conv_id", StringType), StructField("metric", StringType),
+      StructField("chunk_start", TimestampType), StructField("n", LongType),
+      StructField("sum", DoubleType), StructField("min", DoubleType),
+      StructField("max", DoubleType), StructField("first", DoubleType),
+      StructField("last", DoubleType)))
+    val inSchema = spark.read.parquet(c("input")).schema
+    runStage(StreamingRollup.tier1Stats(
+      spark.readStream.schema(inSchema).parquet(c("input")), lateness), "tier_1m")
+    // higher tiers fold the SEALED lower stream; 0 s lateness — the lower
+    // tier's watermark already absorbed event lateness
+    runStage(StreamingRollup.fromSealed(
+      spark.readStream.schema(statsSchema).parquet(s"$out/tier_1m"), "hour"), "tier_1h")
+    runStage(StreamingRollup.fromSealed(
+      spark.readStream.schema(statsSchema).parquet(s"$out/tier_1h"), "day"), "tier_1d")
+    s"streamrollup: tiers 1m/1h/1d (resumable checkpoints) -> $out"
+  }
+
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
-    "dedup" -> dedup, "asof" -> asof)
+    "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

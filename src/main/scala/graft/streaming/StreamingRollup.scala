@@ -54,6 +54,22 @@ object StreamingRollup {
         col("n"), col("sum"), col("min"), col("max"), col("first"), col("last"))
   }
 
+  /** Tier-1 in the composable STATS shape (conv_id, metric, chunk_start,
+    * n/sum/min/max/first/last) — [[tier1m]] reshaped long so
+    * [[fromSealed]] can fold it into higher tiers: each sealed 1m cell is
+    * one occupied grid point of the batch 60 s series (n = 1, all stats =
+    * the cell value), exactly `Rollup.fromPoints` over the stream's
+    * occupied cells (streaming emits no gap-fill zeros — the documented
+    * batch/stream difference).
+    */
+  def tier1Stats(transcripts: DataFrame, lateness: String = "5 minutes"): DataFrame =
+    tier1m(transcripts, lateness)
+      .selectExpr("conv_id", "chunk_start",
+        "stack(2, 'turn_rate', turn_rate, 'token_volume', token_volume) as (metric, value)")
+      .select(col("conv_id"), col("metric"), col("chunk_start"),
+        lit(1L).as("n"), col("value").as("sum"), col("value").as("min"),
+        col("value").as("max"), col("value").as("first"), col("value").as("last"))
+
   /** Per-(conv, 1m window) turn_rate/token_volume stats over a stream. */
   def tier1m(transcripts: DataFrame, lateness: String = "5 minutes"): DataFrame =
     transcripts

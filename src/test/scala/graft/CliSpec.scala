@@ -124,6 +124,28 @@ class CliSpec extends AnyFunSuite {
     assert(a.columns.contains("asof_ts") && a.columns.contains("ref_value"))
   }
 
+  test("streamrollup: live cascade writes 1m/1h/1d tiers; rerun over unchanged input is a no-op") {
+    // multi-day fixture so the day tier actually seals
+    val inDir = Files.createTempDirectory("srl-in").toString + "/t"
+    Transcripts.generate(spark, 3, 1600).toDF().write.parquet(inDir)
+    val outDir = Files.createTempDirectory("srl-out").toString
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> outDir, "lateness" -> "0 seconds"))
+    val m1 = spark.read.parquet(s"$outDir/tier_1m")
+    val h1 = spark.read.parquet(s"$outDir/tier_1h")
+    val d1 = spark.read.parquet(s"$outDir/tier_1d")
+    assert(m1.count() > h1.count() && h1.count() > d1.count() && d1.count() > 0)
+    assert(h1.columns.toSet ==
+      Set("conv_id", "metric", "chunk_start", "n", "sum", "min", "max", "first", "last"))
+    // resumability: AvailableNow + checkpoints — no new input, no new rows
+    val (m0, h0, d0) = (m1.count(), h1.count(), d1.count())
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> outDir, "lateness" -> "0 seconds"))
+    assert(spark.read.parquet(s"$outDir/tier_1m").count() == m0)
+    assert(spark.read.parquet(s"$outDir/tier_1h").count() == h0)
+    assert(spark.read.parquet(s"$outDir/tier_1d").count() == d0)
+  }
+
   test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {
     val ex = intercept[IllegalArgumentException] {
       cli.Main.run("cc", conf(
