@@ -1743,11 +1743,38 @@ object Queries {
            |  CAST(coalesce(c.c, 0) AS BIGINT) AS n
            |FROM bins b LEFT JOIN counts c ON c.i = b.i AND c.bin = b.bin""".stripMargin))
 
+  val q67 = Q("q67_preprocess_chain",
+    (s, d) => {
+      // three more registry ops oracled in one chained query — clip →
+      // decimate → normalize over the stored hourly series. Every stage is
+      // per-row IEEE arithmetic / window selection on identical operands
+      // (least/greatest, row_number modulo, v / max|v|), so the output
+      // hashes UNROUNDED.
+      graft.ops.Preprocess(hourlySeries(s, d, 1L, 2L, 3L), Seq(
+          "clip" -> Map("min" -> "2", "max" -> "50"),
+          "decimate" -> Map("factor" -> "3"),
+          "normalize" -> Map.empty))
+        .transform(x => ntz(x, "ts"))
+        .select("conv_id", "metric", "ts", "value")
+    },
+    Some("""WITH h AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           |    date_trunc('hour', ts) AS ts, CAST(count(*) AS DOUBLE) AS v
+           |  FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2),
+           |c AS (SELECT conv_id, ts, least(greatest(v, 2.0), 50.0) AS v FROM h),
+           |dd AS (SELECT conv_id, ts, v,
+           |    row_number() OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS rn FROM c),
+           |d2 AS (SELECT conv_id, ts, v FROM dd WHERE rn % 3 = 0),
+           |n AS (SELECT conv_id, ts,
+           |    CASE WHEN max(abs(v)) OVER (PARTITION BY conv_id) = 0 THEN v
+           |      ELSE v / max(abs(v)) OVER (PARTITION BY conv_id) END AS value
+           |  FROM d2)
+           |SELECT conv_id, 'hourly_events' AS metric, ts, value FROM n""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67
   )
 }
