@@ -1770,11 +1770,53 @@ object Queries {
            |  FROM d2)
            |SELECT conv_id, 'hourly_events' AS metric, ts, value FROM n""".stripMargin))
 
+  val q68 = Q("q68_hilbert_envelope",
+    (s, d) => {
+      // the Hilbert envelope (analytic-signal magnitude) hash-oracled: on
+      // 24-point windows the FFT pipeline (forward fft -> zero negative
+      // freqs / double positive -> inverse) is a closed-form double DFT
+      // sum, fully SQL-expressible (q56's explicit-DFT precedent). FFT-vs-
+      // direct-sum noise ~1e-10 absolute on O(100) magnitudes -> round(6).
+      import s.implicits._
+      Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
+        .select(col("conv_id"), col("metric"), col("win_start"),
+          col("values").cast("array<double>").as("values"))
+        .as[(String, String, java.sql.Timestamp, Array[Double])]
+        .flatMap { case (cid, met, w, vs) =>
+          val env = graft.kernel.Signal.envelope(vs)
+          env.indices.map(i => (cid, met, w, i.toLong, env(i)))
+        }
+        .toDF("conv_id", "metric", "win_start", "idx", "env")
+        .select(col("conv_id"), col("metric"), col("win_start"), col("idx"),
+          (round(col("env"), 6) + lit(0.0)).as("env"))
+        .transform(x => ntz(x, "win_start"))
+    },
+    Some(s"""WITH ${hourlyGridCtes("user_id IN (1, 2, 3)")},
+           |ks AS (SELECT unnest(generate_series(0, 23)) AS k),
+           |xk AS (SELECT v.user_id, v.w, ks.k,
+           |    sum(v.v * cos(2 * pi() * ks.k * v.i / 24)) AS xre,
+           |    -sum(v.v * sin(2 * pi() * ks.k * v.i / 24)) AS xim
+           |  FROM vals v CROSS JOIN ks GROUP BY 1, 2, 3),
+           |hh AS (SELECT k, CASE WHEN k = 0 OR k = 12 THEN 1.0
+           |    WHEN k < 12 THEN 2.0 ELSE 0.0 END AS h FROM ks),
+           |an AS (SELECT x.user_id, x.w, ii.i,
+           |    sum(h.h * (x.xre * cos(2 * pi() * x.k * ii.i / 24)
+           |             - x.xim * sin(2 * pi() * x.k * ii.i / 24))) / 24 AS are,
+           |    sum(h.h * (x.xre * sin(2 * pi() * x.k * ii.i / 24)
+           |             + x.xim * cos(2 * pi() * x.k * ii.i / 24))) / 24 AS aim
+           |  FROM xk x JOIN hh h ON h.k = x.k
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i) ii
+           |  GROUP BY 1, 2, 3)
+           |SELECT CAST(user_id AS VARCHAR) AS conv_id, 'hourly_events' AS metric,
+           |  make_timestamp(w * 1000000) AS win_start, i AS idx,
+           |  round(sqrt(are * are + aim * aim), 6) + 0.0 AS env
+           |FROM an""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68
   )
 }
