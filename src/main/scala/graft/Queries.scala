@@ -1812,11 +1812,71 @@ object Queries {
            |  round(sqrt(are * are + aim * aim), 6) + 0.0 AS env
            |FROM an""".stripMargin))
 
+  val q69 = Q("q69_lanczos_resample",
+    (s, d) => {
+      // the registry interpolate/resample op (Lanczos a=3 windowed sinc)
+      // hash-oracled at a FRACTIONAL ratio (hourly grid -> 5400 s grid,
+      // ratio 1.5) so genuine half-integer sinc interpolation runs, not a
+      // sample selection. Input is the gap-filled regular hourly grid per
+      // user (the kernel's regular-spacing contract); the oracle replays
+      // the identical index arithmetic (ceil-aligned dst grid, sample-
+      // space positions, ±a lobe window, w = a·sin(πd)·sin(πd/a)/(πd)²,
+      // Σwv/Σw) — sin is libm-variant and the sum reorders, so round(6).
+      val occ = ev(s, d).where(col("user_id").isin(1, 2, 3))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      val spans = occ.groupBy(col("user_id")).agg(
+        min(unix_timestamp(col("h").cast("timestamp"))).as("t0"),
+        max(unix_timestamp(col("h").cast("timestamp"))).as("t1"))
+      val grid = spans.select(col("user_id"), col("t0"), col("t1"),
+          explode(expr("sequence(t0, t1, 3600)")).as("hs"))
+        .join(occ.select(col("user_id"),
+            unix_timestamp(col("h").cast("timestamp")).as("hs"), col("v")),
+          Seq("user_id", "hs"), "left")
+        .select(col("user_id").cast("string").as("conv_id"),
+          lit("hourly_events").as("metric"),
+          timestamp_seconds(col("hs")).as("ts"),
+          coalesce(col("v"), lit(0.0)).as("value"))
+      graft.ops.Preprocess(grid, Seq("interpolate" -> Map("step" -> "5400")))
+        .select(col("conv_id"), col("metric"), col("ts"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+        .transform(x => ntz(x, "ts"))
+    },
+    Some("""WITH occ AS (SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+           |    CAST(count(*) AS DOUBLE) AS v
+           |  FROM events WHERE user_id IN (1, 2, 3) GROUP BY 1, 2),
+           |spanu AS (SELECT user_id, min(h) AS t0, max(h) AS t1 FROM occ GROUP BY 1),
+           |grid AS (SELECT s.user_id, s.t0, unnest(generate_series(s.t0, s.t1, 3600)) AS h
+           |  FROM spanu s),
+           |vals AS (SELECT g.user_id, (g.h - g.t0) // 3600 AS i, coalesce(o.v, 0.0) AS v
+           |  FROM grid g LEFT JOIN occ o ON o.user_id = g.user_id AND o.h = g.h),
+           |params AS (SELECT user_id, t0, t1,
+           |    CAST(ceil(t0 / 5400.0) AS BIGINT) * 5400 AS newt0 FROM spanu),
+           |outs AS (SELECT p.user_id, p.t0, p.newt0,
+           |    unnest(generate_series(0, (p.t1 - p.newt0) // 5400)) AS j
+           |  FROM params p WHERE p.newt0 <= p.t1),
+           |pos AS (SELECT user_id, newt0, j,
+           |    (newt0 - t0) / 3600.0 + j * 1.5 AS pp FROM outs),
+           |terms AS (SELECT pos.user_id, pos.newt0, pos.j, v.v, pos.pp - v.i AS d
+           |  FROM pos JOIN vals v ON v.user_id = pos.user_id
+           |    AND v.i >= CAST(ceil(pos.pp - 3) AS BIGINT)
+           |    AND v.i <= CAST(floor(pos.pp + 3) AS BIGINT)),
+           |w AS (SELECT *, CASE WHEN d = 0 THEN 1.0
+           |    WHEN d <= -3 OR d >= 3 THEN 0.0
+           |    ELSE 3 * sin(pi() * d) * sin(pi() * d / 3)
+           |      / ((pi() * d) * (pi() * d)) END AS wgt
+           |  FROM terms)
+           |SELECT CAST(user_id AS VARCHAR) AS conv_id, 'hourly_events' AS metric,
+           |  make_timestamp((newt0 + j * 5400) * 1000000) AS ts,
+           |  round(CASE WHEN sum(wgt) = 0 THEN 0.0
+           |    ELSE sum(wgt * v) / sum(wgt) END, 6) + 0.0 AS value
+           |FROM w GROUP BY 1, 2, 3""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69
   )
 }
