@@ -169,21 +169,36 @@ object Bench {
       "q50_xcorr_e2e", "q51_rollup_pipeline", "q53_cc_windows"
     )
     val fns = SparkEntry.queries
+    // Drift discipline (same as Scaling.scala's): the sandbox VM's
+    // throughput swings ±20% minute-to-minute, so ONE cold shot per query
+    // cannot distinguish drift from regression (the r4 artifact read
+    // q44_ivf_ann at 2.26x r3 on UNCHANGED code). Each query runs
+    // `runs` times back-to-back; the shipped number is the MEDIAN, the
+    // [min,max] spread ships alongside so a reader can see the noise.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fns(name)(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(times.length / 2), times.head, times.last)
     }
 
-    // north-rule metric: ingested-to-tier-1 points/sec on the synthetic table
-    val (cells, turns, secs) = rollupThroughput(spark, nConvs = 2000, baseTurns = 600)
+    // north-rule metric: ingested-to-tier-1 points/sec on the synthetic
+    // table — same median-of-k discipline (generation is untimed setup)
+    val rollupRuns = (1 to runs).map { _ =>
+      rollupThroughput(spark, nConvs = 2000, baseTurns = 600)
+    }.sortBy(_._3)
+    val (cells, turns, secs) = rollupRuns(rollupRuns.length / 2)
     val pps = cells / secs
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"cpus":"$cpus"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spreads":$spreads,"runs":$runs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"rollup_sec_spread":[${rollupRuns.head._3}%.3f,${rollupRuns.last._3}%.3f],"cpus":"$cpus"}"""
     // bare line on stdout (run/outputStrategy=StdoutOutput strips sbt's
     // "[info] " decoration) AND a file copy — round 1's JSON reached the
     // harness wrapped in log prefixes and parsed as null

@@ -149,32 +149,44 @@ object TableFormat {
     * retries at the next index instead of silently replacing committed
     * history.
     *
-    * FILESYSTEM CONTRACT: concurrent-writer safety relies on
-    * rename-without-overwrite being ATOMIC, which HDFS and local
-    * filesystems guarantee but object stores (e.g. S3A) do NOT — there two
-    * racing writers can both "succeed" at one index and a record is
-    * silently lost. On schemes without the atomic-rename guarantee the
-    * commit is verified by reading the destination back: a writer whose
-    * content lost the race deletes nothing it owns and retries at the next
-    * index. (The reference sidesteps this by being single-writer per file,
-    * /root/reference/xcorr/io/write.py:31-184.)
+    * FILESYSTEM CONTRACT: on schemes where rename-without-overwrite is
+    * ATOMIC (HDFS, local fs) records get dense indexed names
+    * (`snap-00042.json`) and a concurrent writer racing to the same index
+    * fails its rename and retries at the next index. Object stores (s3a,
+    * gs, abfs, ...) give no such guarantee, and a read-back check is TOCTOU
+    * (both racers can verify before the other's copy lands) — so there each
+    * record is committed under a UNIQUE name (`snap-t<epochMicros>-<uuid>`)
+    * that no other writer can target, and commit order is derived at read
+    * time from the lexicographic name sort (timestamp-prefixed, zero-
+    * padded). Wall-clock order across writers is as good as their clock
+    * skew — fine for history lineage, and no record can ever be lost. Don't
+    * mix schemes on one _snapshots dir: indexed names sort before
+    * timestamped ones. (The reference sidesteps all of this by being
+    * single-writer per file, /root/reference/xcorr/io/write.py:31-184.)
     */
   def appendSnapshot(dir: String, record: Map[String, String]): Unit = {
     val snapDir = new Path(dir, "_snapshots")
     val fs = snapDir.getFileSystem(conf)
     fs.mkdirs(snapDir)
+    val fc = FileContext.getFileContext(snapDir.toUri, conf)
+    val atomicRename = Set("file", "hdfs", "viewfs", "webhdfs")
+      .contains(Option(snapDir.toUri.getScheme).getOrElse(fs.getScheme))
+    val payload = Hasher.json(record)
+    if (!atomicRename) {
+      // unique destination — collision-free by construction, single rename
+      val us = System.currentTimeMillis() * 1000L + (System.nanoTime() / 1000L) % 1000L
+      val dst = new Path(snapDir, f"snap-t$us%020d-${java.util.UUID.randomUUID()}.json")
+      val tmp = new Path(snapDir, s".${dst.getName}.tmp")
+      write(tmp, payload)
+      fc.rename(tmp, dst)
+      return
+    }
     val snapIdx = "snap-(\\d+)\\.json".r
     def nextIndex(): Int = fs.listStatus(snapDir).flatMap(st =>
       st.getPath.getName match {
         case snapIdx(i) => Some(i.toInt)
         case _          => None
       }).foldLeft(-1)(math.max) + 1
-    val fc = FileContext.getFileContext(snapDir.toUri, conf)
-    // schemes where rename(no-overwrite) is atomic; anything else (s3a,
-    // gs, abfs, ...) gets the read-back verification
-    val atomicRename = Set("file", "hdfs", "viewfs", "webhdfs")
-      .contains(Option(snapDir.toUri.getScheme).getOrElse(fs.getScheme))
-    val payload = Hasher.json(record)
     var attempts = 0
     var committed = false
     while (!committed) {
@@ -183,13 +195,8 @@ object TableFormat {
       val tmp = new Path(snapDir, s".snap-$n-${java.util.UUID.randomUUID()}.json.tmp")
       write(tmp, payload)
       try {
-        fc.rename(tmp, dst) // NO overwrite
-        committed = atomicRename || {
-          val in = fs.open(dst)
-          val back = try new String(in.readAllBytes(), UTF_8) finally in.close()
-          back == payload // lost a non-atomic race -> retry at next index
-        }
-        if (!committed) attempts += 1
+        fc.rename(tmp, dst) // NO overwrite — atomic on this scheme
+        committed = true
       } catch {
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           fs.delete(tmp, false)

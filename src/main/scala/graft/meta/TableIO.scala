@@ -83,9 +83,12 @@ object TableIO {
       d -> Future(read(spark, d, requiredColumns, headHash, maskStatus)))
     // Per-dir budget, not one shared deadline: with a shared deadline one
     // slow-but-healthy early dir eats the budget and spuriously times out
-    // the rest. All futures run CONCURRENTLY, so waiting `timeoutSec` at
-    // each in turn still bounds the total wall clock by
-    // timeoutSec + max(read time), while every dir gets its full budget.
+    // the rest. The futures START concurrently, so when every dir is
+    // healthy the total wall clock is ~timeoutSec + max(read time); the
+    // WORST case is ~n*timeoutSec (each dir completing just under its
+    // cumulative position in the await chain, or futures queueing behind a
+    // saturated ExecutionContext), the price of guaranteeing every dir its
+    // full budget of running time.
     // Caveat (JVM futures are not cancelable): a timed-out read keeps
     // running detached on the global ExecutionContext until its filesystem
     // call returns — the ValidationError names the offender so the caller

@@ -128,7 +128,14 @@ object Preprocess {
     val dstStepUs = (p("step").toDouble * 1e6).toLong
     val a = p.getOrElse("a", "3").toInt
     perKeyKernel(df) { (ts, vs) =>
-      if (vs.length < 2) (ts, vs)
+      // A 1-point key has no src step to resample against: emit the point
+      // iff it already sits on the ceil-aligned dst grid (where the kernel
+      // below would reproduce it exactly — sinc(0)=1), else nothing
+      // (newT0 > t1) — mirroring the grid arithmetic the q69 oracle replays.
+      if (vs.length == 1) {
+        if (ts(0) % dstStepUs == 0) (ts, vs)
+        else (Array.empty[Long], Array.empty[Double])
+      } else if (vs.isEmpty) (ts, vs)
       else {
         val srcStepUs = ts(1) - ts(0)
         val t0 = ts(0)
