@@ -38,9 +38,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Scaling {
 
+  /** SCALE_MODE=threads (default): local[8] vs local[32] — one JVM, shared
+    * heap/GC/shuffle substrate. SCALE_MODE=cluster: local-cluster[1,8,mem]
+    * vs local-cluster[4,8,mem] — REAL separate executor JVMs (per-executor
+    * heaps, GC, netty shuffle), the closest sandbox analog to N vs 4N
+    * executors the north rule names. Cluster mode needs SPARK_HOME=
+    * /opt/spark and SPARK_SCALA_VERSION=2.13 exported (the dist launcher
+    * that builds executor commands probes dev dirs otherwise), and
+    * SPARK_LOCAL_DIRS for tmpfs shuffle (standalone workers ignore
+    * spark.local.dir).
+    */
+  private val mode = sys.env.getOrElse("SCALE_MODE", "threads")
+
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    val master =
+      if (mode == "cluster") {
+        require(sys.env.contains("SPARK_HOME"),
+          "SCALE_MODE=cluster needs SPARK_HOME (=/opt/spark), SPARK_SCALA_VERSION=2.13, SPARK_LOCAL_DIRS exported")
+        val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "6144").toInt
+        s"local-cluster[${math.max(cores / 8, 1)},8,$execMem]"
+      } else s"local[$cores]"
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -52,8 +71,29 @@ object Scaling {
       .config("spark.sql.parquet.columnarReaderBatchSize", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (mode == "cluster") {
+      val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "6144").toInt
+      b.config("spark.executor.memory", s"${execMem}m")
+        // ship the sbt classpath (our classes + test scala-library) to the
+        // separate executor JVMs; dist jars come from the worker SPARK_HOME
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+        .config("spark.executorEnv.SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+        // match the driver's page-fault discipline (first-touch faults
+        // masquerade as kernel cost otherwise — see build.sbt javaOptions)
+        .config("spark.executor.extraJavaOptions", s"-Xms${execMem}m -XX:+AlwaysPreTouch")
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (mode == "cluster") {
+      // don't let a timed run start before every executor registered
+      val want = math.max(cores / 8, 1) + 1 // + driver entry
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (s.sparkContext.getExecutorMemoryStatus.size < want && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      require(s.sparkContext.getExecutorMemoryStatus.size >= want,
+        s"local-cluster executors failed to register (${s.sparkContext.getExecutorMemoryStatus.size}/$want)")
+    }
     s
   }
 
@@ -307,7 +347,9 @@ object Scaling {
     val md =
       f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 at N vs 4N)
          |
-         |Sandbox stand-in for N vs 4N executors: local[8] vs local[32] on one
+         |Sandbox stand-in for N vs 4N executors: ${if (mode == "cluster")
+           "local-cluster[1,8,mem] vs local-cluster[4,8,mem] — REAL separate executor JVMs (per-executor heaps, GC, netty shuffle between processes; SCALE_MODE=cluster)"
+         else "local[8] vs local[32] (threads in one JVM; SCALE_MODE=threads)"} on one
          |32-core box (no real cluster; per driver instruction). Inputs are
          |pre-materialized deterministic synthetic transcript tables (the
          |generator is partitioning-independent — asserted in PipelineSpec);
@@ -436,6 +478,6 @@ object Scaling {
         if (i >= 0) "\n" + old.substring(i) else ""
       } else ""
     Files.writeString(out, md + history)
-    println(f"""{"kernel_raw_med":$kRawM%.3f,"kernel_raw_spread":$kRawS%.3f,"kernel_vs_floor_med":$kRatM%.3f,"kernel_vs_floor_mad":$kRatD%.3f,"kernel_vs_floor_spread":$kRatS%.3f,"e2e_raw_med":$eRawM%.3f,"e2e_raw_spread":$eRawS%.3f,"e2e_vs_floor_med":$eRatM%.3f,"e2e_vs_floor_mad":$eRatD%.3f,"e2e_vs_floor_spread":$eRatS%.3f,"e2e_vs_memfloor_med":$eMemM%.3f,"e2e_vs_memfloor_spread":$eMemS%.3f,"rollup_raw_med":$rRawM%.3f,"rollup_raw_spread":$rRawS%.3f,"rollup_vs_floor_med":$rRatM%.3f,"rollup_vs_floor_mad":$rRatD%.3f,"rollup_vs_floor_spread":$rRatS%.3f,"visits":$visits}""")
+    println(f"""{"kernel_raw_med":$kRawM%.3f,"kernel_raw_spread":$kRawS%.3f,"kernel_vs_floor_med":$kRatM%.3f,"kernel_vs_floor_mad":$kRatD%.3f,"kernel_vs_floor_spread":$kRatS%.3f,"e2e_raw_med":$eRawM%.3f,"e2e_raw_spread":$eRawS%.3f,"e2e_vs_floor_med":$eRatM%.3f,"e2e_vs_floor_mad":$eRatD%.3f,"e2e_vs_floor_spread":$eRatS%.3f,"e2e_vs_memfloor_med":$eMemM%.3f,"e2e_vs_memfloor_spread":$eMemS%.3f,"rollup_raw_med":$rRawM%.3f,"rollup_raw_spread":$rRawS%.3f,"rollup_vs_floor_med":$rRatM%.3f,"rollup_vs_floor_mad":$rRatD%.3f,"rollup_vs_floor_spread":$rRatS%.3f,"visits":$visits,"mode":"$mode"}""")
   }
 }

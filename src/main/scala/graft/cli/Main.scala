@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -239,8 +239,9 @@ object Main {
   }
 
   /** rollup — continuous-aggregate cascade (engine-new, the north-rule
-    * job): series/transcripts → 1m/1h/1d tiers. Keys: input, output,
-    * step_sec.
+    * job): series/transcripts → 1m/1h/1d tiers, each day-partitioned so
+    * retention can expire a day with one partition drop (the layout
+    * `graft.jobs.RetentionJob` enforces). Keys: input, output, step_sec.
     */
   def rollup(spark: SparkSession, c: Conf): String = {
     val in = spark.read.parquet(c("input"))
@@ -250,10 +251,45 @@ object Main {
         Ingest.bucketed(in, c.long("step_sec", 60)), c.long("step_sec", 60), "minute")
     val h1 = graft.ops.Rollup.fromLower(m1, "hour")
     val d1 = graft.ops.Rollup.fromLower(h1, "day")
-    m1.write.mode("overwrite").parquet(s"${c("output")}/tier_1m")
-    h1.write.mode("overwrite").parquet(s"${c("output")}/tier_1h")
-    d1.write.mode("overwrite").parquet(s"${c("output")}/tier_1d")
+    def writeTier(df: DataFrame, name: String): Unit =
+      df.withColumn("day", to_date(col("chunk_start")))
+        .write.mode("overwrite").partitionBy("day").parquet(s"${c("output")}/$name")
+    writeTier(m1, "tier_1m")
+    writeTier(h1, "tier_1h")
+    writeTier(d1, "tier_1d")
     s"rollup -> ${c("output")}/tier_{1m,1h,1d}"
+  }
+
+  /** retention — enforce the tier store's retention policy (engine-new;
+    * the reference's analog is its skip-processed status flags over the
+    * (pair, year, doy) file layout, xcorr/io/filesystem.py:28-97): expire
+    * lower-tier day partitions strictly older than `older_than` (ISO date)
+    * or `keep_days` (relative to the newest lower-tier day) once the
+    * covering tier seals them exactly; optionally compact surviving
+    * partitions of `compact_tier` to `target_files` files each. Idempotent,
+    * snapshot-logged, kill-safe (see graft.jobs.RetentionJob). Keys:
+    * input (store dir), lower_tier, upper_tier, older_than | keep_days,
+    * max_partitions, compact_tier, target_files.
+    */
+  def retention(spark: SparkSession, c: Conf): String = {
+    import graft.jobs.RetentionJob
+    val store = c("input")
+    val lower = c.get("lower_tier", "tier_1m")
+    val upper = c.get("upper_tier", "tier_1h")
+    val olderThan = c.opt("older_than").getOrElse {
+      val days = RetentionJob.partitionDays(spark, s"$store/$lower")
+      require(days.nonEmpty, s"no day partitions under $store/$lower and no older_than given")
+      java.time.LocalDate.parse(days.last)
+        .minusDays(c.long("keep_days", 30)).toString
+    }
+    val st = RetentionJob.expire(spark, store, olderThan, lower, upper,
+      maxPartitions = c.int("max_partitions", -1))
+    val compacted = c.opt("compact_tier")
+      .map(t => RetentionJob.compactTier(spark, store, t, c.int("target_files", 1)))
+      .getOrElse(Nil)
+    s"retention: expired ${st.expired.size} of ${st.candidates.size} candidate days " +
+      s"(${st.pointsExpired} pts; uncovered skipped: ${st.uncovered.size}); " +
+      s"compacted ${compacted.size} partitions"
   }
 
   /** dedup — near-duplicate cluster assignment over a documents table
@@ -317,9 +353,13 @@ object Main {
     val out = c("output")
     val lateness = c.get("lateness", "5 minutes")
     def runStage(df: DataFrame, name: String): Unit = {
-      val q = df.writeStream.outputMode("append").format("parquet")
+      // day partitioning = the retention unit (graft.jobs.RetentionJob
+      // expires a sealed day with one partition drop)
+      val q = df.withColumn("day", to_date(col("chunk_start")))
+        .writeStream.outputMode("append").format("parquet")
         .option("path", s"$out/$name")
         .option("checkpointLocation", s"$out/_checkpoints/$name")
+        .partitionBy("day")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -329,7 +369,7 @@ object Main {
       StructField("chunk_start", TimestampType), StructField("n", LongType),
       StructField("sum", DoubleType), StructField("min", DoubleType),
       StructField("max", DoubleType), StructField("first", DoubleType),
-      StructField("last", DoubleType)))
+      StructField("last", DoubleType), StructField("day", DateType)))
     val inSchema = spark.read.parquet(c("input")).schema
     runStage(StreamingRollup.tier1Stats(
       spark.readStream.schema(inSchema).parquet(c("input")), lateness), "tier_1m")
@@ -345,7 +385,8 @@ object Main {
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
-    "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup)
+    "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
+    "retention" -> retention)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

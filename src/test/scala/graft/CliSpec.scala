@@ -136,7 +136,7 @@ class CliSpec extends AnyFunSuite {
     val d1 = spark.read.parquet(s"$outDir/tier_1d")
     assert(m1.count() > h1.count() && h1.count() > d1.count() && d1.count() > 0)
     assert(h1.columns.toSet ==
-      Set("conv_id", "metric", "chunk_start", "n", "sum", "min", "max", "first", "last"))
+      Set("conv_id", "metric", "chunk_start", "n", "sum", "min", "max", "first", "last", "day"))
     // resumability: AvailableNow + checkpoints — no new input, no new rows
     val (m0, h0, d0) = (m1.count(), h1.count(), d1.count())
     cli.Main.run("streamrollup", conf(
