@@ -1222,12 +1222,17 @@ object Queries {
   val q55 = Q("q55_postprocess_chain",
     (s, d) => {
       // the full postprocess chain (unbias → demean → taper → timeshift →
-      // highpass filtfilt → taper → lag-window) + snr over DISTRIBUTED
-      // windowed CC on a stored table — rows-only: the filter, taper and
-      // timeshift STAGES are each hard-oracled in isolation (q29/q64/q65),
-      // but replaying the 7-stage COMPOSITION in SQL would be an oracle
-      // larger than the engine; the chain is golden-tested in OpsSpec
-      // against manual stage composition
+      // highpass filtfilt → taper → per-pair lag-window) + snr over
+      // DISTRIBUTED windowed CC on a stored table — HARD-oracled since r5:
+      // the oracle chains the stage mechanics already proven in isolation
+      // (q53's time-domain CC sums, q21's weight algebra, q64's Hann edge
+      // factors, q65's exact-12-step roll, q29's zi-seeded filtfilt
+      // recursion at the SAME inlined SOS constants — wn = (1/43200) /
+      // ((1/3600)/2) is bit-identical to q29Filter's) into one composed
+      // query. The chain input (FFT-normalized CC) carries ~1e-15 relative
+      // reorder noise vs the SQL sums, so outputs round(6) (q56/q64/q65
+      // precedent); window geometry: npts=24 → 47 lags, taper m=2, roll
+      // 12 steps (delay = -(0 + (-43200))), padlen 9, taper2 m=1
       import s.implicits._
       val wins = Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
       val pairs = Seq(("1", "2"), ("2", "3")).toDF("conv_a", "conv_b")
@@ -1246,9 +1251,104 @@ object Queries {
         lagMinSec = -43200, lagMaxSec = 43200,
         celerityMin = 300, celerityMax = 3000), Some(dist))
       graft.ops.Postprocess.snr(post, 3600, signalBand = (-21600, 21600), noiseBand = (28800, 43200))
+        .select(col("pair"), col("metric"), col("win_start"),
+          (round(col("s"), 6) + lit(0.0)).as("s"),
+          (round(col("n"), 6) + lit(0.0)).as("n"),
+          (round(col("snr"), 6) + lit(0.0)).as("snr"),
+          (col("lag_s_max") + lit(0.0)).as("lag_s_max"))
         .transform(x => ntz(x, "win_start"))
     },
-    None)
+    Some {
+      val (sos, zi, _) = q29Filter
+      val (b0, b1, b2, a1, a2) = (sos.b0.toString, sos.b1.toString, sos.b2.toString,
+        sos.a1.toString, sos.a2.toString)
+      val (z0c, z1c) = (zi(0).toString, zi(1).toString)
+      s"""WITH RECURSIVE ${hourlyGridCtes("user_id IN (1, 2, 3)")},
+         |prs AS (SELECT '1-2' AS pair, 1 AS ua, 2 AS ub, 15000000.0 AS dist
+         |  UNION ALL SELECT '2-3', 2, 3, 30000000.0),
+         |eng AS (SELECT user_id, w, sum(v * v) AS e FROM vals GROUP BY 1, 2),
+         |pw AS MATERIALIZED (SELECT p.pair, p.ua, p.ub, ea.w AS w,
+         |    greatest(p.dist / 3000.0, -43200.0) AS lagmin,
+         |    least(p.dist / 300.0, 43200.0) AS lagmax,
+         |    sqrt(ea.e) * sqrt(eb.e) AS nrm
+         |  FROM prs p
+         |  JOIN eng ea ON ea.user_id = p.ua
+         |  JOIN eng eb ON eb.user_id = p.ub AND eb.w = ea.w
+         |  WHERE ea.e > 0 AND eb.e > 0),
+         |ks AS (SELECT unnest(generate_series(0, 46)) AS j),
+         |ccr AS (SELECT pw.pair, pw.w, ks.j,
+         |    sum(a.v * b.v) * (1.0 / max(pw.nrm)) AS x
+         |  FROM pw JOIN ks ON true
+         |  JOIN vals a ON a.user_id = pw.ua AND a.w = pw.w
+         |  JOIN vals b ON b.user_id = pw.ub AND b.w = pw.w AND b.i = a.i - (ks.j - 23)
+         |  GROUP BY 1, 2, 3),
+         |ub AS (SELECT pair, w, j, x * (24.0 / (24 - abs(j - 23))) AS x FROM ccr),
+         |dm AS (SELECT pair, w, j, x - avg(x) OVER (PARTITION BY pair, w) AS x FROM ub),
+         |tp1 AS (SELECT pair, w, j, x * (CASE WHEN j IN (0, 46) THEN 0.0
+         |    WHEN j IN (1, 45) THEN 0.5 - 0.5 * cos(2 * pi() * 1 / 4)
+         |    ELSE 1.0 END) AS x FROM dm),
+         |sh AS MATERIALIZED (
+         |  SELECT a.pair, a.w, a.j, b.x
+         |  FROM tp1 a JOIN tp1 b ON b.pair = a.pair AND b.w = a.w
+         |    AND b.j = (a.j - 12 + 46) % 46
+         |  WHERE a.j < 46
+         |  UNION ALL SELECT pair, w, 46, 0.0 FROM pw),
+         |pd AS (SELECT unnest(generate_series(0, 8)) AS p),
+         |ext AS MATERIALIZED (
+         |  SELECT s.pair, s.w, pd.p AS i, 2 * x0.x - xr.x AS v
+         |  FROM pw s JOIN pd ON true
+         |  JOIN sh x0 ON x0.pair = s.pair AND x0.w = s.w AND x0.j = 0
+         |  JOIN sh xr ON xr.pair = s.pair AND xr.w = s.w AND xr.j = 9 - pd.p
+         |  UNION ALL SELECT pair, w, j + 9, x FROM sh
+         |  UNION ALL
+         |  SELECT s.pair, s.w, 56 + pd.p, 2 * xl.x - xr.x
+         |  FROM pw s JOIN pd ON true
+         |  JOIN sh xl ON xl.pair = s.pair AND xl.w = s.w AND xl.j = 46
+         |  JOIN sh xr ON xr.pair = s.pair AND xr.w = s.w AND xr.j = 45 - pd.p),
+         |fwd(pair, w, i, y, z0, z1) AS (
+         |  SELECT e.pair, e.w, 0, $b0 * e.v + $z0c * e.v,
+         |    $b1 * e.v - $a1 * ($b0 * e.v + $z0c * e.v) + $z1c * e.v,
+         |    $b2 * e.v - $a2 * ($b0 * e.v + $z0c * e.v)
+         |  FROM ext e WHERE e.i = 0
+         |  UNION ALL
+         |  SELECT pair, w, i, y, $b1 * v - $a1 * y + z1p, $b2 * v - $a2 * y FROM (
+         |    SELECT s.pair, s.w, s.i + 1 AS i, e.v AS v, $b0 * e.v + s.z0 AS y, s.z1 AS z1p
+         |    FROM fwd s
+         |    JOIN ext e ON e.pair = s.pair AND e.w = s.w AND e.i = s.i + 1
+         |    WHERE s.i < 64) q),
+         |fr AS MATERIALIZED (SELECT pair, w, 64 - i AS i, y AS v FROM fwd),
+         |bwd(pair, w, i, y, z0, z1) AS (
+         |  SELECT e.pair, e.w, 0, $b0 * e.v + $z0c * e.v,
+         |    $b1 * e.v - $a1 * ($b0 * e.v + $z0c * e.v) + $z1c * e.v,
+         |    $b2 * e.v - $a2 * ($b0 * e.v + $z0c * e.v)
+         |  FROM fr e WHERE e.i = 0
+         |  UNION ALL
+         |  SELECT pair, w, i, y, $b1 * v - $a1 * y + z1p, $b2 * v - $a2 * y FROM (
+         |    SELECT s.pair, s.w, s.i + 1 AS i, e.v AS v, $b0 * e.v + s.z0 AS y, s.z1 AS z1p
+         |    FROM bwd s
+         |    JOIN fr e ON e.pair = s.pair AND e.w = s.w AND e.i = s.i + 1
+         |    WHERE s.i < 64) q),
+         |flt AS MATERIALIZED (SELECT pair, w, 64 - i - 9 AS j, y AS x
+         |  FROM bwd WHERE 64 - i BETWEEN 9 AND 55),
+         |tp2 AS (SELECT pair, w, j,
+         |    x * (CASE WHEN j IN (0, 46) THEN 0.0 ELSE 1.0 END) AS x FROM flt),
+         |msk AS MATERIALIZED (SELECT t.pair, t.w, (t.j - 23) * 3600.0 AS lag, t.x
+         |  FROM tp2 t JOIN pw ON pw.pair = t.pair AND pw.w = t.w
+         |  WHERE (t.j - 23) * 3600.0 BETWEEN pw.lagmin AND pw.lagmax),
+         |agg AS MATERIALIZED (SELECT pair, w,
+         |    max(abs(x)) FILTER (lag BETWEEN -21600 AND 21600) AS s,
+         |    sqrt(avg(x * x) FILTER (lag BETWEEN 28800 AND 43200)) AS nr
+         |  FROM msk GROUP BY 1, 2),
+         |pk AS (SELECT m.pair, m.w, min(m.lag) AS lag_s_max
+         |  FROM msk m JOIN agg ON agg.pair = m.pair AND agg.w = m.w
+         |  WHERE m.lag BETWEEN -21600 AND 21600 AND abs(m.x) = agg.s
+         |  GROUP BY 1, 2)
+         |SELECT agg.pair, 'hourly_events' AS metric,
+         |  make_timestamp(agg.w * 1000000) AS win_start,
+         |  round(agg.s, 6) + 0.0 AS s, round(agg.nr, 6) + 0.0 AS n,
+         |  round(agg.s / agg.nr, 6) + 0.0 AS snr, pk.lag_s_max + 0.0 AS lag_s_max
+         |FROM agg JOIN pk ON pk.pair = agg.pair AND pk.w = agg.w""".stripMargin
+    })
 
   val q56 = Q("q56_spectrogram_psd",
     (s, d) => {

@@ -79,16 +79,18 @@ object Scaling {
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
         .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
         .config("spark.executorEnv.SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
-        // match the driver's page-fault discipline (first-touch faults
-        // masquerade as kernel cost otherwise — see build.sbt javaOptions)
-        .config("spark.executor.extraJavaOptions", s"-Xms${execMem}m -XX:+AlwaysPreTouch")
+        // -Xms commits the heap up front (no mid-job growth pauses) but NO
+        // AlwaysPreTouch: 4 executors page-zeroing 6 GiB each concurrently
+        // stalled registration past a minute on this VM; the per-session
+        // warm pass absorbs first-touch faults instead
+        .config("spark.executor.extraJavaOptions", s"-Xms${execMem}m")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     if (mode == "cluster") {
       // don't let a timed run start before every executor registered
       val want = math.max(cores / 8, 1) + 1 // + driver entry
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       while (s.sparkContext.getExecutorMemoryStatus.size < want && System.nanoTime() < deadline)
         Thread.sleep(100)
       require(s.sparkContext.getExecutorMemoryStatus.size >= want,
