@@ -55,7 +55,7 @@ object Scaling {
       if (mode == "cluster") {
         require(sys.env.contains("SPARK_HOME"),
           "SCALE_MODE=cluster needs SPARK_HOME (=/opt/spark), SPARK_SCALA_VERSION=2.13, SPARK_LOCAL_DIRS exported")
-        val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "6144").toInt
+        val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "4096").toInt
         s"local-cluster[${math.max(cores / 8, 1)},8,$execMem]"
       } else s"local[$cores]"
     val b = SparkSession.builder()
@@ -72,18 +72,24 @@ object Scaling {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (mode == "cluster") {
-      val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "6144").toInt
+      val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "4096").toInt
       b.config("spark.executor.memory", s"${execMem}m")
         // ship the sbt classpath (our classes + test scala-library) to the
         // separate executor JVMs; dist jars come from the worker SPARK_HOME
         .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
         .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
         .config("spark.executorEnv.SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
-        // -Xms commits the heap up front (no mid-job growth pauses) but NO
-        // AlwaysPreTouch: 4 executors page-zeroing 6 GiB each concurrently
-        // stalled registration past a minute on this VM; the per-session
-        // warm pass absorbs first-touch faults instead
-        .config("spark.executor.extraJavaOptions", s"-Xms${execMem}m")
+        // Two flags measured ESSENTIAL on this box (probe, r5):
+        //  - AlwaysPreTouch: without it the committed -Xms heap pages are
+        //    zeroed lazily MID-MEASUREMENT — 4 executors fault 24 GB in
+        //    during the second run (40-55 s spikes on a 2 s job); the 180 s
+        //    registration deadline absorbs the up-front pretouch instead.
+        //  - ActiveProcessorCount=8: each executor JVM otherwise sizes its
+        //    GC/JIT thread pools for the FULL 32-core box — 4 JVMs x ~32
+        //    GC threads oversubscribe it. Real clusters get this from
+        //    container CPU limits; this is the faithful emulation.
+        .config("spark.executor.extraJavaOptions",
+          s"-Xms${execMem}m -XX:+AlwaysPreTouch -XX:ActiveProcessorCount=8")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -95,6 +101,12 @@ object Scaling {
         Thread.sleep(100)
       require(s.sparkContext.getExecutorMemoryStatus.size >= want,
         s"local-cluster executors failed to register (${s.sparkContext.getExecutorMemoryStatus.size}/$want)")
+      // a STALE LocalSparkCluster from a previous session would hand this
+      // app the wrong worker set and silently flatten the 8-vs-32
+      // comparison (both levels = same slots, eff pinned to 0.25) — gate
+      // the slot count, don't trust the master string
+      require(s.sparkContext.defaultParallelism == cores,
+        s"cluster slot count ${s.sparkContext.defaultParallelism} != requested $cores (stale LocalSparkCluster?)")
     }
     s
   }
@@ -246,6 +258,24 @@ object Scaling {
       (c8, c32, (c32 / c8) / 4.0)
     }
 
+    // In cluster mode every session spins FRESH executor JVMs whose JIT
+    // state dominates early runs (probe: first timed pass up to 3x steady
+    // even after one warm). Before any per-job warm, burn the FFT kernel
+    // across all executors, and take best-of-3 instead of best-of-2.
+    def clusterWarm(s: SparkSession): Unit = if (mode == "cluster") {
+      import s.implicits._
+      (1 to 2).foreach { _ =>
+        s.range(0, 4000L).repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            it.map { i =>
+              val x = Array.tabulate(2880)(j => math.sin(i + j * 0.1))
+              graft.kernel.Cc.cc(x, x, normalize = true).max
+            }
+          }
+          .reduce(_ + _)
+      }
+    }
+
     // One job's tight 8-vs-32 comparison: floor pair, job@8 (warm +
     // best-of-2), job@32 (warm + best-of-2), floor pair. The two levels
     // sit ~30 s apart (one session restart + one warm pass) instead of
@@ -258,9 +288,10 @@ object Scaling {
     def measureJob(pair: () => (Double, Double, Double))(
         run: SparkSession => (Long, Double)): JobMeas = {
       def best2(spark: SparkSession): M = {
+        clusterWarm(spark)
         run(spark) // warm: JIT + codegen + page-faults for THIS plan
-        val a = run(spark); val b = run(spark)
-        M(a._1, math.min(a._2, b._2))
+        val runs = (1 to (if (mode == "cluster") 3 else 2)).map(_ => run(spark))
+        M(runs.head._1, runs.map(_._2).min)
       }
       // THREE floor pairs (before / between levels / after), MEDIAN ratio:
       // a single drift spike inside one pair must not poison the floor

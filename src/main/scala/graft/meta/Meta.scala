@@ -96,6 +96,28 @@ object TableFormat {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileContext, Options, Path}
 
+  /** True when a real Iceberg runtime is on the classpath. The sandbox
+    * ships none (zero egress, SURVEY §7.0), so the sidecar emulation below
+    * is the active path; on a cluster with the iceberg-spark-runtime jar
+    * this flips and [[icebergSessionConfigs]] wires the native catalog —
+    * the adaptivity is spec-gated (skipped-unless-present) in
+    * IoStreamingSpec so the claim stays executable either way.
+    */
+  lazy val icebergAvailable: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: ClassNotFoundException | _: NoClassDefFoundError => false }
+
+  /** Session configs for the native path (a Hadoop-catalog warehouse —
+    * swap type/uri for Hive/REST catalogs). `spark.sql.extensions` is a
+    * static conf: apply these at SparkSession BUILD time, before the
+    * context exists.
+    */
+  def icebergSessionConfigs(warehouse: String, catalog: String = "graft"): Map[String, String] = Map(
+    "spark.sql.extensions" -> "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    s"spark.sql.catalog.$catalog" -> "org.apache.iceberg.spark.SparkCatalog",
+    s"spark.sql.catalog.$catalog.type" -> "hadoop",
+    s"spark.sql.catalog.$catalog.warehouse" -> warehouse)
+
   /** The active session's Hadoop conf when inside a Spark job; a default
     * conf (core-site.xml discovery) otherwise — keeps this layer usable
     * from plain JVM tools.

@@ -146,6 +146,77 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/tier_1d").count() == d0)
   }
 
+  test("streamrollup: kill mid-batch, restart from checkpoint converges to the single-shot result") {
+    import org.apache.spark.sql.functions.{col, to_date, unix_micros, min => smin, max => smax}
+    val inDir = Files.createTempDirectory("srk-in").toString + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // TIME-ORDERED chunk files (the log-rotation shape a live feed has):
+    // the rate-limited first attempt advances the watermark chunk by chunk
+    // without dropping anything as late — a shuffled-file fixture would
+    // lose later files' rows to the lateness-0 watermark by design, which
+    // tests streaming semantics, not checkpoint recovery
+    locally {
+      val t = Transcripts.generate(spark, 3, 1600).toDF().cache()
+      val mm = t.agg(smin(unix_micros(col("ts").cast("timestamp"))),
+        smax(unix_micros(col("ts").cast("timestamp")))).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
+      for (i <- 0 until 8) {
+        val a = lo + i * ((hi - lo) / 8 + 1)
+        val b = math.min(lo + (i + 1) * ((hi - lo) / 8 + 1), hi)
+        val chunkDir = Files.createTempDirectory(s"srk-chunk$i").toString
+        t.where(unix_micros(col("ts").cast("timestamp")).between(a, b - 1))
+          .coalesce(1).write.mode("overwrite").parquet(chunkDir)
+        val part = new java.io.File(chunkDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(inDir, f"chunk-$i%02d.parquet")
+        Files.move(part.toPath, dst)
+        // deterministic oldest-first source order
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      t.unpersist()
+    }
+    val killed = Files.createTempDirectory("srk-out1").toString
+    val clean = Files.createTempDirectory("srk-out2").toString
+
+    // partial first attempt at tier_1m: 1 file per micro-batch, killed
+    // while batches may still be flowing (if the box races through all 8
+    // batches first, the test degrades to the rerun-no-op case — never a
+    // false failure). Source rate-limit options are not part of the
+    // checkpoint contract, so the CLI's resume query is compatible.
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      val inSchema = spark.read.parquet(inDir).schema
+      val src = spark.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamingRollup.tier1Stats(src, "0 seconds")
+        .withColumn("day", to_date(col("chunk_start")))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$killed/tier_1m")
+        .option("checkpointLocation", s"$killed/_checkpoints/tier_1m")
+        .partitionBy("day")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(1500)
+      if (q.isActive) q.stop()
+    }
+
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> killed, "lateness" -> "0 seconds"))
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> clean, "lateness" -> "0 seconds"))
+    for (tier <- Seq("tier_1m", "tier_1h", "tier_1d")) {
+      val a = spark.read.parquet(s"$killed/$tier")
+      val b = spark.read.parquet(s"$clean/$tier")
+      val cols = b.columns.toSeq.sorted
+      val diff = a.select(cols.map(col): _*).union(b.select(cols.map(col): _*))
+        .groupBy(cols.map(col): _*).count()
+        .where(col("count") =!= 2)
+      assert(a.count() == b.count() && diff.count() == 0,
+        s"$tier differs between kill+restart and single-shot")
+    }
+  }
+
   test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {
     val ex = intercept[IllegalArgumentException] {
       cli.Main.run("cc", conf(

@@ -420,6 +420,17 @@ class OpsSpec extends AnyFunSuite {
             .collect().toMap
           assert(gotB == got, s"trial $trial tol=$tol bucket=$bucketSec: bucketed != single-window")
         }
+        // AUTO-chosen bucket (no hand-picking): a small target forces the
+        // hottest key's rate to split the 500 s span; results must be
+        // bucket-size-invariant
+        val auto = graft.ops.AsofJoin.autoBucketSec(lDf, rDf, Seq("k"), "ts", "ts",
+          targetRowsPerBucket = 16)
+        assert(auto >= 1L && auto < 500L, s"auto bucket $auto should split the 500 s span")
+        val gotA = graft.ops.AsofJoin.leftAsofBucketed(lDf, rDf, Seq("k"), "ts", "ts",
+            Seq("ref"), bucketSec = auto, toleranceSec = tol)
+          .select(col("event_id"), col("ref")).as[(Long, Option[Double])]
+          .collect().toMap
+        assert(gotA == got, s"trial $trial tol=$tol auto bucket=$auto: != single-window")
         // a key with NO right rows at all: every left row must still come
         // back, unmatched (the bucket-level hand-off has no rows to carry)
         val loneKey = lefts.map { case (_, t, id) => ("kNONE", t, id + 1000L) }
