@@ -379,7 +379,20 @@ object Main {
       spark.readStream.schema(statsSchema).parquet(s"$out/tier_1m"), "hour"), "tier_1h")
     runStage(StreamingRollup.fromSealed(
       spark.readStream.schema(statsSchema).parquet(s"$out/tier_1h"), "day"), "tier_1d")
-    s"streamrollup: tiers 1m/1h/1d (resumable checkpoints) -> $out"
+    // optional in-pipeline retention: with the higher tiers freshly sealed,
+    // expire 1m days older than `retention_keep_days` (idempotent — a day
+    // the 1h tier has not fully sealed is skipped, never deleted)
+    val ret = c.opt("retention_keep_days").map { kd =>
+      import graft.jobs.RetentionJob
+      val days = RetentionJob.partitionDays(spark, s"$out/tier_1m")
+      if (days.isEmpty) "; retention: no 1m partitions yet"
+      else {
+        val horizon = java.time.LocalDate.parse(days.last).minusDays(kd.toLong).toString
+        val st = RetentionJob.expire(spark, out, horizon)
+        s"; retention: expired ${st.expired.size} 1m days, ${st.uncovered.size} unsealed kept"
+      }
+    }.getOrElse("")
+    s"streamrollup: tiers 1m/1h/1d (resumable checkpoints) -> $out$ret"
   }
 
   val commands: Map[String, (SparkSession, Conf) => String] = Map(

@@ -64,6 +64,21 @@ object RetentionJob {
     else df.withColumn("day", to_date(col("chunk_start")))
   }
 
+  /** Read a day-partitioned tier by EXPLICIT partition paths. Two reasons
+    * over a root read + filter: (1) exact pruning without trusting the
+    * optimizer; (2) STREAMING-SINK tiers carry a `_spark_metadata`
+    * exactly-once log that still lists expired files — a single-path read
+    * resolves through that log and crashes on the deleted files, while a
+    * multi-path read bypasses it (the log must stay: the higher-tier
+    * cascade's file source uses it to know which files it already
+    * processed, and never re-opens expired ones).
+    */
+  private def readTierDays(spark: SparkSession, tierDir: String, days: Seq[String]): DataFrame = {
+    require(days.nonEmpty, "readTierDays needs at least one day")
+    spark.read.option("basePath", tierDir)
+      .parquet(days.map(d => s"$tierDir/day=$d"): _*)
+  }
+
   /** Expire lower-tier day partitions strictly older than `olderThan` whose
     * points are EXACTLY accounted for in the covering tier (per-day sum(n)
     * equality — the tiers compose, so equality means every lower cell is
@@ -89,17 +104,7 @@ object RetentionJob {
     // seal check, partition-pruned on BOTH sides (the candidate-day filter
     // reaches the scans; the upper read derives day from chunk_start when
     // the tier predates day-partitioning)
-    // filter on DATE literals — a cast around the partition column would
-    // defeat partition pruning, turning the seal check into a full scan
-    val candDates = candidates.map(java.sql.Date.valueOf)
-    val lowerN = readTier(spark, lowerDir)
-      .where(col("day").isInCollection(candDates))
-      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-      .agg(sum(col("n")).as("lower_n"))
-    val upperN = readTier(spark, upperDir)
-      .where(col("day").isInCollection(candDates))
-      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-      .agg(sum(col("n")).as("upper_n"))
+    val (lowerN, upperN) = sealCheckFrames(spark, lowerDir, upperDir, candidates)
     val sealCheck = lowerN.join(upperN, Seq("day"), "left")
       .select(col("day"), col("lower_n"),
         coalesce(col("upper_n"), lit(0L)).as("upper_n"))
@@ -123,6 +128,32 @@ object RetentionJob {
     }
     ExpiryStats(candidates, covered.map(_._1), uncovered.map(_._1),
       covered.map(_._2).sum)
+  }
+
+  /** The seal check's two aggregation frames — per candidate day, the
+    * total point count on each side. Filters use DATE literals on the
+    * partition column directly (a cast around it would defeat partition
+    * pruning and turn the check into a full-tier scan — plan-gated in
+    * PlanSpec); the string form is re-derived AFTER the filter for the
+    * join/output.
+    */
+  private[graft] def sealCheckFrames(
+      spark: SparkSession, lowerDir: String, upperDir: String,
+      candidates: Seq[String]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val candDates = candidates.map(java.sql.Date.valueOf)
+    def agg(df: DataFrame, out: String) = df
+      .where(col("day").isInCollection(candDates))
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("n")).as(out))
+    def side(dir: String, out: String): DataFrame = {
+      val present = partitionDays(spark, dir).intersect(candidates)
+      if (present.nonEmpty) agg(readTierDays(spark, dir, present), out)
+      else if (partitionDays(spark, dir).nonEmpty) // day-partitioned, none of the candidates present
+        Seq.empty[(String, Long)].toDF("day", out)
+      else agg(readTier(spark, dir), out) // legacy non-day-partitioned tier: derived day
+    }
+    (side(lowerDir, "lower_n"), side(upperDir, "upper_n"))
   }
 
   /** Compact a tier's day partitions down to `targetFiles` parquet files
@@ -214,8 +245,7 @@ object RetentionJob {
       val mine = days.filterNot(served.contains)
       served ++= mine
       if (mine.isEmpty) None
-      else Some(readTier(spark, s"$storeDir/$tier")
-        .where(col("day").isInCollection(mine.map(java.sql.Date.valueOf)))
+      else Some(readTierDays(spark, s"$storeDir/$tier", mine)
         .select(col("conv_id"), col("metric"), col("chunk_start"),
           col("n"), col("sum"), col("min"), col("max"),
           col("first"), col("last"),

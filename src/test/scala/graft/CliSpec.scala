@@ -215,6 +215,23 @@ class CliSpec extends AnyFunSuite {
       assert(a.count() == b.count() && diff.count() == 0,
         s"$tier differs between kill+restart and single-shot")
     }
+
+    // in-pipeline retention on the live store: keep_days=0 expires every
+    // sealed 1m day older than the newest; tieredRead still serves them
+    import graft.jobs.RetentionJob
+    val daysBefore = RetentionJob.partitionDays(spark, s"$clean/tier_1m")
+    val servedBefore = RetentionJob.tieredRead(spark, clean)
+      .select(col("day")).distinct().count()
+    val msg = cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> clean, "lateness" -> "0 seconds",
+      "retention_keep_days" -> "0"))
+    assert(msg.contains("retention: expired"), msg)
+    val daysAfter = RetentionJob.partitionDays(spark, s"$clean/tier_1m")
+    assert(daysAfter.size < daysBefore.size && daysAfter.contains(daysBefore.last),
+      s"retention must drop sealed old 1m days: $daysBefore -> $daysAfter")
+    assert(RetentionJob.tieredRead(spark, clean)
+      .select(col("day")).distinct().count() == servedBefore,
+      "expired days must stay answerable from the surviving tiers")
   }
 
   test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {

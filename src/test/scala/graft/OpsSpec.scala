@@ -135,6 +135,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resample: a 1-point key emits only when it sits on the ceil-aligned dst grid") {
+    import spark.implicits._
+    // epoch millis chosen directly so the check is TZ-free: 1704067320000
+    // is a whole minute (on a 60 s grid), +30 s is off-grid
+    val df = Seq(
+      ("on", "m", new java.sql.Timestamp(1704067320000L), 5.0),
+      ("off", "m", new java.sql.Timestamp(1704067350000L), 7.0))
+      .toDF("conv_id", "metric", "ts", "value")
+    val out = Preprocess(df, Seq("resample" -> Map("step" -> "60")))
+      .select("conv_id", "ts", "value")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSeq
+    assert(out == Seq(("on", new java.sql.Timestamp(1704067320000L), 5.0)),
+      s"1-point semantics: on-grid passthrough, off-grid drop — got $out")
+  }
+
   test("lttbTier chunked: keeper count == min(threshold, n); first/last exact") {
     import spark.implicits._
     import graft.ops.Rollup

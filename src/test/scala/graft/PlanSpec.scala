@@ -206,4 +206,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Window \\[[^\\]]*row_number\\(\\)[^\\]]*\\], \\[bucket".r.findFirstIn(p).isDefined,
       s"islands window not bucket-partitioned:\n$p")
   }
+
+  test("retention seal check: candidate-day filters PRUNE the tier scans (no full-tier read)") {
+    import spark.implicits._
+    // 4-day day-partitioned tier pair; the check targets 2 candidate days
+    val store = java.nio.file.Files.createTempDirectory("plan-ret").toString
+    val rows = (0 until 4).flatMap { d =>
+      (0 until 10).map(h => ("c1", "m", java.sql.Timestamp.valueOf(f"2024-01-0${d + 1}%d 0$h%d:00:00"), 1L, 1.0))
+    }.toDF("conv_id", "metric", "chunk_start", "n", "sum")
+      .withColumn("day", to_date(col("chunk_start")))
+    rows.write.partitionBy("day").parquet(s"$store/tier_1m")
+    rows.write.partitionBy("day").parquet(s"$store/tier_1h")
+    val (lowerN, upperN) = graft.jobs.RetentionJob.sealCheckFrames(
+      spark, s"$store/tier_1m", s"$store/tier_1h", Seq("2024-01-01", "2024-01-02"))
+    for (df <- Seq(lowerN, upperN)) {
+      val p = plan(df)
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      assert(pf.contains("day") && (pf.contains("IN") || pf.contains("in(")),
+        s"candidate-day predicate did not reach PartitionFilters:\n$p")
+    }
+    assert(lowerN.collect().map(_.getString(0)).sorted.sameElements(Array("2024-01-01", "2024-01-02")))
+  }
 }
