@@ -1972,11 +1972,58 @@ object Queries {
            |    ELSE sum(wgt * v) / sum(wgt) END, 6) + 0.0 AS value
            |FROM w GROUP BY 1, 2, 3""".stripMargin))
 
+  val q70 = Q("q70_retention_tiered",
+    (s, d) => {
+      // retention ENFORCEMENT under the driver's hash gate: build
+      // day-partitioned 1m/1h tiers from the stored events table, EXPIRE
+      // every sealed 1m day older than the newest (per-day point-count
+      // seal), answer from the surviving tiers via tieredRead, aggregate
+      // back to day grain WITH the serving-tier label. The oracle
+      // aggregates raw events directly and derives the label from the
+      // documented policy (old days -> tier_1h, newest -> tier_1m): equal
+      // iff the tier folds compose exactly AND expiry routed each day to
+      // exactly the tier the policy says. Numerics identical to q51's
+      // cascade path (sum round(6), min/max/n/first/last exact).
+      import graft.jobs.RetentionJob
+      val store = s"/tmp/graft-q70-store-${Integer.toHexString(d.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val pts = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
+        lit("value").as("metric"), col("ts"), col("value"))
+      val (m1, h1, _) = Rollup.cascade(pts)
+      def writeTier(df: DataFrame, name: String): Unit =
+        df.withColumn("day", to_date(col("chunk_start")))
+          .write.mode("overwrite").partitionBy("day").parquet(s"$store/$name")
+      writeTier(m1, "tier_1m")
+      writeTier(h1, "tier_1h")
+      val days = RetentionJob.partitionDays(s, s"$store/tier_1m")
+      val st = RetentionJob.expire(s, store, olderThan = days.last)
+      require(st.uncovered.isEmpty && st.expired.sorted == days.init.sorted,
+        s"q70 expiry must drop exactly the sealed days ${days.init}, got $st")
+      RetentionJob.tieredRead(s, store, Seq("tier_1m", "tier_1h"))
+        .groupBy(col("conv_id").cast("long").as("user_id"),
+          col("day").cast("timestamp_ntz").as("day"), col("tier"))
+        .agg(sum(col("n")).as("n"), round(sum(col("sum")), 6).as("sum_v"),
+          min(col("min")).as("min_v"), max(col("max")).as("max_v"),
+          min_by(col("first"), col("chunk_start")).as("first_v"),
+          max_by(col("last"), col("chunk_start")).as("last_v"))
+    },
+    Some("""WITH mx AS (SELECT max(date_trunc('day', ts)) AS md FROM events)
+           |SELECT user_id, date_trunc('day', ts) AS day,
+           |  CASE WHEN date_trunc('day', ts) < (SELECT md FROM mx)
+           |    THEN 'tier_1h' ELSE 'tier_1m' END AS tier,
+           |  count(*) AS n, round(sum(value), 6) AS sum_v,
+           |  min(value) AS min_v, max(value) AS max_v,
+           |  min_by(value, ts) AS first_v, max_by(value, ts) AS last_v
+           |FROM events GROUP BY 1, 2, 3""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q70
   )
 }
