@@ -104,6 +104,27 @@ class RetentionSpec extends AnyFunSuite {
       "a day the covering tier has not sealed must survive expiry")
   }
 
+  test("two-level retention: expire 1m under 1h, then 1h under 1d; totals still answerable") {
+    val store = freshStore()
+    val days = RetentionJob.partitionDays(spark, s"$store/tier_1m")
+    val before = totals(RetentionJob.tieredRead(spark, store))
+    // level 1: 1m days sealed by 1h
+    val st1 = RetentionJob.expire(spark, store, days.last)
+    assert(st1.uncovered.isEmpty && st1.expired.nonEmpty)
+    // level 2: 1h days sealed by 1d (same machinery, one parameter swap)
+    val st2 = RetentionJob.expire(spark, store, days.last,
+      lowerTier = "tier_1h", upperTier = "tier_1d")
+    assert(st2.uncovered.isEmpty && st2.expired.sorted == st1.expired.sorted,
+      s"the 1d tier must seal exactly the same days: $st2 vs $st1")
+    // old days now served from the COARSEST tier, totals unchanged
+    val after = RetentionJob.tieredRead(spark, store)
+    val tiersByDay = after.select(date_format(col("day"), "yyyy-MM-dd"), col("tier"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    days.init.foreach(d => assert(tiersByDay(d) == "tier_1d", s"$d from ${tiersByDay(d)}"))
+    assert(tiersByDay(days.last) == "tier_1m")
+    assert(totals(after).sameElements(before))
+  }
+
   test("compaction reduces a day to one file, preserves rows, and recovers an interrupted swap") {
     val store = freshStore()
     val tierDir = s"$store/tier_1m"
