@@ -2018,12 +2018,66 @@ object Queries {
            |  min_by(value, ts) AS first_v, max_by(value, ts) AS last_v
            |FROM events GROUP BY 1, 2, 3""".stripMargin))
 
+  val q71 = Q("q71_beamform_delay_ties",
+    (s, d) => {
+      // q57's argmax delay-pick stage made hash-oracle-able (closing the
+      // r3/r4 tie taxonomy): instead of ONE pick among FFT-noise-scrambled
+      // exact ties, emit the tie-INVARIANT surface — per (window, pair)
+      // the round-9 |cc| maximum AND the full SET of lags attaining it.
+      // Set membership compares round-9 values: true plateaus on these
+      // 24-sample integer count series are rationals whose distinct values
+      // gap by >= 1/(norm product) ~ 1e-6 >> 1e-9, while the engine's
+      // pow2-FFT reorder noise (~1e-13) vanishes at round-9 — so the FFT
+      // cc and the oracle's exact time-domain sums agree on both the max
+      // and the members. With q62 (LSE solve) this hash-gates every q57
+      // stage; only the arbitrary first-of-ties pick stays rows-only.
+      import s.implicits._
+      Correlate.windows(hourlySeries(s, d, 1L, 2L, 3L), 86400, 43200, 3600)
+        .select(col("win_start"), col("conv_id"), col("values").cast("array<double>").as("values"))
+        .as[(java.sql.Timestamp, String, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (w: java.sql.Timestamp, it: Iterator[(java.sql.Timestamp, String, Array[Double])]) =>
+          val m = it.map(r => r._2 -> r._3).toMap
+          if (m.size == 3 && m.values.forall(_.exists(_ != 0.0))) {
+            Iterator(("1", "2"), ("1", "3"), ("2", "3")).flatMap { case (a, b) =>
+              val rxy = graft.kernel.Cc.cc(m(a), m(b), normalize = true)
+              val center = rxy.length / 2
+              val r9 = rxy.map(v => BigDecimal(math.abs(v))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+              val mx = r9.max
+              r9.indices.filter(i => r9(i) == mx)
+                .map(i => (w, s"$a-$b", (i - center).toLong, mx))
+            }
+          } else Iterator.empty
+        }
+        .toDF("win_start", "pair", "lag_shift", "cc_abs_max")
+        .transform(x => ntz(x, "win_start"))
+    },
+    Some(s"""WITH ${hourlyGridCtes("user_id IN (1, 2, 3)")},
+           |nrm AS (SELECT user_id, w, sqrt(sum(v * v)) AS nr FROM vals GROUP BY 1, 2),
+           |ok AS (SELECT w FROM nrm WHERE nr > 0 GROUP BY w HAVING count(*) = 3),
+           |prs AS (SELECT '1-2' AS pair, 1 AS ua, 2 AS ub
+           |  UNION ALL SELECT '1-3', 1, 3 UNION ALL SELECT '2-3', 2, 3),
+           |cc AS (SELECT p.pair, va.w, va.i - vb.i AS lag,
+           |    round(abs(sum(va.v * vb.v) * (1.0 / (na.nr * nb.nr))), 9) + 0.0 AS a9
+           |  FROM prs p
+           |  JOIN vals va ON va.user_id = p.ua
+           |  JOIN vals vb ON vb.user_id = p.ub AND vb.w = va.w
+           |  JOIN ok o ON o.w = va.w
+           |  JOIN nrm na ON na.user_id = p.ua AND na.w = va.w
+           |  JOIN nrm nb ON nb.user_id = p.ub AND nb.w = va.w
+           |  GROUP BY 1, 2, 3, na.nr, nb.nr),
+           |mx AS (SELECT pair, w, max(a9) AS m FROM cc GROUP BY 1, 2)
+           |SELECT make_timestamp(c.w * 1000000) AS win_start, c.pair,
+           |  CAST(c.lag AS BIGINT) AS lag_shift, c.a9 AS cc_abs_max
+           |FROM cc c JOIN mx ON mx.pair = c.pair AND mx.w = c.w AND c.a9 = mx.m""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70
+    q70, q71
   )
 }
