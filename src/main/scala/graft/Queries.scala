@@ -2072,12 +2072,59 @@ object Queries {
            |  CAST(c.lag AS BIGINT) AS lag_shift, c.a9 AS cc_abs_max
            |FROM cc c JOIN mx ON mx.pair = c.pair AND mx.w = c.w AND c.a9 = mx.m""".stripMargin))
 
+  val q72 = Q("q72_streaming_rollup_1h",
+    (s, d) => {
+      // the LIVE Structured Streaming cascade fold under the driver's hash
+      // gate: stage the sealed 1m tier as a parquet stream source, run
+      // StreamingRollup.fromSealed(hour) as a REAL streaming query
+      // (append after watermark close, checkpointed, AvailableNow), read
+      // the sink back. Identical semantics to q11's batch Rollup.fromLower
+      // -> REUSES q11's oracle SQL verbatim (q63/q27 same-oracle
+      // precedent): equal iff the streaming fold seals every 1h cell
+      // exactly as the batch fold composes it. Append mode emits only
+      // windows the watermark CLOSED, so one sentinel sealed cell 2h past
+      // the real horizon (filtered back out) pushes the global watermark
+      // over every real window end before the trigger drains.
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/tmp/graft-q72-${Integer.toHexString(d.hashCode)}"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val m1 = ev(s, d).select(col("user_id").cast("string").as("conv_id"),
+        lit("value").as("metric"), col("ts"), col("value"))
+      val tier1m = Rollup.fromPoints(m1, "minute")
+      val sentinel = tier1m
+        .agg((max(col("chunk_start")) + expr("INTERVAL 2 HOURS")).as("chunk_start"))
+        .select(lit("__wm__").as("conv_id"), lit("value").as("metric"),
+          col("chunk_start"), lit(1L).as("n"), lit(0.0).as("sum"),
+          lit(0.0).as("min"), lit(0.0).as("max"), lit(0.0).as("first"),
+          lit(0.0).as("last"))
+      tier1m.unionByName(sentinel).write.parquet(s"$base/in_1m")
+      val q = graft.streaming.StreamingRollup.fromSealed(
+        s.readStream.schema(s.read.parquet(s"$base/in_1m").schema)
+          .parquet(s"$base/in_1m"), "hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out_1h")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out_1h")
+        .where(col("conv_id") =!= "__wm__")
+        .select(col("conv_id").cast("long").as("user_id"), col("chunk_start"),
+          col("n"), round(col("sum"), 6).as("sum_v"),
+          col("min").as("min_v"), col("max").as("max_v"))
+        .transform(x => ntz(x, "chunk_start"))
+    },
+    Some("""SELECT user_id, date_trunc('hour', ts) AS chunk_start, count(*) AS n,
+           | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71
+    q70, q71, q72
   )
 }

@@ -50,13 +50,26 @@ object Scaling {
     */
   private val mode = sys.env.getOrElse("SCALE_MODE", "threads")
 
+  /** The two parallelism levels: lo = N, hi = 4N (the north rule fixes
+    * the ratio at 4). Default lo=8 — the r1-r5 8-vs-32 series. In cluster
+    * mode lo is ALSO the per-executor core count, so the two levels are
+    * exactly 1 vs 4 executor JVMs of lo cores each: SCALE_LO=2 gives
+    * local-cluster[1,2] vs local-cluster[4,2] — 2 vs 8 TOTAL threads,
+    * BELOW the box's memory-bus saturation point (the wall that pins raw
+    * 8-vs-32 efficiency at ~0.55-0.65 regardless of engine quality), the
+    * closest single-box regime to "each executor brings its own
+    * bandwidth" that the north rule's real-cluster criterion assumes.
+    */
+  private val lo = sys.env.getOrElse("SCALE_LO", "8").toInt
+  private val hi = 4 * lo
+
   private def session(cores: Int): SparkSession = {
     val master =
       if (mode == "cluster") {
         require(sys.env.contains("SPARK_HOME"),
           "SCALE_MODE=cluster needs SPARK_HOME (=/opt/spark), SPARK_SCALA_VERSION=2.13, SPARK_LOCAL_DIRS exported")
         val execMem = sys.env.getOrElse("SCALE_EXEC_MEM_MB", "4096").toInt
-        s"local-cluster[${math.max(cores / 8, 1)},8,$execMem]"
+        s"local-cluster[${math.max(cores / lo, 1)},$lo,$execMem]"
       } else s"local[$cores]"
     val b = SparkSession.builder()
       .master(master)
@@ -84,18 +97,19 @@ object Scaling {
         //    zeroed lazily MID-MEASUREMENT — 4 executors fault 24 GB in
         //    during the second run (40-55 s spikes on a 2 s job); the 180 s
         //    registration deadline absorbs the up-front pretouch instead.
-        //  - ActiveProcessorCount=8: each executor JVM otherwise sizes its
-        //    GC/JIT thread pools for the FULL 32-core box — 4 JVMs x ~32
-        //    GC threads oversubscribe it. Real clusters get this from
-        //    container CPU limits; this is the faithful emulation.
+        //  - ActiveProcessorCount=<exec cores>: each executor JVM
+        //    otherwise sizes its GC/JIT thread pools for the FULL 32-core
+        //    box — 4 JVMs x ~32 GC threads oversubscribe it. Real clusters
+        //    get this from container CPU limits; this is the faithful
+        //    emulation.
         .config("spark.executor.extraJavaOptions",
-          s"-Xms${execMem}m -XX:+AlwaysPreTouch -XX:ActiveProcessorCount=8")
+          s"-Xms${execMem}m -XX:+AlwaysPreTouch -XX:ActiveProcessorCount=$lo")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     if (mode == "cluster") {
       // don't let a timed run start before every executor registered
-      val want = math.max(cores / 8, 1) + 1 // + driver entry
+      val want = math.max(cores / lo, 1) + 1 // + driver entry
       val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       while (s.sparkContext.getExecutorMemoryStatus.size < want && System.nanoTime() < deadline)
         Thread.sleep(100)
@@ -230,7 +244,7 @@ object Scaling {
 
     // setup (untimed): materialize input tables + pre-joined pair-windows
     locally {
-      val s = session(32)
+      val s = session(hi)
       if (!new java.io.File(s"$rollupPath/_SUCCESS").exists())
         Bench.materializeTranscripts(s, nConvs, baseTurns, rollupPath)
       if (!new java.io.File(s"$ccPath/_SUCCESS").exists())
@@ -250,12 +264,12 @@ object Scaling {
     // measured BACK-TO-BACK (seconds apart, same drift regime). Returns
     // (abs8, abs32, pairEff).
     def kPair(): (Double, Double, Double) = {
-      val c8 = kernelMemCeiling(8); val c32 = kernelMemCeiling(32)
-      (c8, c32, (c32 / c8) / 4.0)
+      val cLo = kernelMemCeiling(lo); val cHi = kernelMemCeiling(hi)
+      (cLo, cHi, (cHi / cLo) / 4.0)
     }
     def rPair(): (Double, Double, Double) = {
-      val c8 = memCeiling(8); val c32 = memCeiling(32)
-      (c8, c32, (c32 / c8) / 4.0)
+      val cLo = memCeiling(lo); val cHi = memCeiling(hi)
+      (cLo, cHi, (cHi / cLo) / 4.0)
     }
 
     // In cluster mode every session spins FRESH executor JVMs whose JIT
@@ -296,11 +310,11 @@ object Scaling {
       // THREE floor pairs (before / between levels / after), MEDIAN ratio:
       // a single drift spike inside one pair must not poison the floor
       val f1 = pair()
-      val s8 = session(8)
+      val s8 = session(lo)
       val m8 = best2(s8)
       s8.stop()
       val f2 = pair()
-      val s32 = session(32)
+      val s32 = session(hi)
       val m32 = best2(s32)
       s32.stop()
       val f3 = pair()
@@ -314,7 +328,7 @@ object Scaling {
         rRaw: Double, rFloorEff: Double, rRatio: Double)
 
     // JIT the control loops once before any pair is trusted
-    kernelMemCeiling(8); memCeiling(8)
+    kernelMemCeiling(lo); memCeiling(lo)
 
     val visits = sys.env.getOrElse("SCALE_VISITS", "3").toInt
     val ms = (1 to visits).map { v =>
@@ -329,8 +343,8 @@ object Scaling {
       (k, e, r)
     }
     // secondary cache-resident FFT reference, once (back-to-back pair)
-    val kFft8 = kernelCeiling(8)
-    val kFft32 = kernelCeiling(32)
+    val kFft8 = kernelCeiling(lo)
+    val kFft32 = kernelCeiling(hi)
     val ratios = ms.map { case (k, e, r) =>
       def eff(a: Double, b: Double) = (b / a) / 4.0
       val kRaw = eff(k.m8.pps, k.m32.pps)
@@ -381,23 +395,23 @@ object Scaling {
       f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 at N vs 4N)
          |
          |Sandbox stand-in for N vs 4N executors: ${if (mode == "cluster")
-           "local-cluster[1,8,mem] vs local-cluster[4,8,mem] — REAL separate executor JVMs (per-executor heaps, GC, netty shuffle between processes; SCALE_MODE=cluster)"
-         else "local[8] vs local[32] (threads in one JVM; SCALE_MODE=threads)"} on one
+           s"local-cluster[1,$lo,mem] vs local-cluster[4,$lo,mem] — REAL separate executor JVMs, 1 vs 4 of them at $lo cores each (per-executor heaps, GC, netty shuffle between processes; SCALE_MODE=cluster, SCALE_LO=$lo)"
+         else s"local[$lo] vs local[$hi] (threads in one JVM; SCALE_MODE=threads)"} on one
          |32-core box (no real cluster; per driver instruction). Inputs are
          |pre-materialized deterministic synthetic transcript tables (the
          |generator is partitioning-independent — asserted in PipelineSpec);
          |generation is setup, not measured.
          |
          |**Methodology (r4, variance-proofed)**: the box's throughput drifts
-         |±20%% at minutes scale, so EVERY 8-vs-32 division is measured inside
+         |±20%% at minutes scale, so EVERY $lo-vs-$hi division is measured inside
          |one narrow drift window. Per job per visit: floor pair (pure-JVM
-         |burns at 8 then 32 threads, seconds apart), job@8 (warm +
-         |best-of-2), job@32 (warm + best-of-2, ~30 s after job@8 — one
+         |burns at $lo then $hi threads, seconds apart), job@$lo (warm +
+         |best-of-2), job@$hi (warm + best-of-2, ~30 s after job@$lo — one
          |session restart), floor pair — three pairs per job per visit, the
          |job's floor efficiency being their MEDIAN (one drift spike inside
          |a pair must not poison the floor; burns stream ~100 GB / run for
          |seconds so they measure throughput, not thread-start overhead).
-         |The per-visit engine-vs-floor ratio divides the job's raw 8→32
+         |The per-visit engine-vs-floor ratio divides the job's raw $lo→$hi
          |efficiency by its floor efficiency; the shipped number is the
          |median over $visits interleaved visits with the median absolute
          |deviation as the confidence band (full range alongside). (The r3 design measured the control once per
@@ -421,8 +435,8 @@ object Scaling {
          |
          || parallelism | cc windows | seconds | cc/sec | floor cc/sec (bare threads) |
          ||---|---|---|---|---|
-         || local[8]  (N)  | ${repK.m8.cells}%,d | ${repK.m8.secs}%.1f | ${repK.m8.pps}%,.1f | ${repK.f8}%,.1f |
-         || local[32] (4N) | ${repK.m32.cells}%,d | ${repK.m32.secs}%.1f | ${repK.m32.pps}%,.1f | ${repK.f32}%,.1f |
+         || local[$lo]  (N)  | ${repK.m8.cells}%,d | ${repK.m8.secs}%.1f | ${repK.m8.pps}%,.1f | ${repK.f8}%,.1f |
+         || local[$hi] (4N) | ${repK.m32.cells}%,d | ${repK.m32.secs}%.1f | ${repK.m32.pps}%,.1f | ${repK.f32}%,.1f |
          |
          |Per-visit (raw eff | floor eff | engine-vs-floor ratio):
          |
@@ -436,7 +450,7 @@ object Scaling {
          |(target: ratio >= 0.85, band <= 0.05)
          |
          |Secondary reference: the cache-resident shared-input FFT burn (the
-         |r1-r3 control) attained ${kFft8}%,.0f cc/s @8 / ${kFft32}%,.0f @32 (one
+         |r1-r3 control) attained ${kFft8}%,.0f cc/s @$lo / ${kFft32}%,.0f @$hi (one
          |back-to-back pair) — it bounds pure-compute scaling but no job that
          |streams rows from memory can match it, which is why ratios against
          |it were noisy (r3: 0.65-0.96 across runs).
@@ -451,8 +465,8 @@ object Scaling {
          |
          || parallelism | cc windows | seconds | cc/sec | floor cc/sec |
          ||---|---|---|---|---|
-         || local[8]  (N)  | ${repE.m8.cells}%,d | ${repE.m8.secs}%.1f | ${repE.m8.pps}%,.1f | ${repE.f8}%,.1f |
-         || local[32] (4N) | ${repE.m32.cells}%,d | ${repE.m32.secs}%.1f | ${repE.m32.pps}%,.1f | ${repE.f32}%,.1f |
+         || local[$lo]  (N)  | ${repE.m8.cells}%,d | ${repE.m8.secs}%.1f | ${repE.m8.pps}%,.1f | ${repE.f8}%,.1f |
+         || local[$hi] (4N) | ${repE.m32.cells}%,d | ${repE.m32.secs}%.1f | ${repE.m32.pps}%,.1f | ${repE.f32}%,.1f |
          |
          || visit | raw | floor | ratio |
          ||---|---|---|---|
@@ -476,8 +490,8 @@ object Scaling {
          |
          || parallelism | tier-1 points | seconds | points/sec | floor GB/s |
          ||---|---|---|---|---|
-         || local[8]  (N)  | ${repR.m8.cells}%,d | ${repR.m8.secs}%.1f | ${repR.m8.pps}%,.0f | ${repR.f8}%,.1f |
-         || local[32] (4N) | ${repR.m32.cells}%,d | ${repR.m32.secs}%.1f | ${repR.m32.pps}%,.0f | ${repR.f32}%,.1f |
+         || local[$lo]  (N)  | ${repR.m8.cells}%,d | ${repR.m8.secs}%.1f | ${repR.m8.pps}%,.0f | ${repR.f8}%,.1f |
+         || local[$hi] (4N) | ${repR.m32.cells}%,d | ${repR.m32.secs}%.1f | ${repR.m32.pps}%,.0f | ${repR.f32}%,.1f |
          |
          || visit | raw | floor | ratio |
          ||---|---|---|---|
@@ -503,7 +517,9 @@ object Scaling {
     Files.createDirectories(Paths.get("BENCH"))
     // preserve the hand-curated cross-round run-history section: fresh
     // tables replace the measured part, history survives re-runs
-    val out = Paths.get("BENCH/BASELINE.md")
+    // SCALE_OUT redirects exploratory runs (e.g. a SCALE_LO sweep) away
+    // from the shipped headline report
+    val out = Paths.get(sys.env.getOrElse("SCALE_OUT", "BENCH/BASELINE.md"))
     val history =
       if (Files.exists(out)) {
         val old = Files.readString(out)
@@ -511,6 +527,6 @@ object Scaling {
         if (i >= 0) "\n" + old.substring(i) else ""
       } else ""
     Files.writeString(out, md + history)
-    println(f"""{"kernel_raw_med":$kRawM%.3f,"kernel_raw_spread":$kRawS%.3f,"kernel_vs_floor_med":$kRatM%.3f,"kernel_vs_floor_mad":$kRatD%.3f,"kernel_vs_floor_spread":$kRatS%.3f,"e2e_raw_med":$eRawM%.3f,"e2e_raw_spread":$eRawS%.3f,"e2e_vs_floor_med":$eRatM%.3f,"e2e_vs_floor_mad":$eRatD%.3f,"e2e_vs_floor_spread":$eRatS%.3f,"e2e_vs_memfloor_med":$eMemM%.3f,"e2e_vs_memfloor_spread":$eMemS%.3f,"rollup_raw_med":$rRawM%.3f,"rollup_raw_spread":$rRawS%.3f,"rollup_vs_floor_med":$rRatM%.3f,"rollup_vs_floor_mad":$rRatD%.3f,"rollup_vs_floor_spread":$rRatS%.3f,"visits":$visits,"mode":"$mode"}""")
+    println(f"""{"kernel_raw_med":$kRawM%.3f,"kernel_raw_spread":$kRawS%.3f,"kernel_vs_floor_med":$kRatM%.3f,"kernel_vs_floor_mad":$kRatD%.3f,"kernel_vs_floor_spread":$kRatS%.3f,"e2e_raw_med":$eRawM%.3f,"e2e_raw_spread":$eRawS%.3f,"e2e_vs_floor_med":$eRatM%.3f,"e2e_vs_floor_mad":$eRatD%.3f,"e2e_vs_floor_spread":$eRatS%.3f,"e2e_vs_memfloor_med":$eMemM%.3f,"e2e_vs_memfloor_spread":$eMemS%.3f,"rollup_raw_med":$rRawM%.3f,"rollup_raw_spread":$rRawS%.3f,"rollup_vs_floor_med":$rRatM%.3f,"rollup_vs_floor_mad":$rRatD%.3f,"rollup_vs_floor_spread":$rRatS%.3f,"visits":$visits,"mode":"$mode","lo":$lo,"hi":$hi}""")
   }
 }
