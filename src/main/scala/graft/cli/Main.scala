@@ -267,9 +267,13 @@ object Main {
     * or `keep_days` (relative to the newest lower-tier day) once the
     * covering tier seals them exactly; optionally compact surviving
     * partitions of `compact_tier` to `target_files` files each. Idempotent,
-    * snapshot-logged, kill-safe (see graft.jobs.RetentionJob). Keys:
-    * input (store dir), lower_tier, upper_tier, older_than | keep_days,
-    * max_partitions, compact_tier, target_files.
+    * snapshot-logged, kill-safe (see graft.jobs.RetentionJob). Also folds
+    * the store's `_snapshots` manifest into one checkpoint file
+    * (TableFormat.compactSnapshots — the manifest otherwise grows one
+    * object per job run forever; opt out with compact_snapshots=false).
+    * Keys: input (store dir), lower_tier, upper_tier, older_than |
+    * keep_days, max_partitions, compact_tier, target_files,
+    * compact_snapshots.
     */
   def retention(spark: SparkSession, c: Conf): String = {
     import graft.jobs.RetentionJob
@@ -287,9 +291,13 @@ object Main {
     val compacted = c.opt("compact_tier")
       .map(t => RetentionJob.compactTier(spark, store, t, c.int("target_files", 1)))
       .getOrElse(Nil)
+    // fold the manifest AFTER this run's own snapshot records are appended,
+    // so the run that just happened is inside the checkpoint too
+    val pruned = if (c.bool("compact_snapshots", true))
+      graft.meta.TableFormat.compactSnapshots(store) else 0
     s"retention: expired ${st.expired.size} of ${st.candidates.size} candidate days " +
       s"(${st.pointsExpired} pts; uncovered skipped: ${st.uncovered.size}); " +
-      s"compacted ${compacted.size} partitions"
+      s"compacted ${compacted.size} partitions; manifest files pruned: $pruned"
   }
 
   /** dedup — near-duplicate cluster assignment over a documents table

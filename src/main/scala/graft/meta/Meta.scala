@@ -204,10 +204,18 @@ object TableFormat {
       return
     }
     val snapIdx = "snap-(\\d+)\\.json".r
+    // checkpoint covers count toward the high-water mark too: if the kept
+    // cover record is ever manually removed, restarting from 0 would mint
+    // names that sort inside a checkpoint's covered range and vanish from
+    // reads (snapshots() skips names <= cover)
     def nextIndex(): Int = fs.listStatus(snapDir).flatMap(st =>
       st.getPath.getName match {
-        case snapIdx(i) => Some(i.toInt)
-        case _          => None
+        case snapIdx(i)                      => Some(i.toInt)
+        case n if ckptCover.isDefinedAt(n)   => ckptCover(n) match {
+          case snapIdx(i) => Some(i.toInt)
+          case _          => None
+        }
+        case _                               => None
       }).foldLeft(-1)(math.max) + 1
     var attempts = 0
     var committed = false
@@ -228,25 +236,102 @@ object TableFormat {
     }
   }
 
-  /** List the snapshot records in commit order. */
+  /** List the snapshot records in commit order: the newest checkpoint's
+    * contents (see [[compactSnapshots]]) followed by every raw record whose
+    * name sorts strictly after the checkpoint's cover. Leftovers from a
+    * compaction that crashed between checkpoint-commit and prune (older
+    * checkpoints, already-covered raw records) are ignored here, never
+    * double-counted — the next [[compactSnapshots]] call reclaims them.
+    */
   def snapshots(dir: String): Seq[Map[String, String]] = {
     val snapDir = new Path(dir, "_snapshots")
     val fs = snapDir.getFileSystem(conf)
     if (!fs.exists(snapDir)) return Seq.empty
-    fs.listStatus(snapDir).filter(_.getPath.getName.startsWith("snap-"))
-      .sortBy(_.getPath.getName).toIndexedSeq
-      .map { st =>
-        val in = fs.open(st.getPath)
-        val raw =
-          try new String(in.readAllBytes(), UTF_8)
-          finally in.close()
-        val s = raw.trim.stripPrefix("{").stripSuffix("}")
-        if (s.isEmpty) Map.empty[String, String]
-        else {
-          val re = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-          re.findAllMatchIn(s).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
-        }
+    historyFrom(snapDir, fs, fs.listStatus(snapDir).map(_.getPath.getName))
+  }
+
+  /** Effective history for ONE directory listing (the reader semantics and
+    * the compactor's checkpoint content must agree on the same snapshot of
+    * the listing, or a record appended between two listings lands both in
+    * the checkpoint and after its cover — double-counted).
+    */
+  private def historyFrom(snapDir: Path, fs: org.apache.hadoop.fs.FileSystem,
+      names: Array[String]): Seq[Map[String, String]] = {
+    def readAll(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), UTF_8) finally in.close()
+    }
+    val cover = names.filter(ckptCover.isDefinedAt).map(ckptCover).sorted.lastOption
+    val base = cover.toSeq.flatMap { c =>
+      readAll(new Path(snapDir, ckptName(c))).split('\n').iterator
+        .filter(_.nonEmpty).map(parseFlat).toSeq
+    }
+    base ++ names.filter(n => n.startsWith("snap-") && cover.forall(n > _))
+      .sorted.toIndexedSeq
+      .map(n => parseFlat(readAll(new Path(snapDir, n))))
+  }
+
+  private def ckptName(cover: String): String =
+    s"ckpt-${cover.stripSuffix(".json")}.json"
+  private val ckptCover: PartialFunction[String, String] = {
+    val re = "ckpt-(snap-.+)\\.json".r;
+    { case re(c) => c + ".json" }
+  }
+
+  /** Compact the `_snapshots` history: fold every committed record into ONE
+    * checkpoint file (`ckpt-<lastCoveredName>.json`, JSONL in commit order
+    * — records never contain raw newlines, [[Hasher.json]] escapes them)
+    * and prune the covered per-record files. The history a [[snapshots]]
+    * reader sees is IDENTICAL before and after; what changes is the file
+    * count — an append-only manifest on a store that lists at O(files)
+    * otherwise grows one object per job run forever.
+    *
+    * Crash/concurrency contract: the checkpoint commits first (tmp +
+    * rename; its name is a pure function of the covered set, so a racing
+    * compactor targets the same name with identical bytes — a lost rename
+    * race is success), prunes happen only after the checkpoint is visible,
+    * and the LAST covered record file is deliberately kept: on the
+    * indexed-name scheme it preserves [[appendSnapshot]]'s max+1 high-water
+    * mark (pruning it would recycle indices into names that sort inside the
+    * covered range and vanish from reads). A crash mid-prune leaves
+    * ignored-by-reader garbage that the next call reclaims; rerun-is-a-no-op.
+    * Returns the number of files pruned.
+    */
+  def compactSnapshots(dir: String): Int = {
+    val snapDir = new Path(dir, "_snapshots")
+    val fs = snapDir.getFileSystem(conf)
+    if (!fs.exists(snapDir)) return 0
+    val fc = FileContext.getFileContext(snapDir.toUri, conf)
+    val names = fs.listStatus(snapDir).map(_.getPath.getName)
+    val rawSnaps = names.filter(_.startsWith("snap-")).sorted
+    val covers = names.filter(ckptCover.isDefinedAt).map(ckptCover).sorted
+    if (rawSnaps.isEmpty && covers.length <= 1) return 0 // nothing to fold or prune
+    val newCover = (rawSnaps.lastOption ++ covers.lastOption).max
+    val dst = new Path(snapDir, ckptName(newCover))
+    if (!fs.exists(dst)) {
+      // full effective history from the SAME listing the cover came from
+      val records = historyFrom(snapDir, fs, names)
+      val tmp = new Path(snapDir, s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
+      write(tmp, records.map(Hasher.json(_)).mkString("\n"))
+      try fc.rename(tmp, dst)
+      catch { // a racing compactor committed the identical checkpoint first
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => fs.delete(tmp, false)
       }
+      require(fs.exists(dst), s"snapshot checkpoint $dst not visible after commit")
+    }
+    // prune only what the just-committed checkpoint makes redundant
+    val doomed = rawSnaps.filter(_ < newCover) ++
+      covers.filter(_ < newCover).map(ckptName)
+    doomed.count(n => fs.delete(new Path(snapDir, n), false))
+  }
+
+  private def parseFlat(raw: String): Map[String, String] = {
+    val s = raw.trim.stripPrefix("{").stripSuffix("}")
+    if (s.isEmpty) Map.empty[String, String]
+    else {
+      val re = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      re.findAllMatchIn(s).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+    }
   }
 
   private def unescape(s: String): String =

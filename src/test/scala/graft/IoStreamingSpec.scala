@@ -149,6 +149,53 @@ class IoStreamingSpec extends AnyFunSuite {
       s"commit log must keep snap-2 ('3') and append '4' at max+1, got ${snaps.map(_("n"))}")
   }
 
+  test("compactSnapshots folds the manifest into one checkpoint; reads unchanged; appends continue") {
+    val dir = java.nio.file.Files.createTempDirectory("tfckpt").toString
+    val rec = (i: Int) => Map("n" -> i.toString, "note" -> s"line\nbreak $i") // \n must survive JSONL
+    (1 to 5).foreach(i => TableFormat.appendSnapshot(dir, rec(i)))
+    val before = TableFormat.snapshots(dir)
+    val pruned = TableFormat.compactSnapshots(dir)
+    assert(pruned == 4, s"5 records fold to ckpt + kept cover: 4 pruned, got $pruned")
+    assert(TableFormat.snapshots(dir) == before, "history must be identical after compaction")
+    val files = new java.io.File(s"$dir/_snapshots").list()
+      .filterNot(_.startsWith(".")).sorted.toSeq // drop Hadoop .crc sidecars
+    assert(files == Seq("ckpt-snap-00004.json", "snap-00004.json"),
+      s"expected one checkpoint + the kept cover, got $files")
+    // idempotent: nothing new to fold
+    assert(TableFormat.compactSnapshots(dir) == 0)
+    // appends continue ABOVE the cover (no index recycling into the covered range)
+    TableFormat.appendSnapshot(dir, Map("n" -> "6"))
+    assert(TableFormat.snapshots(dir).map(_("n")) == (1 to 6).map(_.toString))
+    // second compaction folds the newer record in
+    assert(TableFormat.compactSnapshots(dir) == 2) // old ckpt + old cover pruned
+    assert(TableFormat.snapshots(dir).map(_("n")) == (1 to 6).map(_.toString))
+  }
+
+  test("compactSnapshots crash-mid-prune leaves a readable store; rerun reclaims; index HWM survives cover removal") {
+    val dir = java.nio.file.Files.createTempDirectory("tfckpt2").toString
+    (1 to 3).foreach(i => TableFormat.appendSnapshot(dir, Map("n" -> i.toString)))
+    // simulate the crash window: checkpoint committed, NOTHING pruned yet —
+    // replay the commit step by compacting, then restoring a covered record
+    // and a stale checkpoint alongside the new one
+    TableFormat.compactSnapshots(dir)
+    val snapDir = new java.io.File(s"$dir/_snapshots")
+    java.nio.file.Files.write(snapDir.toPath.resolve("snap-00000.json"),
+      "{\"n\":\"1\"}".getBytes("UTF-8")) // leftover covered record
+    java.nio.file.Files.write(snapDir.toPath.resolve("ckpt-snap-00001.json"),
+      "{\"n\":\"1\"}\n{\"n\":\"2\"}".getBytes("UTF-8")) // stale older checkpoint
+    // reader ignores both leftovers — no double-count, newest cover wins
+    assert(TableFormat.snapshots(dir).map(_("n")) == Seq("1", "2", "3"))
+    // rerun reclaims the garbage and changes nothing visible
+    assert(TableFormat.compactSnapshots(dir) == 2)
+    assert(TableFormat.snapshots(dir).map(_("n")) == Seq("1", "2", "3"))
+    // even if the kept cover record is manually removed, the checkpoint's
+    // cover keeps the high-water mark: the next append must NOT mint an
+    // index that sorts inside the covered range and vanish from reads
+    assert(new java.io.File(snapDir, "snap-00002.json").delete())
+    TableFormat.appendSnapshot(dir, Map("n" -> "4"))
+    assert(TableFormat.snapshots(dir).map(_("n")) == Seq("1", "2", "3", "4"))
+  }
+
   test("streaming trigger sessionizer (flatMapGroupsWithState) == batch islands on sealed periods") {
     import spark.implicits._
     import graft.streaming.StreamingTrigger
