@@ -227,4 +227,48 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(lowerN.collect().map(_.getString(0)).sorted.sameElements(Array("2024-01-01", "2024-01-02")))
   }
+
+  test("GraftExtensions: graft_* SQL functions resolve to the SAME codegen Expressions as the Column API") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // semantics: SQL call == Column-API call on the same data
+    // parquet-backed so ConvertToLocalRelation can't constant-fold the
+    // projection away before the plan assertions see the expression
+    val dir = java.nio.file.Files.createTempDirectory("ext-docs").toString
+    Seq("a b  c", "", " x ").toDF("text").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    df.createOrReplaceTempView("ext_docs")
+    val sqlCounts = spark.sql("SELECT graft_token_count(text) AS n FROM ext_docs ORDER BY length(text) DESC")
+    val colCounts = df.orderBy(length(col("text")).desc)
+      .select(graft.functions.TokenCount(col("text")).as("n"))
+    assert(sqlCounts.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 0))
+    assert(sqlCounts.collect().sameElements(colCounts.collect()))
+    // plan: the SQL path is the native Expression (no UDF wrapper)
+    val p = plan(sqlCounts)
+    assert(!p.contains("UDF(") && p.toLowerCase.contains("tokencount"),
+      s"SQL function did not resolve to the native expression:\n$p")
+    // arity errors surface at analysis, not execution
+    val err = intercept[Exception](spark.sql("SELECT graft_token_count(text, 2) FROM ext_docs").collect())
+    assert(err.getMessage.contains("expects 1 argument"), err.getMessage)
+    // densify: npts must be a literal; array round-trips through SQL
+    val d = spark.sql(
+      "SELECT graft_densify_float(array(struct(0, CAST(1.5 AS FLOAT)), struct(3, CAST(2.5 AS FLOAT))), 4) AS v")
+      .collect().head.getSeq[Float](0)
+    assert(d == Seq(1.5f, 0f, 0f, 2.5f), s"densify via SQL got $d")
+
+    // the build-time injectFunction path: a FRESH session (same context)
+    // built .withExtensions(new GraftExtensions) has the functions without
+    // any register() call
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      assert(s2 ne spark, "expected a fresh session for the extensions path")
+      assert(s2.sql("SELECT graft_token_count('a b') AS n").collect().head.getInt(0) == 2)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
