@@ -2119,12 +2119,36 @@ object Queries {
            | round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  val q73 = Q("q73_repetition_profile",
+    // within-doc repetition counts (Gopher/MassiveText-shaped quality
+    // rule, graft.ops.TextQuality) — integer counts + integer-arithmetic
+    // flag, so the oracle is exact with zero float discipline needed
+    (s, d) => graft.ops.TextQuality.repetition(docs(s, d), "doc_id", "text"),
+    Some(raw"""WITH w AS (
+              |  SELECT doc_id,
+              |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+              |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ln
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, ws, ln,
+              |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+              |    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+              |  FROM w)
+              |SELECT doc_id,
+              |  len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq_words,
+              |  len(g2) AS n_2grams, len(list_distinct(g2)) AS n_uniq_2grams,
+              |  len(g3) AS n_3grams, len(list_distinct(g3)) AS n_uniq_3grams,
+              |  len(ln) AS n_lines, len(list_distinct(ln)) AS n_uniq_lines,
+              |  (len(g2) - len(list_distinct(g2))) * 5 > len(g2)
+              |    OR (len(ln) - len(list_distinct(ln))) * 10 > len(ln) * 3 AS is_repetitive
+              |FROM g""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72
+    q70, q71, q72, q73
   )
 }

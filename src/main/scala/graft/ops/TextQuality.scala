@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Within-document repetition profiling — the quality signal LLM-corpus
+  * pipelines filter on BEFORE any cross-document dedup (a document that
+  * repeats itself survives MinHash/SimHash untouched: those compare
+  * documents to each other, not to themselves). Counts follow the shape of
+  * the published Gopher/MassiveText repetition rules (duplicate-line and
+  * duplicate-n-gram fractions; Rae et al. 2021, arXiv:2112.11446 table A1):
+  * a doc is flagged when >20% of its word 2-grams or >30% of its non-blank
+  * lines are repeats.
+  *
+  * Everything is per-row `functions._` over arrays (split / transform /
+  * sequence / array_distinct) — whole-stage codegen, zero shuffle, zero
+  * UDF: at corpus scale this is a pure map over the scan, so it pipelines
+  * into whatever pruning/dedup stage runs next. Outputs are INTEGER counts
+  * and an integer-arithmetic flag (cross-multiplied thresholds, no
+  * division) so downstream thresholds can be retuned without re-scanning
+  * and the result is exactly reproducible in any SQL engine.
+  */
+object TextQuality {
+
+  /** words = whitespace tokens of trim(textCol), empties dropped (same
+    * tokenization as the token-count / quality ops, graft.Queries q32/q33).
+    */
+  private def wordsExpr(textCol: String): String =
+    s"filter(split(trim($textCol), '\\\\s+'), w -> w != '')"
+
+  /** n-grams as joined strings, 1-based element_at over a words array
+    * column; empty below n words (sequence() would count DOWN on an empty
+    * range — guard, don't trust it).
+    */
+  private def gramsExpr(words: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"element_at($words, i + $k)").mkString(", ' ', ")
+    s"CASE WHEN size($words) < $n THEN array() " +
+      s"ELSE transform(sequence(1, size($words) - ${n - 1}), i -> concat($parts)) END"
+  }
+
+  /** Per-document repetition counts + flag. Output: idCol, n_words,
+    * n_uniq_words, n_2grams, n_uniq_2grams, n_3grams, n_uniq_3grams,
+    * n_lines, n_uniq_lines (non-blank, trimmed), is_repetitive.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = "__tq_words"
+    df.withColumn(w, expr(wordsExpr(textCol)))
+      .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
+      .withColumn("__tq_3g", expr(gramsExpr(w, 3)))
+      .withColumn("__tq_ln",
+        expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> l != '')"))
+      .select(
+        col(idCol),
+        size(col(w)).as("n_words"),
+        size(array_distinct(col(w))).as("n_uniq_words"),
+        size(col("__tq_2g")).as("n_2grams"),
+        size(array_distinct(col("__tq_2g"))).as("n_uniq_2grams"),
+        size(col("__tq_3g")).as("n_3grams"),
+        size(array_distinct(col("__tq_3g"))).as("n_uniq_3grams"),
+        size(col("__tq_ln")).as("n_lines"),
+        size(array_distinct(col("__tq_ln"))).as("n_uniq_lines"))
+      .withColumn("is_repetitive",
+        (col("n_2grams") - col("n_uniq_2grams")) * 5 > col("n_2grams") ||
+          (col("n_lines") - col("n_uniq_lines")) * 10 > col("n_lines") * 3)
+  }
+}

@@ -569,4 +569,36 @@ class OpsSpec extends AnyFunSuite {
     assert(neg.sameElements(pos), s"pre-epoch ${neg.mkString(",")} vs ${pos.mkString(",")}")
     assert(pos.map(_._2).toSeq == Seq(10L, 13L))
   }
+
+  test("TextQuality.repetition: counts and flag on handcrafted repetitive/clean/degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 8 words, 7 bigrams all "spam spam"-ish: 6 dup bigrams -> flagged
+      ("loop", "spam spam spam spam spam spam spam spam"),
+      // all-distinct words, 2 lines distinct -> clean
+      ("clean", "the quick brown fox\njumps over lazy dogs"),
+      // 4 identical non-blank lines of distinct words -> line rule fires
+      ("lines", "a b c\na b c\na b c\na b c"),
+      // degenerate: empty + whitespace-only. NB SQL trim() strips SPACES
+      // only (Spark and DuckDB agree): the " \t " line trims to "\t" and
+      // counts as a non-blank line, while \s+ word-split still yields 0
+      ("empty", ""),
+      ("blank", "  \n \t \n")).toDF("doc_id", "text")
+    val r = graft.ops.TextQuality.repetition(docs, "doc_id", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    def ints(id: String) = (1 to 8).map(r(id).getInt)
+    assert(ints("loop") == Seq(8, 1, 7, 1, 6, 1, 1, 1), s"loop: ${ints("loop")}")
+    assert(r("loop").getBoolean(9)) // 6 dup of 7 bigrams > 20%
+    assert(ints("clean") == Seq(8, 8, 7, 7, 6, 6, 2, 2) && !r("clean").getBoolean(9))
+    // "lines": 12 words / 3 uniq; 11 bigrams: uniq = {ab,bc,ca} = 3;
+    // 10 trigrams: uniq = {abc,bca,cab} = 3; 4 lines / 1 uniq
+    assert(ints("lines") == Seq(12, 3, 11, 3, 10, 3, 4, 1) && r("lines").getBoolean(9))
+    assert(ints("empty") == Seq(0, 0, 0, 0, 0, 0, 0, 0) && !r("empty").getBoolean(9))
+    assert(ints("blank") == Seq(0, 0, 0, 0, 0, 0, 1, 1) && !r("blank").getBoolean(9))
+    // scale shape: a pure per-row map — no exchange, no UDF in the plan
+    val p = graft.ops.TextQuality.repetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("UDF("),
+      s"repetition must stay a shuffle-free codegen map:\n$p")
+  }
 }
