@@ -298,6 +298,48 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(diff.count() == 0, "streaming tier differs from batch tier")
   }
 
+  test("tier1m watermark: late-within-horizon rows fold; later-than-watermark rows drop deterministically") {
+    import spark.implicits._
+    // the production late-data contract at the streaming tier: a turn that
+    // arrives after its window sealed is DROPPED (never a partial re-emit
+    // that would double-count in the cascade), a turn inside the lateness
+    // horizon folds into the still-open window. Two AvailableNow runs over
+    // one checkpoint make the batch boundary (and the persisted watermark)
+    // deterministic.
+    val base = java.nio.file.Files.createTempDirectory("late-rows").toString
+    val in = s"$base/in"
+    def ts(m: Int, s: Int) = new java.sql.Timestamp(1704067200000L + (m * 60 + s) * 1000L)
+    def write(rs: (Int, Int)*): Unit =
+      rs.map { case (m, s) => ("c", ts(m, s), "w") }.toDF("conv_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamingRollup.tier1m(
+          spark.readStream.schema(spark.read.parquet(in).schema).parquet(in),
+          lateness = "2 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: on-time turns; final watermark = 9:10 - 2:00 = 7:10, so
+    // minute-windows 0..3 seal and evict; [9,10) stays open in state
+    write((0, 10), (1, 10), (2, 10), (3, 10), (9, 10))
+    runOnce()
+    // run 2 against the SAME checkpoint (watermark restored at 7:10):
+    //   3:20 -> window [3,4) already sealed  -> dropped
+    //   8:30 -> window [8,9) end 9:00 > 7:10 -> folds (late but in horizon)
+    //   12:10 on-time -> watermark 10:10 seals [8,9) and [9,10)
+    write((3, 20), (8, 30), (12, 10))
+    runOnce()
+    val got = spark.read.parquet(s"$base/out")
+      .select(((unix_timestamp(col("chunk_start")) - 1704067200L) / 60).cast("int").as("m"),
+        col("turn_rate").cast("long").as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 8 -> 1L, 9 -> 1L),
+      s"sealed tier got ${got.mkString(",")}: window 3 must NOT refold the too-late row, " +
+        "window 8 must contain the in-horizon late row, window 12 stays open")
+  }
+
   test("streaming windowed CC: sealed windows equal the batch kernel bit-for-bit") {
     import spark.implicits._
     import graft.ops.{Correlate, Ingest}
