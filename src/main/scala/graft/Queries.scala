@@ -2133,15 +2133,21 @@ object Queries {
               |  SELECT doc_id, ws, ln,
               |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
               |    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
-              |  FROM w)
-              |SELECT doc_id,
+              |  FROM w),
+              |tc AS (
+              |  SELECT doc_id, max(c) AS top2 FROM (
+              |    SELECT doc_id, gr, count(*) AS c
+              |    FROM (SELECT doc_id, unnest(g2) AS gr FROM g) GROUP BY 1, 2)
+              |  GROUP BY 1)
+              |SELECT g.doc_id,
               |  len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq_words,
               |  len(g2) AS n_2grams, len(list_distinct(g2)) AS n_uniq_2grams,
               |  len(g3) AS n_3grams, len(list_distinct(g3)) AS n_uniq_3grams,
               |  len(ln) AS n_lines, len(list_distinct(ln)) AS n_uniq_lines,
+              |  coalesce(tc.top2, 0) AS top_2gram_count,
               |  (len(g2) - len(list_distinct(g2))) * 5 > len(g2)
               |    OR (len(ln) - len(list_distinct(ln))) * 10 > len(ln) * 3 AS is_repetitive
-              |FROM g""".stripMargin))
+              |FROM g LEFT JOIN tc ON g.doc_id = tc.doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,

@@ -38,15 +38,35 @@ object TextQuality {
       s"ELSE transform(sequence(1, size($words) - ${n - 1}), i -> concat($parts)) END"
   }
 
+  /** Max multiplicity of any element of an array column — the "top n-gram"
+    * count the published char-fraction rule derives from — WITHOUT a
+    * groupBy: sort the array, then the longest run of equal neighbors is
+    * the answer (one aggregate() fold over adjacent-equality flags). Stays
+    * a per-row codegen expression where explode+groupBy would shuffle the
+    * whole gram population.
+    */
+  private def topCountExpr(arr: String): String =
+    s"""CASE WHEN size($arr) = 0 THEN 0 WHEN size($arr) = 1 THEN 1 ELSE
+       |  aggregate(
+       |    transform(sequence(1, size($arr) - 1),
+       |      i -> IF(element_at($arr, i) = element_at($arr, i + 1), 1, 0)),
+       |    named_struct('cur', 1, 'best', 1),
+       |    (acc, x) -> named_struct(
+       |      'cur', IF(x = 1, acc.cur + 1, 1),
+       |      'best', greatest(acc.best, IF(x = 1, acc.cur + 1, 1))),
+       |    acc -> acc.best) END""".stripMargin
+
   /** Per-document repetition counts + flag. Output: idCol, n_words,
     * n_uniq_words, n_2grams, n_uniq_2grams, n_3grams, n_uniq_3grams,
-    * n_lines, n_uniq_lines (non-blank, trimmed), is_repetitive.
+    * n_lines, n_uniq_lines (non-blank, trimmed), top_2gram_count,
+    * is_repetitive.
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = "__tq_words"
     df.withColumn(w, expr(wordsExpr(textCol)))
       .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
       .withColumn("__tq_3g", expr(gramsExpr(w, 3)))
+      .withColumn("__tq_2s", expr("array_sort(__tq_2g)"))
       .withColumn("__tq_ln",
         expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> l != '')"))
       .select(
@@ -58,7 +78,8 @@ object TextQuality {
         size(col("__tq_3g")).as("n_3grams"),
         size(array_distinct(col("__tq_3g"))).as("n_uniq_3grams"),
         size(col("__tq_ln")).as("n_lines"),
-        size(array_distinct(col("__tq_ln"))).as("n_uniq_lines"))
+        size(array_distinct(col("__tq_ln"))).as("n_uniq_lines"),
+        expr(topCountExpr("__tq_2s")).as("top_2gram_count"))
       .withColumn("is_repetitive",
         (col("n_2grams") - col("n_uniq_2grams")) * 5 > col("n_2grams") ||
           (col("n_lines") - col("n_uniq_lines")) * 10 > col("n_lines") * 3)

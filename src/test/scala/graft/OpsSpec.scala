@@ -586,15 +586,16 @@ class OpsSpec extends AnyFunSuite {
       ("blank", "  \n \t \n")).toDF("doc_id", "text")
     val r = graft.ops.TextQuality.repetition(docs, "doc_id", "text")
       .collect().map(x => x.getString(0) -> x).toMap
-    def ints(id: String) = (1 to 8).map(r(id).getInt)
-    assert(ints("loop") == Seq(8, 1, 7, 1, 6, 1, 1, 1), s"loop: ${ints("loop")}")
-    assert(r("loop").getBoolean(9)) // 6 dup of 7 bigrams > 20%
-    assert(ints("clean") == Seq(8, 8, 7, 7, 6, 6, 2, 2) && !r("clean").getBoolean(9))
-    // "lines": 12 words / 3 uniq; 11 bigrams: uniq = {ab,bc,ca} = 3;
-    // 10 trigrams: uniq = {abc,bca,cab} = 3; 4 lines / 1 uniq
-    assert(ints("lines") == Seq(12, 3, 11, 3, 10, 3, 4, 1) && r("lines").getBoolean(9))
-    assert(ints("empty") == Seq(0, 0, 0, 0, 0, 0, 0, 0) && !r("empty").getBoolean(9))
-    assert(ints("blank") == Seq(0, 0, 0, 0, 0, 0, 1, 1) && !r("blank").getBoolean(9))
+    def ints(id: String) = (1 to 9).map(r(id).getInt) // counts + top_2gram_count
+    assert(ints("loop") == Seq(8, 1, 7, 1, 6, 1, 1, 1, 7), s"loop: ${ints("loop")}")
+    assert(r("loop").getBoolean(10)) // 6 dup of 7 bigrams > 20%
+    assert(ints("clean") == Seq(8, 8, 7, 7, 6, 6, 2, 2, 1) && !r("clean").getBoolean(10))
+    // "lines": 12 words / 3 uniq; 11 bigrams: uniq = {ab,bc,ca} = 3, top
+    // multiplicity 4 ("a b" x4, "b c" x4, "c a" x3); 10 trigrams: uniq =
+    // {abc,bca,cab} = 3; 4 lines / 1 uniq
+    assert(ints("lines") == Seq(12, 3, 11, 3, 10, 3, 4, 1, 4) && r("lines").getBoolean(10))
+    assert(ints("empty") == Seq(0, 0, 0, 0, 0, 0, 0, 0, 0) && !r("empty").getBoolean(10))
+    assert(ints("blank") == Seq(0, 0, 0, 0, 0, 0, 1, 1, 0) && !r("blank").getBoolean(10))
     // scale shape: a pure per-row map — no exchange, no UDF in the plan
     val p = graft.ops.TextQuality.repetition(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
