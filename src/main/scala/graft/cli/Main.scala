@@ -397,7 +397,12 @@ object Main {
       else {
         val horizon = java.time.LocalDate.parse(days.last).minusDays(kd.toLong).toString
         val st = RetentionJob.expire(spark, out, horizon)
-        s"; retention: expired ${st.expired.size} 1m days, ${st.uncovered.size} unsealed kept"
+        // same manifest fold as the `retention` command: this cron loop is
+        // exactly the writer that grows _snapshots one record per run
+        val pruned = if (c.bool("compact_snapshots", true))
+          graft.meta.TableFormat.compactSnapshots(out) else 0
+        s"; retention: expired ${st.expired.size} 1m days, ${st.uncovered.size} unsealed kept" +
+          s"; manifest files pruned: $pruned"
       }
     }.getOrElse("")
     s"streamrollup: tiers 1m/1h/1d (resumable checkpoints) -> $out$ret"
