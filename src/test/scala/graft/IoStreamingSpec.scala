@@ -298,6 +298,27 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(diff.count() == 0, "streaming tier differs from batch tier")
   }
 
+  test("compactSnapshots: random append/compact interleavings never lose or reorder history") {
+    val rng = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("tfckpt3").toString
+    var appended = 0
+    (1 to 60).foreach { _ =>
+      if (rng.nextInt(3) == 0) TableFormat.compactSnapshots(dir)
+      else {
+        appended += 1
+        TableFormat.appendSnapshot(dir, Map("n" -> appended.toString))
+      }
+      val seen = TableFormat.snapshots(dir).map(_("n"))
+      assert(seen == (1 to appended).map(_.toString),
+        s"history diverged after $appended appends: $seen")
+    }
+    // end state folds to checkpoint + kept cover + any post-compact tail
+    TableFormat.compactSnapshots(dir)
+    val files = new java.io.File(s"$dir/_snapshots").list()
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(files.count(_.startsWith("ckpt-")) == 1 && files.size == 2, s"got $files")
+  }
+
   test("tier1m watermark: late-within-horizon rows fold; later-than-watermark rows drop deterministically") {
     import spark.implicits._
     // the production late-data contract at the streaming tier: a turn that
