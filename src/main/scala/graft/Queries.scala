@@ -2149,12 +2149,55 @@ object Queries {
               |    OR (len(ln) - len(list_distinct(ln))) * 10 > len(ln) * 3 AS is_repetitive
               |FROM g LEFT JOIN tc ON g.doc_id = tc.doc_id""".stripMargin))
 
+  val q74 = Q("q74_tfidf_topk",
+    // corpus term salience (graft.ops.TextRank.topTerms): top-3 terms per
+    // doc by tf × the RATIONAL BM25 idf argument (N-df+0.5)/(df+0.5) — no
+    // ln on the gated surface (DuckDB ln and Java Math.log differ by 1 ulp
+    // at df=398/N=500 on this box); the rank uses the unrounded bit-exact
+    // double, ties broken by term asc
+    (s, d) => graft.ops.TextRank.topTerms(docs(s, d), "doc_id", "text", k = 3),
+    Some(s"""WITH tfc AS (
+            |  SELECT doc_id, term, count(*) AS tf FROM (
+            |    SELECT doc_id, unnest($tokensDuck) AS term FROM documents)
+            |  GROUP BY 1, 2),
+            |dfc AS (SELECT term, count(*) AS term_df FROM tfc GROUP BY 1),
+            |nn AS (SELECT count(*) AS n_docs FROM documents),
+            |scored AS (
+            |  SELECT doc_id, term, tf, term_df,
+            |    tf * ((n_docs - term_df + 0.5::DOUBLE) / (term_df + 0.5::DOUBLE)) AS s
+            |  FROM tfc JOIN dfc USING (term) CROSS JOIN nn),
+            |r AS (SELECT *, row_number() OVER (
+            |    PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rnk
+            |  FROM scored)
+            |SELECT doc_id, term, tf, term_df, round(s, 6) AS score, rnk
+            |FROM r WHERE rnk <= 3""".stripMargin))
+
+  val q75 = Q("q75_contamination",
+    // train/test contamination (graft.ops.Contamination.flag): word
+    // 5-gram shingle overlap of each corpus doc against the benchmark
+    // holdout (doc_id % 10 == 0); integer counts, int/int IEEE rate,
+    // integer cross-multiplied flag at 10%
+    (s, d) => graft.ops.Contamination.flag(docs(s, d), "doc_id", "text",
+      benchPred = col("doc_id") % 10 === 0, n = 5, thresholdPct = 10),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents
+            |  WHERE len($tokensDuck) >= 5),
+            |sh AS (SELECT DISTINCT doc_id,
+            |  unnest(list_transform(generate_series(1, len(a) - 4),
+            |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])) AS sh
+            |  FROM toks),
+            |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0)
+            |SELECT s.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit,
+            |  round(count(b.sh) / count(*), 6) AS rate,
+            |  count(b.sh) * 100 >= count(*) * 10 AS contaminated
+            |FROM sh s LEFT JOIN bench b USING (sh)
+            |WHERE s.doc_id % 10 <> 0 GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73
+    q70, q71, q72, q73, q74, q75
   )
 }

@@ -602,4 +602,62 @@ class OpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange") && !p.contains("UDF("),
       s"repetition must stay a shuffle-free codegen map:\n$p")
   }
+
+  test("TextRank.topTerms: hand-computed rational-idf scores, rank and ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"),
+      (4L, "banana")).toDF("doc_id", "text")
+    // N=4; df: apple 1, banana 3, cherry 2, date 1
+    // idf_r: df1 -> 3.5/1.5, df2 -> 1.0, df3 -> 1.5/3.5
+    val r = graft.ops.TextRank.topTerms(docs, "doc_id", "text", k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(5)) ->
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r((1L, 1)) == ("apple", 2L, 1L, math.rint(2.0 * (3.5 / 1.5) * 1e6) / 1e6))
+    assert(r((1L, 2)) == ("banana", 1L, 3L, math.rint((1.5 / 3.5) * 1e6) / 1e6))
+    assert(r((2L, 1)) == ("cherry", 1L, 2L, 1.0)) // beats banana's 0.428571
+    assert(r((3L, 1)) == ("cherry", 3L, 2L, 3.0)) // tf3*1.0 > date's 2.333333
+    assert(r((3L, 2)) == ("date", 1L, 1L, math.rint((3.5 / 1.5) * 1e6) / 1e6))
+    assert(r((4L, 1))._1 == "banana" && r.size == 7) // d4 has 1 term only
+    // equal-score tie (same tf, same df) breaks by term ascending
+    val tie = graft.ops.TextRank.topTerms(
+      Seq((1L, "zz aa"), (2L, "other")).toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .where(col("doc_id") === 1).orderBy(col("rnk"))
+      .select("term").as[String].collect()
+    assert(tie.sameElements(Array("aa", "zz")))
+  }
+
+  test("TextRank.bm25: one hand-computed Okapi score (log idf, k1/b saturation)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    // term a in d1: tf=2, df=1, N=2, dl=3, avg_dl=2
+    // idf = ln(1 + 1.5/1.5) = ln 2; denom = 2 + 1.2*(0.25 + 0.75*3/2)
+    val got = graft.ops.TextRank.bm25(docs, "doc_id", "text")
+      .where(col("doc_id") === 1 && col("term") === "a")
+      .select("bm25").as[Double].head()
+    val want = math.log(2.0) * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0))
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+  }
+
+  test("Contamination.flag: shingle overlap vs holdout, zero-hit rows kept, short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6"),   // bench (two 5-shingles)
+      (10L, "p q r s t"),          // bench
+      (1L, "w1 w2 w3 w4 w5 x"),    // 1 of 2 shingles hit -> 50%
+      (2L, "a b c d e f"),         // no overlap
+      (3L, "short one"),           // < 5 tokens: absent
+      (4L, "p q r s t")            // exact bench text -> 100%
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Contamination.flag(docs, "doc_id", "text",
+        benchPred = col("doc_id") % 10 === 0, n = 5, thresholdPct = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L) == (2L, 1L, 0.5, true), s"got ${r(1L)}")
+    assert(r(2L) == (2L, 0L, 0.0, false))
+    assert(r(4L) == (1L, 1L, 1.0, true))
+    assert(r.keySet == Set(1L, 2L, 4L)) // bench rows and short docs excluded
+  }
 }
