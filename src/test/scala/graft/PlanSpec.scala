@@ -271,4 +271,29 @@ class PlanSpec extends AnyFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("q74 tf-idf: df join is a hash join, top-k window is doc-partitioned, only the 1-row N crossjoin nests") {
+    val p = plan(Queries.q74.fn(spark, "/root/testdata/sf0.001"))
+    // the ONLY nested-loop join allowed is the broadcast of the 1-row
+    // n_docs aggregate; the tf |><| df(term) join must be a hash join so
+    // AQE can split skewed stop-word keys at corpus scale
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the 1-row N crossjoin, got $bnlj BNLJs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"df join is not a hash/merge join:\n$p")
+    // the rank window must be doc-partitioned — a global window would
+    // funnel the whole scored table through one task
+    val win = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert("Window \\[[^\\]]*\\], \\[doc_id".r.findFirstIn(win).isDefined,
+      s"top-k window not partitioned by doc_id: $win")
+  }
+
+  test("q75 contamination: shingle-set join stays an equi-join (no BNLJ/cartesian), one groupBy(doc)") {
+    val p = plan(Queries.q75.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"contamination join degraded to a non-equi join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"bench-shingle join is not a hash/merge join:\n$p")
+  }
 }
