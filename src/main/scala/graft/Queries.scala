@@ -2192,12 +2192,43 @@ object Queries {
             |FROM sh s LEFT JOIN bench b USING (sh)
             |WHERE s.doc_id % 10 <> 0 GROUP BY 1""".stripMargin))
 
+  // 0..255 from the first two md5 hex digits, DuckDB spelling (no conv()
+  // in v1.0 — hex-digit position in the alphabet string instead; all
+  // integer arithmetic so the two engines cannot disagree)
+  private def duckBucket(idExpr: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1)"
+
+  val q76 = Q("q76_hash_split",
+    // deterministic train/val/test assignment (graft.ops.Sampling
+    // .hashSplit): a pure per-row map — a doc's split never changes when
+    // the corpus grows, unlike rand()-sampling
+    (s, d) => graft.ops.Sampling.hashSplit(docs(s, d), "doc_id")
+      .select("doc_id", "bucket", "split"),
+    Some(s"""WITH b AS (SELECT doc_id, ${duckBucket("doc_id")} AS bucket FROM documents)
+            |SELECT doc_id, bucket,
+            |  CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val'
+            |   ELSE 'test' END AS split
+            |FROM b""".stripMargin))
+
+  val q77 = Q("q77_source_rebalance",
+    // source-mixture rebalancing (graft.ops.Sampling.rebalance):
+    // hash-rate downsample of every source toward the smallest source's
+    // count; integer cross-multiplied keep rule, no division anywhere
+    (s, d) => graft.ops.Sampling.rebalance(docs(s, d), "doc_id", "source"),
+    Some(s"""WITH b AS (SELECT doc_id, source, ${duckBucket("doc_id")} AS bucket FROM documents),
+            |c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+            |m AS (SELECT min(n_source) AS min_count FROM c)
+            |SELECT doc_id, source, bucket, n_source, min_count,
+            |  bucket * n_source < min_count * 256 AS kept
+            |FROM b JOIN c USING (source) CROSS JOIN m""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75
+    q70, q71, q72, q73, q74, q75, q76, q77
   )
 }

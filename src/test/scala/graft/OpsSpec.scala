@@ -641,6 +641,48 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-12, s"got $got want $want")
   }
 
+  test("Sampling.hashSplit: buckets match MessageDigest md5, thresholds respected, zero shuffle") {
+    import spark.implicits._
+    val ids = (0L until 64L)
+    val df = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = graft.ops.Sampling.hashSplit(df, "doc_id")
+      .select("doc_id", "bucket", "split")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    ids.foreach { i =>
+      val hex = mdig.digest(i.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      val want = Integer.parseInt(hex, 16)
+      val (b, s) = got(i)
+      assert(b == want, s"id $i: bucket $b != md5 byte $want")
+      assert(s == (if (b < 230) "train" else if (b < 243) "val" else "test"))
+    }
+    // pure per-row map: pipelines into the scan, no exchange
+    val p = graft.ops.Sampling.hashSplit(df, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"hashSplit must be shuffle-free:\n$p")
+  }
+
+  test("Sampling.rebalance: small source kept whole, large source rate-capped at min_count/256") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, "big")) ++ (100L until 110L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val r = graft.ops.Sampling.rebalance(df, "doc_id", "source").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))
+      .toMap
+    assert(r.size == 110)
+    r.values.foreach { case (_, b, n, m, kept) =>
+      assert(m == 10L)
+      assert(kept == (b * n < m * 256), "keep rule must be the integer cross-multiplication")
+    }
+    // the smallest source keeps everything (bucket*10 < 2560 always)
+    assert((100L until 110L).forall(r(_)._5))
+    // the big source keeps only buckets < 25.6 — expected ~10 of 100
+    val keptBig = r.filter { case (_, v) => v._1 == "big" && v._5 }
+    assert(keptBig.values.forall(_._2 <= 25))
+    assert(keptBig.nonEmpty && keptBig.size < 30, s"rate cap off: ${keptBig.size}")
+  }
+
   test("Contamination.flag: shingle overlap vs holdout, zero-hit rows kept, short docs absent") {
     import spark.implicits._
     val docs = Seq(
