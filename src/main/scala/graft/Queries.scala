@@ -2223,12 +2223,52 @@ object Queries {
             |  bucket * n_source < min_count * 256 AS kept
             |FROM b JOIN c USING (source) CROSS JOIN m""".stripMargin))
 
+  val q78 = Q("q78_curation_pipeline",
+    // the documents-side flagship COMPOSITION (graft.ops.Curation.curate):
+    // Gopher repetition filter + minWords -> exact-dedup keeper ->
+    // 5-gram decontamination vs the doc_id%10 holdout -> hash split.
+    // Every stage decision is integer/string domain, so the whole chain
+    // hash-oracles with zero float discipline
+    (s, d) => graft.ops.Curation.curate(docs(s, d), "doc_id", "text",
+      benchPred = col("doc_id") % 10 === 0),
+    Some(raw"""WITH w AS (SELECT doc_id, text,
+              |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws,
+              |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ln
+              |  FROM documents),
+              |g AS (SELECT doc_id, text, ws, ln,
+              |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2
+              |  FROM w),
+              |s1 AS (SELECT doc_id, text, len(ws) AS n_words FROM g
+              |  WHERE NOT ((len(g2) - len(list_distinct(g2))) * 5 > len(g2)
+              |      OR (len(ln) - len(list_distinct(ln))) * 10 > len(ln) * 3)
+              |    AND len(ws) >= 5),
+              |kp AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM s1 GROUP BY 1),
+              |s2 AS (SELECT s1.doc_id, s1.n_words FROM s1
+              |  JOIN kp ON md5(s1.text) = kp.h AND s1.doc_id = kp.keeper),
+              |toks AS (SELECT doc_id, ${tokensDuck} AS a FROM documents WHERE len(${tokensDuck}) >= 5),
+              |sh AS (SELECT DISTINCT doc_id,
+              |    unnest(list_transform(generate_series(1, len(a) - 4),
+              |      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])) AS sh
+              |  FROM toks),
+              |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+              |cont AS (SELECT s.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit
+              |  FROM sh s JOIN s2 USING (doc_id) LEFT JOIN bench b USING (sh)
+              |  WHERE s.doc_id % 10 <> 0 GROUP BY 1),
+              |s3 AS (SELECT s2.doc_id, s2.n_words, c.n_sh, c.n_hit
+              |  FROM s2 JOIN cont c USING (doc_id)
+              |  WHERE NOT (c.n_hit * 100 >= c.n_sh * 10))
+              |SELECT doc_id, n_words, n_sh, n_hit, ${duckBucket("doc_id")} AS bucket,
+              |  CASE WHEN ${duckBucket("doc_id")} < 230 THEN 'train'
+              |       WHEN ${duckBucket("doc_id")} < 243 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM s3""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77
+    q70, q71, q72, q73, q74, q75, q76, q77, q78
   )
 }

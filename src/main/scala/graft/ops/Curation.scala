@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The full corpus-curation pipeline, composed from the individually
+  * hash-gated stages — the documents-side flagship the way
+  * gap-fill→allPairs→FFT-CC (q50) is the timeseries-side one:
+  *
+  *   1. quality filter — drop repetitive docs ([[TextQuality.repetition]],
+  *      the Gopher dup-line/dup-2gram rule) and docs under `minWords`
+  *   2. exact dedup — keep only each md5(text) group's min-id doc
+  *      ([[Dedup.exact]] keeper rule), applied to the quality survivors
+  *   3. decontamination — drop survivors whose `shingleN`-gram overlap
+  *      with the holdout reaches `thresholdPct` ([[Contamination]]); the
+  *      holdout's shingles come from the ORIGINAL corpus (eval sets are
+  *      never quality-filtered), and holdout docs themselves leave the
+  *      training corpus
+  *   4. split — deterministic hash-bucket train/val/test assignment
+  *      ([[Sampling.hashSplit]])
+  *
+  * Every decision is integer or string domain (counts, md5, cross-
+  * multiplied thresholds) — the whole composition hash-oracles with zero
+  * float discipline. Scale shape is the sum of its parts: two bounded
+  * groupBys (md5 groups, shingle join), broadcastable holdout, and pure
+  * maps; `minWords >= shingleN` guarantees every survivor HAS shingles,
+  * so the decontamination join is total over the survivors (no
+  * absent-row semantics to mirror).
+  */
+object Curation {
+
+  /** Output: idCol, n_words, n_sh, n_hit, bucket, split — one row per doc
+    * that survives all three filters, with its split assignment.
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String, benchPred: Column,
+             minWords: Int = 5, shingleN: Int = 5, thresholdPct: Int = 10): DataFrame = {
+    require(minWords >= shingleN,
+      s"minWords ($minWords) must be >= shingleN ($shingleN) so every survivor has shingles")
+    val rep = TextQuality.repetition(df, idCol, textCol)
+      .select(col(idCol), col("n_words"), col("is_repetitive"))
+    val s1 = df.join(rep, idCol)
+      .where(!col("is_repetitive") && col("n_words") >= minWords)
+    val keepers = s1.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as("__keeper"))
+    val s2 = s1.withColumn("__h", md5(col(textCol)))
+      .join(keepers, "__h")
+      .where(col(idCol) === col("__keeper"))
+      .drop("__h", "__keeper")
+    val cont = Contamination.flagAgainst(
+      s2.where(!benchPred), df.where(benchPred), idCol, textCol, shingleN, thresholdPct)
+    s2.join(
+        cont.where(!col("contaminated"))
+          .select(col("doc_id").as(idCol), col("n_sh"), col("n_hit")),
+        idCol)
+      .transform(x => Sampling.hashSplit(x, idCol))
+      .select(idCol, "n_words", "n_sh", "n_hit", "bucket", "split")
+  }
+}

@@ -117,10 +117,19 @@ object Contamination {
     * bit-portable), contaminated.
     */
   def flag(df: DataFrame, idCol: String, textCol: String,
-           benchPred: Column, n: Int = 5, thresholdPct: Int = 10): DataFrame = {
-    val benchSh = Dedup.shingles(df.where(benchPred), idCol, textCol, n)
+           benchPred: Column, n: Int = 5, thresholdPct: Int = 10): DataFrame =
+    flagAgainst(df.where(!benchPred), df.where(benchPred), idCol, textCol, n, thresholdPct)
+
+  /** Same contract with the two sides as explicit frames — lets a caller
+    * screen an already-filtered corpus against a holdout drawn from the
+    * ORIGINAL corpus (eval sets are never quality-filtered), as
+    * [[Curation.curate]] does.
+    */
+  def flagAgainst(target: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, thresholdPct: Int = 10): DataFrame = {
+    val benchSh = Dedup.shingles(bench, idCol, textCol, n)
       .select(col("sh")).distinct().withColumn("__hit", lit(1))
-    val tgtSh = Dedup.shingles(df.where(!benchPred), idCol, textCol, n)
+    val tgtSh = Dedup.shingles(target, idCol, textCol, n)
     tgtSh.join(benchSh, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))

@@ -683,6 +683,34 @@ class OpsSpec extends AnyFunSuite {
     assert(keptBig.nonEmpty && keptBig.size < 30, s"rate cap off: ${keptBig.size}")
   }
 
+  test("Curation.curate: every stage fires on a handcrafted corpus (quality, dedup, decontam, split)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6"),                           // bench: leaves the corpus
+      (1L, "spam spam spam spam spam spam spam spam"),     // repetitive -> stage 1
+      (2L, "tiny doc"),                                    // < minWords -> stage 1
+      (3L, "alpha beta gamma delta epsilon"),              // clean survivor
+      (4L, "dup text goes here exactly now"),              // keeper of the dup group
+      (5L, "dup text goes here exactly now"),              // exact dup -> stage 2
+      (6L, "w1 w2 w3 w4 w5 zz"),                           // 1/2 shingles in bench -> stage 3
+      (10L, "p q r s t")                                   // bench
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.curate(docs, "doc_id", "text",
+        benchPred = col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getString(5))).toMap
+    assert(out.keySet == Set(3L, 4L), s"survivors: ${out.keySet}")
+    assert(out(3L)._1 == 5 && out(3L)._2 == 1L && out(3L)._3 == 0L)
+    assert(out(4L)._1 == 6 && out(4L)._2 == 2L && out(4L)._3 == 0L)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Seq(3L, 4L).foreach { i =>
+      val b = Integer.parseInt(
+        mdig.digest(i.toString.getBytes("UTF-8")).take(1).map(x => f"$x%02x").mkString, 16)
+      assert(out(i)._4 == b)
+      assert(out(i)._5 == (if (b < 230) "train" else if (b < 243) "val" else "test"))
+    }
+  }
+
   test("Contamination.flag: shingle overlap vs holdout, zero-hit rows kept, short docs absent") {
     import spark.implicits._
     val docs = Seq(
