@@ -84,4 +84,23 @@ object TextQuality {
         (col("n_2grams") - col("n_uniq_2grams")) * 5 > col("n_2grams") ||
           (col("n_lines") - col("n_uniq_lines")) * 10 > col("n_lines") * 3)
   }
+
+  /** Append `n_words` + `is_repetitive` to the input, keeping every input
+    * column — the form a pipeline uses when the text must survive
+    * downstream (e.g. streaming curation). Same word/gram/line
+    * expressions and the same flag rule as [[repetition]]; still a pure
+    * per-row codegen map, so it is streaming-safe with no state.
+    */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val w = "__tq_words"
+    df.withColumn(w, expr(wordsExpr(textCol)))
+      .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
+      .withColumn("__tq_ln",
+        expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> l != '')"))
+      .withColumn("n_words", size(col(w)))
+      .withColumn("is_repetitive",
+        (size(col("__tq_2g")) - size(array_distinct(col("__tq_2g")))) * 5 > size(col("__tq_2g")) ||
+          (size(col("__tq_ln")) - size(array_distinct(col("__tq_ln")))) * 10 > size(col("__tq_ln")) * 3)
+      .drop(w, "__tq_2g", "__tq_ln")
+  }
 }

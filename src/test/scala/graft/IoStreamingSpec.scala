@@ -427,6 +427,40 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(got.distinct.length == 10)
   }
 
+  test("streaming curation equals batch Curation on sealed in-order input") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val rows = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6"),                        // bench
+      (1L, "spam spam spam spam spam spam spam spam"),  // repetitive
+      (2L, "tiny doc"),                                 // < minWords
+      (3L, "alpha beta gamma delta epsilon"),           // survivor
+      (4L, "dup text goes here exactly now"),           // dup keeper (first-seen == min id)
+      (5L, "dup text goes here exactly now"),           // dropped dup
+      (6L, "w1 w2 w3 w4 w5 zz"),                        // contaminated
+      (10L, "p q r s t"))                               // bench
+    val docs = rows.zipWithIndex
+      .map { case ((id, tx), i) => (id, ts(i), tx) }.toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stream-curate").toString
+    // one partition, id order: first-seen == min-id so the two dedup faces agree
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamingCuration.curate(
+        spark.readStream.schema(docs.schema).parquet(dir),
+        bench = docs.where(col("doc_id") % 10 === 0),
+        benchPred = col("doc_id") % 10 === 0)
+      .writeStream.outputMode("append").format("memory").queryName("stream_curate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT doc_id, n_words, n_sh, n_hit, bucket, split FROM stream_curate")
+    val want = graft.ops.Curation.curate(docs, "doc_id", "text",
+      benchPred = col("doc_id") % 10 === 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"stream=${got.collect().mkString(";")} batch=${want.collect().mkString(";")}")
+    assert(got.count() == 2) // docs 3 and 4
+  }
+
   test("streaming as-of join: sealed left rows equal the batch operator") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
