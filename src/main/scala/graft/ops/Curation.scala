@@ -36,9 +36,10 @@ object Curation {
              minWords: Int = 5, shingleN: Int = 5, thresholdPct: Int = 10): DataFrame = {
     require(minWords >= shingleN,
       s"minWords ($minWords) must be >= shingleN ($shingleN) so every survivor has shingles")
-    val rep = TextQuality.repetition(df, idCol, textCol)
-      .select(col(idCol), col("n_words"), col("is_repetitive"))
-    val s1 = df.join(rep, idCol)
+    // annotate, not repetition+join: the profile columns ride along with
+    // the text in one per-row map, so stage 1 is a single corpus scan
+    // with zero shuffle instead of a full-corpus self-join
+    val s1 = TextQuality.annotate(df, textCol)
       .where(!col("is_repetitive") && col("n_words") >= minWords)
     val keepers = s1.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__keeper"))
