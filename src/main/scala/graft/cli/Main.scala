@@ -329,6 +329,34 @@ object Main {
     s"dedup -> ${c("output")}"
   }
 
+  /** curate — the corpus-curation pipeline (Gopher repetition filter →
+    * exact-dedup keeper → n-gram decontamination → deterministic hash
+    * split), written PARTITIONED BY split so a trainer reads only
+    * `split=train`. Keys: input, output, id_col, text_col, and either
+    * `bench` (parquet path of an external holdout table) or `bench_mod`
+    * (holdout = id % bench_mod == 0, default 10); min_words, shingle_n,
+    * threshold_pct.
+    */
+  def curate(spark: SparkSession, c: Conf): String = {
+    import graft.ops.Curation
+    val in = spark.read.parquet(c("input"))
+    val idCol = c.get("id_col", "doc_id")
+    val textCol = c.get("text_col", "text")
+    val (minW, n, pct) =
+      (c.int("min_words", 5), c.int("shingle_n", 5), c.int("threshold_pct", 10))
+    val out = c.opt("bench") match {
+      case Some(bp) => Curation.curateAgainst(in, spark.read.parquet(bp),
+        idCol, textCol, minW, n, pct)
+      case None => Curation.curate(in, idCol, textCol,
+        benchPred = col(idCol) % c.int("bench_mod", 10) === 0,
+        minWords = minW, shingleN = n, thresholdPct = pct)
+    }
+    out.write.mode("overwrite").partitionBy("split").parquet(c("output"))
+    val counts = spark.read.parquet(c("output")).groupBy("split").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    s"curate -> ${c("output")} ($counts)"
+  }
+
   /** asof — as-of enrichment of an event table from a reference table.
     * Keys: left, right (parquet paths), output, keys (comma-separated),
     * left_ts, right_ts, pick (comma-separated right columns),
@@ -412,7 +440,7 @@ object Main {
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
     "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
-    "retention" -> retention)
+    "retention" -> retention, "curate" -> curate)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

@@ -31,9 +31,28 @@ object Curation {
 
   /** Output: idCol, n_words, n_sh, n_hit, bucket, split — one row per doc
     * that survives all three filters, with its split assignment.
+    *
+    * Holdout docs participate in stages 1–2 (a holdout doc can be the
+    * exact-dedup keeper that knocks out its training-corpus duplicate —
+    * the duplicate of an eval document must NOT train) and leave the
+    * output at stage 3.
     */
   def curate(df: DataFrame, idCol: String, textCol: String, benchPred: Column,
-             minWords: Int = 5, shingleN: Int = 5, thresholdPct: Int = 10): DataFrame = {
+             minWords: Int = 5, shingleN: Int = 5, thresholdPct: Int = 10): DataFrame =
+    curateAgainst(df, df.where(benchPred), benchPred, idCol, textCol,
+      minWords, shingleN, thresholdPct)
+
+  /** Curate against an EXTERNAL holdout (a benchmark table that is not
+    * part of the corpus): every corpus doc is a training candidate, the
+    * holdout contributes only its shingle set.
+    */
+  def curateAgainst(df: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                    minWords: Int, shingleN: Int, thresholdPct: Int): DataFrame =
+    curateAgainst(df, bench, lit(false), idCol, textCol, minWords, shingleN, thresholdPct)
+
+  private def curateAgainst(df: DataFrame, bench: DataFrame, benchPred: Column,
+                            idCol: String, textCol: String,
+                            minWords: Int, shingleN: Int, thresholdPct: Int): DataFrame = {
     require(minWords >= shingleN,
       s"minWords ($minWords) must be >= shingleN ($shingleN) so every survivor has shingles")
     // annotate, not repetition+join: the profile columns ride along with
@@ -48,7 +67,7 @@ object Curation {
       .where(col(idCol) === col("__keeper"))
       .drop("__h", "__keeper")
     val cont = Contamination.flagAgainst(
-      s2.where(!benchPred), df.where(benchPred), idCol, textCol, shingleN, thresholdPct)
+      s2.where(!benchPred), bench, idCol, textCol, shingleN, thresholdPct)
     s2.join(
         cont.where(!col("contaminated"))
           .select(col("doc_id").as(idCol), col("n_sh"), col("n_hit")),

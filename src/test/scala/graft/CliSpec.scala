@@ -234,6 +234,37 @@ class CliSpec extends AnyFunSuite {
       "expired days must stay answerable from the surviving tiers")
   }
 
+  test("curate command: split-partitioned output equals the library pipeline; external bench mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docsP = Files.createTempDirectory("cli-cur").toString + "/docs"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(docsP)
+    val o1 = out()
+    val msg = cli.Main.run("curate", conf("input" -> docsP, "output" -> o1))
+    assert(msg.contains("train="), msg)
+    // partitioned-by-split layout: a trainer lists only split=train
+    val parts = new java.io.File(o1).list().filter(_.startsWith("split=")).sorted
+    assert(parts.nonEmpty && parts.forall(Set("split=train", "split=val", "split=test")), parts.mkString(","))
+    val docs = spark.read.parquet(docsP)
+    val want = graft.ops.Curation.curate(docs, "doc_id", "text", col("doc_id") % 10 === 0)
+    val got = spark.read.parquet(o1)
+      .select("doc_id", "n_words", "n_sh", "n_hit", "bucket", "split")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // external holdout: corpus docs are ALL training candidates (no %10 removal)
+    val benchP = Files.createTempDirectory("cli-cur").toString + "/bench"
+    docs.where(col("doc_id") % 10 === 0).write.parquet(benchP)
+    val o2 = out()
+    cli.Main.run("curate", conf("input" -> docsP, "output" -> o2, "bench" -> benchP))
+    val got2 = spark.read.parquet(o2)
+    // the %10 docs now survive curation (they match the holdout 100% ->
+    // dropped as contaminated), but their non-bench duplicates aside, the
+    // row set must be a superset of the bench_mod run restricted the same way
+    assert(got2.where(col("doc_id") % 10 === 0).count() == 0,
+      "fully-contaminated holdout copies must still be dropped")
+    assert(got2.count() >= got.count())
+  }
+
   test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {
     val ex = intercept[IllegalArgumentException] {
       cli.Main.run("cc", conf(
