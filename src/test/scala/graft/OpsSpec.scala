@@ -711,6 +711,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Curation edge cases: all-bench corpus and empty corpus yield empty output, no crash") {
+    import spark.implicits._
+    val allBench = Seq((0L, "w1 w2 w3 w4 w5 w6"), (10L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Curation.curate(allBench, "doc_id", "text",
+      benchPred = col("doc_id") % 10 === 0).count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Curation.curate(empty, "doc_id", "text",
+      benchPred = col("doc_id") % 10 === 0).count() == 0)
+    // external holdout that is empty: nothing is contaminated
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.curateAgainst(corpus, empty, "doc_id", "text", 5, 5, 10)
+    assert(out.count() == 1 && out.select("n_hit").as[Long].head() == 0L)
+  }
+
   test("Contamination.flag: shingle overlap vs holdout, zero-hit rows kept, short docs absent") {
     import spark.implicits._
     val docs = Seq(
