@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -352,7 +352,11 @@ object Main {
         minWords = minW, shingleN = n, thresholdPct = pct)
     }
     out.write.mode("overwrite").partitionBy("split").parquet(c("output"))
-    val counts = spark.read.parquet(c("output")).groupBy("split").count()
+    // read back with the EXPLICIT schema: an all-filtered corpus writes
+    // only _SUCCESS, and schema inference on an empty dir would throw
+    // after the (successful) write
+    val counts = spark.read.schema(out.schema).parquet(c("output"))
+      .groupBy("split").count()
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
     s"curate -> ${c("output")} ($counts)"
   }

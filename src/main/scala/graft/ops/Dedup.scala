@@ -29,13 +29,22 @@ object Dedup {
     * regex passes per document — the dominant cost of every shingle-based
     * query at corpus scale.
     */
+  /** The ONE spelling of the per-row shingle array (duplicates kept,
+    * CASE-guarded for short docs — sequence() would count DOWN on an
+    * empty range). [[shingles]] explodes it; streaming curation
+    * array_distincts it per row; the DuckDB oracles mirror it. Any fix to
+    * the shingle lambda lands here once.
+    */
+  def shingleArrayExpr(toksCol: String, n: Int): String =
+    s"CASE WHEN size($toksCol) < $n THEN array() " +
+      s"ELSE transform(sequence(1, size($toksCol) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($toksCol, i, $n))) END"
+
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(__toks) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(__toks, i, $n)))")).as("sh"))
+        explode(expr(shingleArrayExpr("__toks", n))).as("sh"))
       .distinct()
 
   /** Exact dedup groups: md5(text) → (hash, count, keeper = min id). */

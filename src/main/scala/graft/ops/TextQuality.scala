@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Within-document repetition profiling — the quality signal LLM-corpus
@@ -56,6 +56,24 @@ object TextQuality {
        |      'best', greatest(acc.best, IF(x = 1, acc.cur + 1, 1))),
        |    acc -> acc.best) END""".stripMargin
 
+  /** Non-blank trimmed lines of the text (SQL trim strips spaces only —
+    * a whitespace-only line containing a tab still counts as non-blank,
+    * Spark and DuckDB agree).
+    */
+  private def linesExpr(textCol: String): String =
+    s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> l != '')"
+
+  /** The ONE definition of the Gopher-shaped repetition flag — >20% dup
+    * word-2grams or >30% dup non-blank lines, cross-multiplied integers —
+    * over the 2-gram and line ARRAY columns. [[repetition]] and
+    * [[annotate]] both call this; q73's oracle mirrors the same rule, so
+    * a threshold retune happens in exactly one Scala place + one SQL
+    * string.
+    */
+  private def repFlag(g2: Column, ln: Column): Column =
+    (size(g2) - size(array_distinct(g2))) * 5 > size(g2) ||
+      (size(ln) - size(array_distinct(ln))) * 10 > size(ln) * 3
+
   /** Per-document repetition counts + flag. Output: idCol, n_words,
     * n_uniq_words, n_2grams, n_uniq_2grams, n_3grams, n_uniq_3grams,
     * n_lines, n_uniq_lines (non-blank, trimmed), top_2gram_count,
@@ -67,8 +85,8 @@ object TextQuality {
       .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
       .withColumn("__tq_3g", expr(gramsExpr(w, 3)))
       .withColumn("__tq_2s", expr("array_sort(__tq_2g)"))
-      .withColumn("__tq_ln",
-        expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> l != '')"))
+      .withColumn("__tq_ln", expr(linesExpr(textCol)))
+      .withColumn("is_repetitive", repFlag(col("__tq_2g"), col("__tq_ln")))
       .select(
         col(idCol),
         size(col(w)).as("n_words"),
@@ -79,10 +97,8 @@ object TextQuality {
         size(array_distinct(col("__tq_3g"))).as("n_uniq_3grams"),
         size(col("__tq_ln")).as("n_lines"),
         size(array_distinct(col("__tq_ln"))).as("n_uniq_lines"),
-        expr(topCountExpr("__tq_2s")).as("top_2gram_count"))
-      .withColumn("is_repetitive",
-        (col("n_2grams") - col("n_uniq_2grams")) * 5 > col("n_2grams") ||
-          (col("n_lines") - col("n_uniq_lines")) * 10 > col("n_lines") * 3)
+        expr(topCountExpr("__tq_2s")).as("top_2gram_count"),
+        col("is_repetitive"))
   }
 
   /** Append `n_words` + `is_repetitive` to the input, keeping every input
@@ -95,12 +111,9 @@ object TextQuality {
     val w = "__tq_words"
     df.withColumn(w, expr(wordsExpr(textCol)))
       .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
-      .withColumn("__tq_ln",
-        expr(s"filter(transform(split($textCol, '\\n'), l -> trim(l)), l -> l != '')"))
+      .withColumn("__tq_ln", expr(linesExpr(textCol)))
       .withColumn("n_words", size(col(w)))
-      .withColumn("is_repetitive",
-        (size(col("__tq_2g")) - size(array_distinct(col("__tq_2g")))) * 5 > size(col("__tq_2g")) ||
-          (size(col("__tq_ln")) - size(array_distinct(col("__tq_ln")))) * 10 > size(col("__tq_ln")) * 3)
+      .withColumn("is_repetitive", repFlag(col("__tq_2g"), col("__tq_ln")))
       .drop(w, "__tq_2g", "__tq_ln")
   }
 }

@@ -15,9 +15,12 @@ import graft.ops.{Dedup, Sampling, TextQuality}
   *     array. The batch operator's set join needs a per-doc groupBy,
   *     which a stream can only finalize behind a watermark; an eval
   *     holdout is bounded by construction (thousands of docs), so its
-  *     distinct shingles are collected once at plan time instead —
-  *     `maxHoldoutShingles` guards the assumption and points big holdouts
-  *     at the batch path
+  *     distinct shingles are collected once at plan time instead.
+  *     `maxHoldoutShingles` (default 200k) guards the assumption and
+  *     points bigger holdouts at the batch path: the literal rides in
+  *     EVERY serialized task plan, and Spark's ArrayIntersect rebuilds
+  *     its hash set per row evaluation, so each doc pays O(holdout) —
+  *     fine at eval-set sizes, quadratic-feeling far above them
   *   - exact dedup: [[StreamingDedup.distinctDocs]] — first occurrence of
   *     each content hash passes; state bounded by the watermark horizon
   *   - split: [[Sampling.hashSplit]] — stateless map
@@ -31,7 +34,7 @@ object StreamingCuration {
   def curate(docs: DataFrame, bench: DataFrame, benchPred: Column,
              idCol: String = "doc_id", textCol: String = "text", tsCol: String = "ts",
              horizon: String = "10 minutes", minWords: Int = 5, shingleN: Int = 5,
-             thresholdPct: Int = 10, maxHoldoutShingles: Int = 2_000_000): DataFrame = {
+             thresholdPct: Int = 10, maxHoldoutShingles: Int = 200_000): DataFrame = {
     require(minWords >= shingleN,
       s"minWords ($minWords) must be >= shingleN ($shingleN) so every survivor has shingles")
     // the one driver-side read in the streaming pipeline: the STATIC
@@ -48,10 +51,8 @@ object StreamingCuration {
       .where(!col("is_repetitive") && col("n_words") >= minWords)
     val decontaminated = filtered
       .withColumn("__toks", Dedup.tokens(col(textCol)))
-      .withColumn("__sh", expr(
-        s"CASE WHEN size(__toks) < $shingleN THEN array() " +
-          s"ELSE array_distinct(transform(sequence(1, size(__toks) - ${shingleN - 1}), " +
-          s"i -> concat_ws(' ', slice(__toks, i, $shingleN)))) END"))
+      .withColumn("__sh",
+        array_distinct(expr(Dedup.shingleArrayExpr("__toks", shingleN))))
       .withColumn("n_sh", size(col("__sh")))
       .withColumn("n_hit", size(array_intersect(col("__sh"), benchLit)))
       .where(!(col("n_hit") * 100 >= col("n_sh") * thresholdPct))

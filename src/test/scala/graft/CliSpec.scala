@@ -263,6 +263,13 @@ class CliSpec extends AnyFunSuite {
     assert(got2.where(col("doc_id") % 10 === 0).count() == 0,
       "fully-contaminated holdout copies must still be dropped")
     assert(got2.count() >= got.count())
+    // all-filtered corpus (bench_mod=1 puts every doc in the holdout):
+    // the write succeeds with zero rows and the count read-back must not
+    // choke on schema inference over an empty directory
+    val o3 = out()
+    val msg3 = cli.Main.run("curate",
+      conf("input" -> docsP, "output" -> o3, "bench_mod" -> "1"))
+    assert(msg3.contains("curate ->") && !msg3.contains("="), msg3)
   }
 
   test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {
