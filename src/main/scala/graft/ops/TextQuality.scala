@@ -28,14 +28,27 @@ object TextQuality {
   private def wordsExpr(textCol: String): String =
     s"filter(split(trim($textCol), '\\\\s+'), w -> w != '')"
 
-  /** n-grams as joined strings, 1-based element_at over a words array
-    * column; empty below n words (sequence() would count DOWN on an empty
-    * range — guard, don't trust it).
+  /** n-grams as joined strings over a words array column; empty below n
+    * words (sequence() would count DOWN on an empty range — guard, don't
+    * trust it).
+    *
+    * Built as zip_with over SLICES, never element_at($words, i) inside a
+    * lambda body: Catalyst does no common-subexpression hoisting across a
+    * lambda boundary, and when the optimizer later INLINES the words
+    * expression into every reference (predicate pushdown rewrites
+    * `annotate(df).where(flag)` exactly that way; CollapseProject can do
+    * it too), an in-lambda reference re-runs the whole split+filter per
+    * sequence ELEMENT — O(words²) per document per reference, measured
+    * 11× on the real corpus. zip_with's arguments are evaluated once per
+    * row, so the worst case stays O(words) no matter how many times the
+    * optimizer duplicates the tree.
     */
   private def gramsExpr(words: String, n: Int): String = {
-    val parts = (0 until n).map(k => s"element_at($words, i + $k)").mkString(", ' ', ")
-    s"CASE WHEN size($words) < $n THEN array() " +
-      s"ELSE transform(sequence(1, size($words) - ${n - 1}), i -> concat($parts)) END"
+    val m = n - 1
+    def part(k: Int) = s"slice($words, ${k + 1}, size($words) - $m)"
+    val zipped = (1 until n).foldLeft(part(0))((acc, k) =>
+      s"zip_with($acc, ${part(k)}, (x, y) -> concat(x, ' ', y))")
+    s"CASE WHEN size($words) < $n THEN array() ELSE $zipped END"
   }
 
   /** Max multiplicity of any element of an array column — the "top n-gram"
@@ -48,8 +61,8 @@ object TextQuality {
   private def topCountExpr(arr: String): String =
     s"""CASE WHEN size($arr) = 0 THEN 0 WHEN size($arr) = 1 THEN 1 ELSE
        |  aggregate(
-       |    transform(sequence(1, size($arr) - 1),
-       |      i -> IF(element_at($arr, i) = element_at($arr, i + 1), 1, 0)),
+       |    zip_with(slice($arr, 1, size($arr) - 1), slice($arr, 2, size($arr) - 1),
+       |      (x, y) -> IF(x = y, 1, 0)),
        |    named_struct('cur', 1, 'best', 1),
        |    (acc, x) -> named_struct(
        |      'cur', IF(x = 1, acc.cur + 1, 1),
