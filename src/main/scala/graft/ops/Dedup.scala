@@ -35,10 +35,19 @@ object Dedup {
     * array_distincts it per row; the DuckDB oracles mirror it. Any fix to
     * the shingle lambda lands here once.
     */
-  def shingleArrayExpr(toksCol: String, n: Int): String =
-    s"CASE WHEN size($toksCol) < $n THEN array() " +
-      s"ELSE transform(sequence(1, size($toksCol) - ${n - 1}), " +
-      s"i -> concat_ws(' ', slice($toksCol, i, $n))) END"
+  def shingleArrayExpr(toksCol: String, n: Int): String = {
+    // zip_with over slices, NOT slice($toksCol, i, n) inside the lambda:
+    // a lambda body that references the outer tokens array re-evaluates
+    // it per element once the optimizer inlines the tokens expression
+    // (predicate pushdown chains the substitution through every aliased
+    // column a filter touches) — O(tokens²) per row. zip_with arguments
+    // evaluate once per row, so this stays O(tokens) under any inlining.
+    val m = n - 1
+    def part(k: Int) = s"slice($toksCol, ${k + 1}, size($toksCol) - $m)"
+    val zipped = (1 until n).foldLeft(part(0))((acc, k) =>
+      s"zip_with($acc, ${part(k)}, (x, y) -> concat(x, ' ', y))")
+    s"CASE WHEN size($toksCol) < $n THEN array() ELSE $zipped END"
+  }
 
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
