@@ -289,6 +289,14 @@ class PlanSpec extends AnyFunSuite {
       s"top-k window not partitioned by doc_id: $win")
   }
 
+  test("q78 curation: all three joins stay equi-joins; no cartesian anywhere in the composition") {
+    val p = plan(Queries.q78.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"curation composition degraded to a non-equi join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no hash/merge join in the curation plan:\n$p")
+  }
+
   test("q75 contamination: shingle-set join stays an equi-join (no BNLJ/cartesian), one groupBy(doc)") {
     val p = plan(Queries.q75.fn(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
