@@ -176,15 +176,23 @@ object Bench {
     // `runs` times back-to-back; the shipped number is the MEDIAN, the
     // [min,max] spread ships alongside so a reader can see the noise.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = headline.map { name =>
+    // ONE timing rule for headline and extras. A query that throws ships
+    // median/spread = -1 (time-to-exception is NOT a sample): a broken
+    // query must read as broken in the JSON, not as a 700x speedup.
+    def timeQuery(name: String): (String, Double, Double, Double) = {
+      var failed = 0
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fns(name)(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        catch { case e: Throwable =>
+          failed += 1; System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times(times.length / 2), times.head, times.last)
+      if (failed > 0) (name, -1.0, -1.0, -1.0)
+      else (name, times(times.length / 2), times.head, times.last)
     }
+    val results = headline.map(timeQuery)
 
     // north-rule metric: ingested-to-tier-1 points/sec on the synthetic
     // table — same median-of-k discipline (generation is untimed setup)
@@ -199,22 +207,15 @@ object Bench {
     // stay comparable round-over-round (the judge diffs totals on the
     // same 17-query set)
     val extras = Seq("q74_tfidf_topk", "q75_contamination", "q78_curation_pipeline")
-      .map { name =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fns(name)(spark, sfDir).count() }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        (name, times(times.length / 2))
-      }
-    val extraQs = extras.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      .map(timeQuery)
+    val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spreads":$spreads,"extra_queries":$extraQs,"runs":$runs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"rollup_sec_spread":[${rollupRuns.head._3}%.3f,${rollupRuns.last._3}%.3f],"cpus":"$cpus"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spreads":$spreads,"extra_queries":$extraQs,"extra_spreads":$extraSpreads,"runs":$runs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"rollup_sec_spread":[${rollupRuns.head._3}%.3f,${rollupRuns.last._3}%.3f],"cpus":"$cpus"}"""
     // bare line on stdout (run/outputStrategy=StdoutOutput strips sbt's
     // "[info] " decoration) AND a file copy — round 1's JSON reached the
     // harness wrapped in log prefixes and parsed as null
