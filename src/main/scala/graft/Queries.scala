@@ -2263,12 +2263,28 @@ object Queries {
               |       ELSE 'test' END AS split
               |FROM s3""".stripMargin))
 
+  val q79 = Q("q79_dedup_lines",
+    // the line-level REWRITE behind q73's flag (graft.ops.TextQuality
+    // .dedupLines): duplicated non-blank lines removed keeping first
+    // occurrence; gated on the rebuilt text itself (md5 + the string)
+    (s, d) => graft.ops.TextQuality.dedupLines(docs(s, d), "doc_id", "text"),
+    Some(raw"""WITH w AS (SELECT doc_id,
+              |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ln
+              |  FROM documents),
+              |k AS (SELECT doc_id, ln,
+              |    list_filter(ln, (l, i) -> list_position(ln, l) = i) AS kept
+              |  FROM w)
+              |SELECT doc_id, len(ln) AS n_lines, len(kept) AS n_kept,
+              |  md5(array_to_string(kept, chr(10))) AS clean_fp,
+              |  array_to_string(kept, chr(10)) AS clean_text
+              |FROM k""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79
   )
 }

@@ -114,6 +114,30 @@ object TextQuality {
         col("is_repetitive"))
   }
 
+  /** The REMOVAL step behind the q73 flag: drop duplicated non-blank
+    * lines, keeping each line's first occurrence (the line-level cleanup
+    * of the Gopher/MassiveText rules; C4's analog removes repeated
+    * spans). The text is normalized to trimmed non-blank lines joined by
+    * '\n' — same normalization family as the q35 fingerprint. Output:
+    * idCol, n_lines, n_kept, clean_fp (md5 of the rebuilt text),
+    * clean_text.
+    *
+    * array_position inside the lambda scans the line list per element —
+    * O(lines²) per row, fine at document line counts. The line array is
+    * a real column and this op is terminal (no downstream filter on its
+    * aliases in q79), so optimizer inlining cannot compound the split
+    * into the lambda.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__ln", expr(linesExpr(textCol)))
+      .withColumn("__kept",
+        expr("filter(__ln, (l, i) -> array_position(__ln, l) = i + 1)"))
+      .select(col(idCol),
+        size(col("__ln")).as("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        md5(concat_ws("\n", col("__kept"))).as("clean_fp"),
+        concat_ws("\n", col("__kept")).as("clean_text"))
+
   /** Append `n_words` + `is_repetitive` to the input, keeping every input
     * column — the form a pipeline uses when the text must survive
     * downstream (e.g. streaming curation). Same word/gram/line

@@ -711,6 +711,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TextQuality.dedupLines: first occurrence kept in order; blank/degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("dup", "a b\nc d\na b\ne f\nc d"),   // keeps a b, c d, e f in order
+      ("one", "only line"),
+      ("blank", "  \n \n"),                 // no non-blank lines -> empty text
+      ("interior", "x\n\nx\ny")             // blank line dropped, second x dropped
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextQuality.dedupLines(docs, "doc_id", "text")
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getInt(2), x.getString(4))).toMap
+    assert(r("dup") == (5, 3, "a b\nc d\ne f"))
+    assert(r("one") == (1, 1, "only line"))
+    assert(r("blank") == (0, 0, ""))
+    assert(r("interior") == (3, 2, "x\ny"))
+  }
+
   test("Curation edge cases: all-bench corpus and empty corpus yield empty output, no crash") {
     import spark.implicits._
     val allBench = Seq((0L, "w1 w2 w3 w4 w5 w6"), (10L, "p q r s t u"))
