@@ -213,7 +213,10 @@ object Bench {
 
     val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val spreads = results.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // any failed query poisons the aggregate too: summing the -1
+    // sentinels would make the shipped total read FASTER than a healthy
+    // run — the exact misread the per-query sentinel exists to prevent
+    val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spreads":$spreads,"extra_queries":$extraQs,"extra_spreads":$extraSpreads,"runs":$runs,"sf":"$sfDir","rollup_points_per_sec":$pps%.0f,"rollup_tier1_cells":$cells,"rollup_turns":$turns,"rollup_sec":$secs%.3f,"rollup_sec_spread":[${rollupRuns.head._3}%.3f,${rollupRuns.last._3}%.3f],"cpus":"$cpus"}"""
     // bare line on stdout (run/outputStrategy=StdoutOutput strips sbt's

@@ -2208,7 +2208,7 @@ object Queries {
     Some(s"""WITH b AS (SELECT doc_id, ${duckBucket("doc_id")} AS bucket FROM documents)
             |SELECT doc_id, bucket,
             |  CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val'
-            |   ELSE 'test' END AS split
+            |   WHEN bucket IS NOT NULL THEN 'test' END AS split
             |FROM b""".stripMargin))
 
   val q77 = Q("q77_source_rebalance",
@@ -2260,7 +2260,7 @@ object Queries {
               |SELECT doc_id, n_words, n_sh, n_hit, ${duckBucket("doc_id")} AS bucket,
               |  CASE WHEN ${duckBucket("doc_id")} < 230 THEN 'train'
               |       WHEN ${duckBucket("doc_id")} < 243 THEN 'val'
-              |       ELSE 'test' END AS split
+              |       WHEN ${duckBucket("doc_id")} IS NOT NULL THEN 'test' END AS split
               |FROM s3""".stripMargin))
 
   val q79 = Q("q79_dedup_lines",

@@ -39,10 +39,14 @@ object Sampling {
     require(0 < trainUpTo && trainUpTo <= valUpTo && valUpTo <= 256,
       s"need 0 < trainUpTo <= valUpTo <= 256, got $trainUpTo/$valUpTo")
     df.withColumn("bucket", bucketCol(idCol))
+      // a NULL id hashes to a NULL bucket; leave split NULL too (visible,
+      // filterable corruption) instead of letting otherwise() silently
+      // concentrate undefined docs in the eval split — and then move them
+      // when a re-ingest backfills the id, breaking the stability property
       .withColumn("split",
         when(col("bucket") < trainUpTo, lit("train"))
           .when(col("bucket") < valUpTo, lit("val"))
-          .otherwise(lit("test")))
+          .when(col("bucket").isNotNull, lit("test")))
   }
 
   /** Source-mixture rebalancing: downsample every source toward the

@@ -122,16 +122,21 @@ object TextQuality {
     * idCol, n_lines, n_kept, clean_fp (md5 of the rebuilt text),
     * clean_text.
     *
-    * array_position inside the lambda scans the line list per element —
-    * O(lines²) per row, fine at document line counts. The line array is
-    * a real column and this op is terminal (no downstream filter on its
-    * aliases in q79), so optimizer inlining cannot compound the split
-    * into the lambda.
+    * First-occurrence selection is an aggregate() fold whose lambda
+    * touches ONLY its own accumulator and element variables — never the
+    * outer line array — so even when a caller filters on this op's
+    * outputs and predicate pushdown inlines the line-split expression
+    * into the predicate, the split still evaluates once per row (the
+    * filter((l, i) -> array_position(__ln, l) = i+1) form would re-run
+    * it per line: the q78 28 s cliff class). The fold itself is
+    * O(lines²) string compares, inherent to order-preserving dedup and
+    * fine at document line counts.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__ln", expr(linesExpr(textCol)))
       .withColumn("__kept",
-        expr("filter(__ln, (l, i) -> array_position(__ln, l) = i + 1)"))
+        expr("""aggregate(__ln, cast(array() as array<string>),
+               |  (acc, l) -> IF(array_contains(acc, l), acc, concat(acc, array(l))))""".stripMargin))
       .select(col(idCol),
         size(col("__ln")).as("n_lines"),
         size(col("__kept")).as("n_kept"),

@@ -661,6 +661,15 @@ class OpsSpec extends AnyFunSuite {
     val p = graft.ops.Sampling.hashSplit(df, "doc_id")
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"hashSplit must be shuffle-free:\n$p")
+    // a NULL id must surface as NULL bucket/split (visible corruption),
+    // never silently land in the eval split
+    val withNull = Seq((java.lang.Long.valueOf(7L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("doc_id", "text")
+    val nr = graft.ops.Sampling.hashSplit(withNull, "doc_id")
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => Option(r.get(0)) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(nr(None) == (true, true), s"null id leaked a split: $nr")
+    assert(nr(Some(7L)) == (false, false))
   }
 
   test("Sampling.rebalance: small source kept whole, large source rate-capped at min_count/256") {
