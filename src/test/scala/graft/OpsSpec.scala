@@ -734,6 +734,14 @@ class OpsSpec extends AnyFunSuite {
     assert(r("one") == (1, 1, "only line"))
     assert(r("blank") == (0, 0, ""))
     assert(r("interior") == (3, 2, "x\ny"))
+    // the pushdown scenario the fold form exists for: filtering on the
+    // op's outputs inlines the aliases into the predicate — results must
+    // stay correct (and the fold keeps it O(lines) splits; the indexed-
+    // filter form went O(lines²) here)
+    val changed = graft.ops.TextQuality.dedupLines(docs, "doc_id", "text")
+      .where(col("n_kept") < col("n_lines"))
+      .select("doc_id").as[String].collect().sorted
+    assert(changed.sameElements(Array("dup", "interior")), changed.mkString(","))
   }
 
   test("Curation edge cases: all-bench corpus and empty corpus yield empty output, no crash") {
