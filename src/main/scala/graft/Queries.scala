@@ -2279,12 +2279,110 @@ object Queries {
               |  array_to_string(kept, chr(10)) AS clean_text
               |FROM k""".stripMargin))
 
+  // --------------------------------------------- F. product quantization ANN
+
+  val q80 = Q("q80_pq_codes",
+    // product-quantization encode (Jégou et al. 2011): 8 subspaces x 8 dims,
+    // 16 sub-centroids (the lowest-id vectors — the deterministic codebook
+    // stand-in q44 established); codes are INTEGER surfaces, so the whole
+    // compress step hash-oracles with zero float discipline beyond the
+    // argmin agreeing (ordered sub-distance folds on both sides). One row
+    // per (vector, subspace) relationally — graft.ops.Similarity.pqEncode.
+    (s, d) => graft.ops.Similarity.pqEncode(emb(s, d))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_m", "code"))),
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+           |sc AS (SELECT e.vec_id, m.m, cb.cent_id,
+           |    list_sum(list_transform(range(1, 9), i ->
+           |      (v[m.m * 8 + i] - cv[m.m * 8 + i]) * (v[m.m * 8 + i] - cv[m.m * 8 + i]))) AS d
+           |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m CROSS JOIN cb)
+           |SELECT vec_id, m AS sub_m, cent_id AS code FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rk
+           |  FROM sc) WHERE rk = 1""".stripMargin))
+
+  /** q81/q83 share the PQ ADC retrieval SQL; built once so a tie-discipline
+    * change edits exactly one string (the repFlag rule's discipline).
+    */
+  private lazy val pqAnnSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      |sc AS (SELECT e.vec_id, m.m, cb.cent_id,
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      (v[m.m * 8 + i] - cv[m.m * 8 + i]) * (v[m.m * 8 + i] - cv[m.m * 8 + i]))) AS d
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m CROSS JOIN cb),
+      |codes AS (SELECT vec_id, m, cent_id AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rk
+      |  FROM sc) WHERE rk = 1),
+      |ca AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+      |cbl AS (SELECT list(cv ORDER BY cent_id) AS cbs FROM cb),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (20, 21, 22)),
+      |adcs AS (SELECT q_id, ca.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(0, 8), m ->
+      |      list_sum(list_transform(range(1, 9), i ->
+      |        (qv[m * 8 + i] - cbs[codes[m + 1] + 1][m * 8 + i])
+      |        * (qv[m * 8 + i] - cbs[codes[m + 1] + 1][m * 8 + i]))))), 9) AS adc
+      |  FROM ca CROSS JOIN q CROSS JOIN cbl WHERE ca.vec_id <> q_id)
+      |SELECT q_id, neighbor_id, adc, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS rk
+      |  FROM adcs) WHERE rk <= 3""".stripMargin
+
+  val q81 = Q("q81_pq_ann",
+    // PQ ANN by asymmetric distance (query unquantized, per-query LUT of
+    // sub-distances, candidates ranked by nSub lookups+adds) — the
+    // memory-compressed scale path: at k<=256 the codes table is nSub
+    // BYTES/vector, ~32x smaller than the fp32 corpus. Engine: broadcast
+    // LUT rows, one codes scan, no corpus shuffle. Oracle replays the
+    // identical ordered folds (inner dims ascending, outer subspaces
+    // ascending), round(adc, 9), tie -> neighbor_id (the q40 discipline).
+    (s, d) => graft.ops.Similarity.pqTopK(emb(s, d), Seq(20L, 21L, 22L), 3),
+    Some(pqAnnSql))
+
+  val q82 = Q("q82_l2_brute",
+    // exact squared-L2 top-k — the brute-force truth q83 grades PQ against
+    // (graft.ops.Similarity.l2TopK); broadcast queries, streaming corpus
+    (s, d) => graft.ops.Similarity.l2TopK(emb(s, d), Seq(20L, 21L, 22L), 3),
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (20, 21, 22)),
+           |sc AS (SELECT q_id, e.vec_id AS neighbor_id,
+           |    round(list_sum(list_transform(range(1, 65), i ->
+           |      (qv[i] - v[i]) * (qv[i] - v[i]))), 9) AS l2sq
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id)
+           |SELECT q_id, neighbor_id, l2sq, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY l2sq, neighbor_id) AS rk
+           |  FROM sc) WHERE rk <= 3""".stripMargin))
+
+  val q83 = Q("q83_pq_recall",
+    // recall@3 of PQ-ADC retrieval vs the exact-L2 truth — the tuning
+    // surface for (nSub, k): INTEGER hit counts per query (count of
+    // non-null join markers, both engines), so the evaluation itself is
+    // hash-exact. Mirrors q48 (the LSH recall gate) on the PQ path.
+    (s, d) => {
+      val pq = graft.ops.Similarity.pqTopK(emb(s, d), Seq(20L, 21L, 22L), 3)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+      graft.ops.Similarity.l2TopK(emb(s, d), Seq(20L, 21L, 22L), 3)
+        .select(col("q_id"), col("neighbor_id"))
+        .join(pq, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+    },
+    for { l2Sql <- q82.oracle } yield {
+      s"""WITH pq AS ($pqAnnSql),
+         |l2 AS ($l2Sql),
+         |p AS (SELECT q_id, neighbor_id, 1 AS hit FROM pq)
+         |SELECT q_id, count(hit) AS n_hits, count(*) AS n_truth
+         |FROM l2 LEFT JOIN p USING (q_id, neighbor_id) GROUP BY q_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
+    q80, q81, q82, q83
   )
 }

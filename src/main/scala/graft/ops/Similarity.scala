@@ -156,4 +156,107 @@ object Similarity {
         round(cosine("qv", "v"), 9).as("cosine"))
       .withColumn("rk", row_number().over(wR)).where(col("rk") <= k)
   }
+
+  // --------------------------------------------------- product quantization
+
+  /** Squared-L2 between the `m`-th `subDim`-wide slices of two double-array
+    * expressions — an ordered left fold (ascending dimension), so Spark and
+    * any SQL engine replaying the same arithmetic agree bit-for-bit.
+    * `m` may be a lambda variable (slice offsets accept expressions).
+    */
+  private def subDistExpr(a: String, b: String, m: String, subDim: Int): String =
+    s"""aggregate(zip_with(slice($a, $m * $subDim + 1, $subDim),
+       |  slice($b, $m * $subDim + 1, $subDim), (x, y) -> (x - y) * (x - y)),
+       |  0D, (acc, p) -> acc + p)""".stripMargin
+
+  /** One-row id-sorted codebook (full vectors; encode/LUT expressions slice
+    * per subspace). Like [[ivfTopK]], the codebook is the `k` lowest-id
+    * vectors — a deterministic stand-in for a trained k-means codebook that
+    * keeps both engines and all cluster sizes bit-agreed; it requires ids
+    * 0..k-1 to exist so codes index the sorted array densely.
+    */
+  private def pqCodebookRow(e: DataFrame, k: Int): DataFrame =
+    e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
+
+  /** Product-quantization encode (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 33(1)): the vector is split
+    * into `nSub` subspaces of dim/nSub dims and each slice is assigned to
+    * its min-squared-L2 sub-centroid — `codes` is `nSub` small ints per
+    * vector. At k<=256 that is nSub BYTES per vector: 100 TB of fp32
+    * embeddings compress ~32x into something an executor can hold and scan
+    * in cache. The assignment is the same zero-exchange shape as
+    * [[ivfAssign]]: one broadcast codebook row, a per-row fold, no shuffle
+    * of the embeddings (PlanSpec-gated). Ties break to the lowest cent_id
+    * (strictly-less fold over the id-sorted array).
+    */
+  def pqEncode(embeddings: DataFrame, nSub: Int = 8, k: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val sd = dim / nSub
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val cb = pqCodebookRow(e, k)
+    val codes =
+      s"""transform(sequence(0, ${nSub - 1}), m ->
+         |  aggregate(
+         |    transform(cb, c -> named_struct(
+         |      'd', ${subDistExpr("v", "c.cv", "m", sd)},
+         |      'cid', c.cent_id)),
+         |    named_struct('d', CAST(9e99 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+         |    (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).cid)""".stripMargin
+    e.crossJoin(broadcast(cb)) // one-row build side, not a fan-out
+      .select(col("vec_id"), expr(codes).as("codes"))
+  }
+
+  /** PQ ANN search by asymmetric distance computation (ADC): the query
+    * stays unquantized; per query a `nSub` x `k` lookup table of
+    * sub-distances to every sub-centroid is computed once against the
+    * broadcast codebook, and each encoded vector's approximate squared-L2
+    * is then `nSub` table lookups + adds — never a 64-dim arithmetic pass
+    * per candidate. At corpus scale the plan is: one scan of the (tiny)
+    * codes table, a broadcast of |queries| LUT rows, a per-query top-k —
+    * no shuffle of the corpus. Rank is (round(adc, 9) asc, neighbor_id) —
+    * the q40 tie discipline.
+    */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], topK: Int,
+      nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val sd = dim / nSub
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val enc = pqEncode(embeddings, nSub, k, dim)
+    val lut = // lut[m+1][j+1] = ||sub(q,m) - sub(cent_j,m)||^2, cb id-sorted
+      s"""transform(sequence(0, ${nSub - 1}), m ->
+         |  transform(cb, c -> ${subDistExpr("qv", "c.cv", "m", sd)}))""".stripMargin
+    val q = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(pqCodebookRow(e, k)))
+      .select(col("q_id"), expr(lut).as("lut"))
+    val adc = // ascending-m fold, mirroring the oracle's ordered list_sum
+      """aggregate(zip_with(codes, lut, (c, lm) -> element_at(lm, CAST(c + 1 AS INT))),
+        |  0D, (acc, x) -> acc + x)""".stripMargin
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))
+    enc.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(expr(adc), 9).as("adc"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
+  }
+
+  /** Exact squared-L2 top-k — the brute-force truth the PQ recall metric
+    * (q82) grades against, and the L2 sibling of [[cosineTopK]]. Same
+    * broadcast-queries shape: the corpus streams, nothing shuffles.
+    */
+  def l2TopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val q = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val d = expr(
+      "aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("l2sq"), col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), round(d, 9).as("l2sq"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
 }

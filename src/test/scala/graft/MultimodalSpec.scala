@@ -120,6 +120,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want, s"$got vs $want")
   }
 
+  test("pq: codebook self-encodes, planted duplicate retrieved at adc 0, recall shape") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // every codebook vector's slice is closest to itself in all 8 subspaces
+    val codes = Similarity.pqEncode(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    (0L until 16L).foreach(j => assert(codes(j) == List.fill(8)(j), s"cent $j: ${codes(j)}"))
+    assert(codes.size == 500 &&
+      codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // an exact duplicate of codebook vector 3 planted at id 900: ADC from it
+    // back to vec 3 is the quantization residual of a codebook vector = 0,
+    // strictly the minimum, so PQ retrieves the duplicate first — the
+    // must-work case for any near-dup path built on these codes
+    val dup = emb.where(col("vec_id") === 3L).withColumn("vec_id", lit(900L))
+    val emb2 = emb.unionByName(dup)
+    val top = Similarity.pqTopK(emb2, Seq(900L), 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 3L && top(0).getDouble(2) == 0.0,
+      top.mkString(","))
+    val l2 = Similarity.l2TopK(emb2, Seq(900L), 1).collect()
+    assert(l2.length == 1 && l2(0).getLong(1) == 3L && l2(0).getDouble(2) == 0.0)
+    // the recall surface grades every query against exactly k truth rows
+    val rec = Queries.q83.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rec.length == 3 &&
+      rec.forall(r => r.getLong(2) == 3 && r.getLong(1) >= 0 && r.getLong(1) <= 3))
+  }
+
   test("lsh buckets: hamming-similar vectors share buckets more than random") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = Similarity.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

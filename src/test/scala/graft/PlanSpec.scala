@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
   }
 
+  test("pqEncode: zero-exchange broadcast fold — the codes path never shuffles the corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.pqEncode(e))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"PQ encode shuffles the embeddings:\n$p")
+    assert(!"Window \\[".r.findFirstIn(p).isDefined, s"window on the encode path:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
+  }
+
   test("rollup chunk READ path has no Scala UDF (ChunkDecode is a codegen'd Expression)") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 3, 60).toDF()
