@@ -2302,7 +2302,7 @@ object Queries {
            |  FROM sc) WHERE rk = 1""".stripMargin))
 
   /** q81/q83 share the PQ ADC retrieval SQL; built once so a tie-discipline
-    * change edits exactly one string (the repFlag rule's discipline).
+    * change edits exactly one string.
     */
   private lazy val pqAnnSql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2376,6 +2376,46 @@ object Queries {
          |FROM l2 LEFT JOIN p USING (q_id, neighbor_id) GROUP BY q_id""".stripMargin
     })
 
+  val q84 = Q("q84_gopher_quality",
+    // Gopher document-level quality gate (Rae et al. 2021 A1.1, the
+    // word-level subset): word-count band, mean word length in [3,10],
+    // >=80% alphabetic words, >=2 stopwords — every rule integer
+    // cross-multiplied (graft.ops.TextQuality.gopherQuality), so the gate
+    // hash-oracles exactly. [25,80] brackets this corpus's 10..99 word
+    // range so both rejection tails are exercised.
+    (s, d) => graft.ops.TextQuality.gopherQuality(docs(s, d), "doc_id", "text", 25, 80),
+    Some(s"""WITH w AS (SELECT doc_id,
+            |    list_filter($tokensDuck, x -> x <> '') AS ws FROM documents),
+            |c AS (SELECT doc_id, len(ws) AS n_words,
+            |    list_sum(list_transform(ws, x -> length(x))) AS n_word_chars,
+            |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+            |    len(list_filter(ws, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS n_stop
+            |  FROM w)
+            |SELECT doc_id, n_words,
+            |  coalesce(n_word_chars, 0) AS n_word_chars, n_alpha_words, n_stop,
+            |  (n_words >= 25 AND n_words <= 80) AS ok_word_count,
+            |  (coalesce(n_word_chars, 0) >= n_words * 3
+            |    AND coalesce(n_word_chars, 0) <= n_words * 10) AS ok_mean_len,
+            |  (n_alpha_words * 5 >= n_words * 4) AS ok_alpha,
+            |  (n_stop >= 2) AS ok_stop,
+            |  ((n_words >= 25 AND n_words <= 80)
+            |    AND (coalesce(n_word_chars, 0) >= n_words * 3
+            |         AND coalesce(n_word_chars, 0) <= n_words * 10)
+            |    AND (n_alpha_words * 5 >= n_words * 4)
+            |    AND (n_stop >= 2)) AS is_clean
+            |FROM c""".stripMargin))
+
+  val q85 = Q("q85_stratified_sample",
+    // exact-n deterministic per-source sample: the n lowest (md5(id), id)
+    // rows per stratum — a reproducible uniform draw whose members never
+    // change run to run (graft.ops.Sampling.stratified); rank surface is
+    // integer + md5 string order, both engines agree exactly
+    (s, d) => graft.ops.Sampling.stratified(docs(s, d), "doc_id", "source", 7),
+    Some("""SELECT doc_id, source, sample_rk FROM (
+           |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rk
+           |  FROM documents) WHERE sample_rk <= 7""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2383,6 +2423,6 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83
+    q80, q81, q82, q83, q84, q85
   )
 }

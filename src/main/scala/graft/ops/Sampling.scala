@@ -68,4 +68,27 @@ object Sampling {
       .withColumn("kept", col("bucket") * col("n_source") < col("min_count") * 256)
       .select(idCol, groupCol, "bucket", "n_source", "min_count", "kept")
   }
+
+  /** Exact-n deterministic sample per stratum: within each `groupCol`
+    * value keep the `n` rows ranking lowest by (md5(id), id) — a
+    * reproducible uniform-without-replacement draw (the hash is the
+    * random tape), unlike `rand()`-based sampling which changes members
+    * every run. Unlike [[rebalance]]'s rate selection this is exact-k, so
+    * it pays a per-stratum sort: the window buffers each stratum on one
+    * partition. Fine when strata are people-scale (sources, languages,
+    * shards); for strata too large for one partition, pre-thin with a
+    * [[rebalance]]-style hash-rate cut to ~4n first, then exact-rank the
+    * survivors — the hash ordering is preserved under any prefix cut, so
+    * the two-stage result equals the one-stage result whenever the
+    * pre-thin keeps >= n rows. Output: idCol, groupCol, sample_rk.
+    */
+  def stratified(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("sample_rk", row_number().over(w))
+      .where(col("sample_rk") <= n)
+  }
 }

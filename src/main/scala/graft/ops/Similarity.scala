@@ -244,7 +244,7 @@ object Similarity {
   }
 
   /** Exact squared-L2 top-k — the brute-force truth the PQ recall metric
-    * (q82) grades against, and the L2 sibling of [[cosineTopK]]. Same
+    * (q83) grades against, and the L2 sibling of [[cosineTopK]]. Same
     * broadcast-queries shape: the corpus streams, nothing shuffles.
     */
   def l2TopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {

@@ -143,6 +143,43 @@ object TextQuality {
         md5(concat_ws("\n", col("__kept"))).as("clean_fp"),
         concat_ws("\n", col("__kept")).as("clean_text"))
 
+  /** Gopher-shaped document-level quality gate (Rae et al. 2021,
+    * arXiv:2112.11446 appendix A1.1 — the word-level subset that applies
+    * to whitespace-tokenizable text): word count within [minWords,
+    * maxWords], mean word length within [3, 10] chars, >=80% of words
+    * containing an alphabetic character, and >=2 stopwords present. Every
+    * decision is integer cross-multiplication over per-row counts (no
+    * division, no floats), so the whole gate hash-oracles exactly and the
+    * thresholds can be retuned downstream without re-scanning the text.
+    * A pure per-row codegen map — zero shuffle, pipelines into the scan,
+    * streaming-safe. Each lambda touches only its own element, so the
+    * optimizer inlining the words split per reference costs O(words) per
+    * reference, never the O(words²) cliff (see [[gramsExpr]]).
+    * Output: idCol, n_words, n_word_chars, n_alpha_words, n_stop,
+    * ok_word_count, ok_mean_len, ok_alpha, ok_stop, is_clean.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val w = "__gq_words"
+    df.withColumn(w, expr(wordsExpr(textCol)))
+      .select(
+        col(idCol),
+        size(col(w)).as("n_words"),
+        expr(s"aggregate($w, 0, (acc, x) -> acc + length(x))").as("n_word_chars"),
+        expr(s"size(filter($w, x -> x rlike '[A-Za-z]'))").as("n_alpha_words"),
+        expr(s"size(filter($w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in'))")
+          .as("n_stop"))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10)
+      .withColumn("ok_alpha", col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("ok_stop", col("n_stop") >= 2)
+      .withColumn("is_clean",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
   /** Append `n_words` + `is_repetitive` to the input, keeping every input
     * column — the form a pipeline uses when the text must survive
     * downstream (e.g. streaming curation). Same word/gram/line

@@ -692,6 +692,61 @@ class OpsSpec extends AnyFunSuite {
     assert(keptBig.nonEmpty && keptBig.size < 30, s"rate cap off: ${keptBig.size}")
   }
 
+  test("Sampling.stratified: exact-n per stratum, deterministic, prefix-stable in n") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (i, "big")) ++ (100L until 103L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val s7 = graft.ops.Sampling.stratified(df, "doc_id", "source", 7).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    // exact n per stratum, capped at the stratum size
+    assert(s7.count(_._1 == "big") == 7 && s7.count(_._1 == "small") == 3)
+    // ranks are 1..k dense within each stratum
+    assert(s7.filter(_._1 == "big").map(_._3).sorted.toSeq == (1 to 7))
+    // deterministic: the same draw under a different partitioning
+    val again = graft.ops.Sampling.stratified(df.repartition(13), "doc_id", "source", 7)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(again == s7.toSet)
+    // prefix property: stratified(7) is exactly the rank<=7 prefix of
+    // stratified(14) — the guarantee the two-stage pre-thin path rests on
+    val s14 = graft.ops.Sampling.stratified(df, "doc_id", "source", 14).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(s14.filter(_._3 <= 7).toSet == s7.toSet)
+    // the draw matches a local md5 replay (same tape both engines read)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) = mdig.digest(i.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val wantBig = (0L until 50L).map(i => (hex(i), i)).sorted.take(7).map(_._2).toSet
+    assert(s7.filter(_._1 == "big").map(_._2).toSet == wantBig)
+  }
+
+  test("TextQuality.gopherQuality: each rule fires independently on handcrafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat near a tree and the dog ran into the park"), // clean at minWords=5
+      (1L, "tiny one"),                                              // word count below band
+      (2L, "a a a a a b b b b b"),                                   // mean word length < 3
+      (3L, "12 34 56 78 90 11 22 33"),                               // no alphabetic words
+      (4L, "cat dog tree park run sit jump walk")                    // no stopwords
+    ).toDF("doc_id", "text")
+    val g = graft.ops.TextQuality.gopherQuality(docs, "doc_id", "text", 5, 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))
+      .toMap
+    assert(g(0L) == (true, true, true, true, true), s"clean doc flagged: ${g(0L)}")
+    assert(!g(1L)._1 && !g(1L)._5)
+    assert(!g(2L)._2 && !g(2L)._5)
+    assert(!g(3L)._3 && !g(3L)._5)
+    assert(!g(4L)._4 && !g(4L)._5)
+    // counts are the locally-recomputed integers (no float discipline)
+    val c = graft.ops.TextQuality.gopherQuality(docs, "doc_id", "text", 5, 100)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(c(0L) == (13, 41, 13, 5), s"counts off: ${c(0L)}")
+    // pure per-row map: no exchange on the gate path
+    val p = graft.ops.TextQuality.gopherQuality(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gopherQuality must be shuffle-free:\n$p")
+  }
+
   test("Curation.curate: every stage fires on a handcrafted corpus (quality, dedup, decontam, split)") {
     import spark.implicits._
     val docs = Seq(
