@@ -206,7 +206,8 @@ object Bench {
     // discipline but reported in a SEPARATE field so `value`/`queries`
     // stay comparable round-over-round (the judge diffs totals on the
     // same 17-query set)
-    val extras = Seq("q74_tfidf_topk", "q75_contamination", "q78_curation_pipeline")
+    val extras = Seq("q74_tfidf_topk", "q75_contamination", "q78_curation_pipeline",
+        "q81_pq_ann", "q84_gopher_quality")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

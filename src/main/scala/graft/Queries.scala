@@ -2416,6 +2416,57 @@ object Queries {
            |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rk
            |  FROM documents) WHERE sample_rk <= 7""".stripMargin))
 
+  val q86 = Q("q86_ivfpq_ann",
+    // IVF-PQ (Jégou et al. 2011 §IV, non-residual ADC — FAISS IVFPQ with
+    // by_residual=false): coarse inverted lists bound the candidates
+    // (nProbe=2 of 8 lists), PQ codes bound the per-candidate memory —
+    // the composition real billion-vector serving uses. Routing = q44's
+    // max-cosine discipline; ranking = q81's round-9 ADC with neighbor_id
+    // ties. Oracle recomputes the ADC directly from the codes (the
+    // engine's LUT is an evaluation-order-identical factoring).
+    (s, d) => graft.ops.Similarity.ivfPqTopK(emb(s, d), Seq(20L, 21L, 22L), 3),
+    Some {
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+      def cosD(a: String, b: String) =
+        s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |co AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         |ac AS (SELECT e.vec_id, e.v, co.cent_id, ${cosD("e.v", "co.cv")} AS cos
+         |  FROM e CROSS JOIN co),
+         |assigned AS (SELECT vec_id, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+         |  FROM ac) WHERE rk = 1),
+         |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, m.m, cb.cent_id,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (v[m.m * 8 + i] - cv[m.m * 8 + i]) * (v[m.m * 8 + i] - cv[m.m * 8 + i]))) AS d
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, cent_id AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rk
+         |  FROM sc) WHERE rk = 1),
+         |ca AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+         |cbl AS (SELECT list(cv ORDER BY cent_id) AS cbs FROM cb),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (20, 21, 22)),
+         |qc AS (SELECT q_id, qv, co.cent_id, ${cosD("qv", "co.cv")} AS cos
+         |  FROM q CROSS JOIN co),
+         |probed AS (SELECT q_id, qv, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cent_id) AS rk
+         |  FROM qc) WHERE rk <= 2),
+         |adcs AS (SELECT q_id, a.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(0, 8), m ->
+         |      list_sum(list_transform(range(1, 9), i ->
+         |        (qv[m * 8 + i] - cbs[codes[m + 1] + 1][m * 8 + i])
+         |        * (qv[m * 8 + i] - cbs[codes[m + 1] + 1][m * 8 + i]))))), 9) AS adc
+         |  FROM probed p JOIN assigned a ON a.cent_id = p.cent_id
+         |  JOIN ca ON ca.vec_id = a.vec_id CROSS JOIN cbl
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, neighbor_id, adc, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS rk
+         |  FROM adcs) WHERE rk <= 3""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2423,6 +2474,6 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85
+    q80, q81, q82, q83, q84, q85, q86
   )
 }

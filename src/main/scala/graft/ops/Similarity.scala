@@ -219,27 +219,73 @@ object Similarity {
     * no shuffle of the corpus. Rank is (round(adc, 9) asc, neighbor_id) —
     * the q40 tie discipline.
     */
+  /** lut[m+1][j+1] = ||sub(q,m) - sub(cent_j,m)||^2, cb id-sorted. */
+  private def pqLutExpr(nSub: Int, subDim: Int): String =
+    s"""transform(sequence(0, ${nSub - 1}), m ->
+       |  transform(cb, c -> ${subDistExpr("qv", "c.cv", "m", subDim)}))""".stripMargin
+
+  /** ADC from a codes array + a per-query LUT: ascending-m fold, mirroring
+    * the oracle's ordered list_sum.
+    */
+  private val pqAdcExpr: String =
+    """aggregate(zip_with(codes, lut, (c, lm) -> element_at(lm, CAST(c + 1 AS INT))),
+      |  0D, (acc, x) -> acc + x)""".stripMargin
+
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], topK: Int,
       nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
     val enc = pqEncode(embeddings, nSub, k, dim)
-    val lut = // lut[m+1][j+1] = ||sub(q,m) - sub(cent_j,m)||^2, cb id-sorted
-      s"""transform(sequence(0, ${nSub - 1}), m ->
-         |  transform(cb, c -> ${subDistExpr("qv", "c.cv", "m", sd)}))""".stripMargin
     val q = e.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(pqCodebookRow(e, k)))
-      .select(col("q_id"), expr(lut).as("lut"))
-    val adc = // ascending-m fold, mirroring the oracle's ordered list_sum
-      """aggregate(zip_with(codes, lut, (c, lm) -> element_at(lm, CAST(c + 1 AS INT))),
-        |  0D, (acc, x) -> acc + x)""".stripMargin
+      .select(col("q_id"), expr(pqLutExpr(nSub, sd)).as("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))
     enc.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(expr(adc), 9).as("adc"))
+        round(expr(pqAdcExpr), 9).as("adc"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
+  }
+
+  /** IVF-PQ: the canonical billion-scale ANN architecture (Jégou et al.
+    * 2011 §IV; the non-residual ADC variant — FAISS IVFPQ with
+    * by_residual=false): the coarse quantizer's inverted lists bound WHICH
+    * candidates are scored (nProbe lists instead of the corpus) and PQ
+    * bounds the MEMORY each candidate costs (nSub bytes at k<=256). The
+    * two stages compose their scale properties: at 100 TB the plan is a
+    * broadcast of nCentroids + the per-query LUTs, one equi-join from the
+    * probed lists into the (tiny) codes-by-list table, and a per-query
+    * top-k — the corpus itself is scanned once at encode time and never
+    * again. Routing is [[ivfAssign]]'s max-cosine (q44 discipline); ranking
+    * is [[pqTopK]]'s round-9 ADC with neighbor_id ties (q81 discipline).
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], topK: Int,
+      nCentroids: Int = 8, nProbe: Int = 2,
+      nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val sd = dim / nSub
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val lists = pqEncode(embeddings, nSub, k, dim)
+      .join(ivfAssign(e, cents).select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+    val q = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine("qv", "cv"))
+      .withColumn("rk", row_number().over(wQ)).where(col("rk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val qlut = probed
+      .crossJoin(broadcast(pqCodebookRow(e, k)))
+      .select(col("q_id"), col("cent_id"), expr(pqLutExpr(nSub, sd)).as("lut"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))
+    qlut.join(lists, Seq("cent_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(expr(pqAdcExpr), 9).as("adc"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
   }
 

@@ -139,6 +139,12 @@ class MultimodalSpec extends AnyFunSuite {
       top.mkString(","))
     val l2 = Similarity.l2TopK(emb2, Seq(900L), 1).collect()
     assert(l2.length == 1 && l2(0).getLong(1) == 3L && l2(0).getDouble(2) == 0.0)
+    // IVF-PQ: the duplicate routes to coarse list 3 (cosine 1 to its own
+    // centroid), vec 3 lives in that list, and its ADC is 0 — the
+    // composition must surface it first too
+    val ivfpq = Similarity.ivfPqTopK(emb2, Seq(900L), 1).collect()
+    assert(ivfpq.length == 1 && ivfpq(0).getLong(1) == 3L && ivfpq(0).getDouble(2) == 0.0,
+      ivfpq.mkString(","))
     // the recall surface grades every query against exactly k truth rows
     val rec = Queries.q83.fn(spark, "/root/testdata/sf0.001").collect()
     assert(rec.length == 3 &&

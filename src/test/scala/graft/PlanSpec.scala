@@ -184,6 +184,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
   }
 
+  test("ivfPqTopK: corpus-sized joins stay equi, cross joins are broadcast-only") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.ivfPqTopK(e, Seq(20L, 21L, 22L), 3))
+    // an unbroadcast cross join is the scale killer; the intentional tiny
+    // crossJoins (8 centroids / 1-row codebook / |queries| LUT rows) are
+    // all BroadcastNestedLoopJoin by construction and allowed
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian on the IVF-PQ path:\n$p")
+    // codes↔assignment (vec_id) and probed-lists (cent_id) — the joins
+    // that carry corpus-sized rows — must be hash/merge equi joins
+    val equi = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[(vec_id|cent_id)".r
+    assert(equi.findAllIn(p).length >= 2, s"corpus joins degraded from equi shape:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook/centroids not broadcast:\n$p")
+  }
+
   test("rollup chunk READ path has no Scala UDF (ChunkDecode is a codegen'd Expression)") {
     import spark.implicits._
     val t = Transcripts.generate(spark, 3, 60).toDF()
