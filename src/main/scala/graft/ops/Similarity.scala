@@ -193,10 +193,26 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame, nSub: Int = 8, k: Int = 16,
       dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    pqEncodeWith(embeddings,
+      e.where(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("v").as("cv")),
+      nSub, dim)
+  }
+
+  /** [[pqEncode]] against an EXPLICIT codebook table (cent_id, cv) — the
+    * production form: the codebook is trained and frozen offline while
+    * the corpus arrives, so a batch codebook side keeps the encode a
+    * stateless per-row map that runs unchanged under Structured Streaming
+    * (stream-batch broadcast join; spec-gated stream == batch). cent_ids
+    * must be dense 0..k-1 — codes index the id-sorted array.
+    */
+  def pqEncodeWith(embeddings: DataFrame, codebook: DataFrame,
+      nSub: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
-    val cb = pqCodebookRow(e, k)
+    val cb = codebook
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
     val codes =
       s"""transform(sequence(0, ${nSub - 1}), m ->
          |  aggregate(

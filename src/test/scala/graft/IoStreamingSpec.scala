@@ -461,6 +461,45 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(got.count() == 2) // docs 3 and 4
   }
 
+  test("gopherQuality + pqEncodeWith run unchanged over a stream (stateless maps == batch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // both ops are pure per-row codegen maps — the claim here is that they
+    // are literally streaming-safe, not re-implementations: the same
+    // library call over readStream must equal the batch call row-for-row
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dDir = java.nio.file.Files.createTempDirectory("stream-gopher").toString
+    docs.write.mode("overwrite").parquet(dDir)
+    val gq = graft.ops.TextQuality.gopherQuality(
+        spark.readStream.schema(docs.schema).parquet(dDir), "doc_id", "text", 25, 80)
+      .writeStream.outputMode("append").format("memory").queryName("stream_gopher")
+      .trigger(Trigger.AvailableNow()).start()
+    gq.awaitTermination(120000)
+    val gGot = spark.sql("SELECT * FROM stream_gopher")
+    val gWant = graft.ops.TextQuality.gopherQuality(docs, "doc_id", "text", 25, 80)
+    assert(gGot.count() == 500 &&
+      gGot.exceptAll(gWant).count() == 0 && gWant.exceptAll(gGot).count() == 0)
+    // PQ encode of a streaming corpus against a FROZEN batch codebook (the
+    // production shape: codebooks are trained offline, the corpus arrives)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val eDir = java.nio.file.Files.createTempDirectory("stream-pq").toString
+    emb.write.mode("overwrite").parquet(eDir)
+    val codebook = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"),
+        expr(graft.ops.Similarity.castVec).as("cv"))
+    val pq = graft.ops.Similarity.pqEncodeWith(
+        spark.readStream.schema(emb.schema).parquet(eDir), codebook)
+      .selectExpr("vec_id", "concat_ws('-', codes) AS code_s")
+      .writeStream.outputMode("append").format("memory").queryName("stream_pq")
+      .trigger(Trigger.AvailableNow()).start()
+    pq.awaitTermination(120000)
+    val pGot = spark.sql("SELECT * FROM stream_pq")
+    val pWant = graft.ops.Similarity.pqEncode(emb)
+      .selectExpr("vec_id", "concat_ws('-', codes) AS code_s")
+    assert(pGot.count() == 500 &&
+      pGot.exceptAll(pWant).count() == 0 && pWant.exceptAll(pGot).count() == 0)
+  }
+
   test("streaming as-of join: sealed left rows equal the batch operator") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
