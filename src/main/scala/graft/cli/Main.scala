@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate | ann
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -440,11 +440,61 @@ object Main {
     s"streamrollup: tiers 1m/1h/1d (resumable checkpoints) -> $out$ret"
   }
 
+  /** ann — IVF-PQ vector index build + query (the embedding-serving
+    * surface). `mode=index`: input = (vec_id, embedding) parquet →
+    * output/{coarse,codebook,codes}; codes are written PARTITIONED BY
+    * cent_id so a query scans only its nProbe lists. By default the
+    * coarse/sub codebooks are the deterministic lowest-id stand-ins; pass
+    * `coarse`/`codebook` parquet paths (cent_id, cv double-array) to use
+    * externally trained ones — the index format is identical.
+    * `mode=query`: `index` = dir from mode=index, input = queries parquet
+    * (vec_id, embedding) → output = top-k parquet (q_id, neighbor_id,
+    * adc, rk). Keys: n_centroids, k, n_sub, dim, n_probe, top_k.
+    */
+  def ann(spark: SparkSession, c: Conf): String = {
+    import graft.ops.Similarity
+    val nSub = c.int("n_sub", 8)
+    val dim = c.int("dim", 64)
+    c.get("mode", "index") match {
+      case "index" =>
+        val emb = spark.read.parquet(c("input"))
+        val e = emb.select(col("vec_id"), expr(Similarity.castVec).as("v"))
+        def standIn(n: Int) = e.where(col("vec_id") < n)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        val coarse = c.opt("coarse").map(spark.read.parquet)
+          .getOrElse(standIn(c.int("n_centroids", 8)))
+        val codebook = c.opt("codebook").map(spark.read.parquet)
+          .getOrElse(standIn(c.int("k", 16)))
+        val out = c("output")
+        coarse.write.mode("overwrite").parquet(s"$out/coarse")
+        codebook.write.mode("overwrite").parquet(s"$out/codebook")
+        Similarity.pqEncodeWith(emb, codebook, nSub, dim)
+          .join(Similarity.ivfAssign(e, coarse).select(col("vec_id"), col("cent_id")),
+            Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cent_id").parquet(s"$out/codes")
+        val n = spark.read.parquet(s"$out/codes").count()
+        s"ann index: $n vectors coded into ${coarse.count()} lists -> $out"
+      case "query" =>
+        val idx = c("index")
+        val res = Similarity.ivfPqQuery(
+          spark.read.parquet(c("input")),
+          spark.read.parquet(s"$idx/coarse"),
+          spark.read.parquet(s"$idx/codebook"),
+          spark.read.parquet(s"$idx/codes"),
+          topK = c.int("top_k", 3), nProbe = c.int("n_probe", 2),
+          nSub = nSub, dim = dim)
+        res.write.mode("overwrite").parquet(c("output"))
+        val n = spark.read.schema(res.schema).parquet(c("output")).count()
+        s"ann query: $n result rows (top_k=${c.int("top_k", 3)}) -> ${c("output")}"
+      case m => throw new IllegalArgumentException(s"unknown ann mode '$m'")
+    }
+  }
+
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
     "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
-    "retention" -> retention, "curate" -> curate)
+    "retention" -> retention, "curate" -> curate, "ann" -> ann)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

@@ -280,22 +280,40 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], topK: Int,
       nCentroids: Int = 8, nProbe: Int = 2,
       nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val coarse = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val codebook = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val lists = pqEncodeWith(embeddings, codebook, nSub, dim)
+      .join(ivfAssign(e, coarse).select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+    ivfPqQuery(embeddings.where(col("vec_id").isin(queryIds: _*)),
+      coarse, codebook, lists, topK, nProbe, nSub, dim)
+  }
+
+  /** Query a STORED IVF-PQ index — coarse centroids, sub-codebook, and the
+    * coded inverted lists (vec_id, codes, cent_id), i.e. what the `ann`
+    * CLI's index mode writes. Nothing is recomputed from the corpus: the
+    * raw vectors are gone, only the codes remain (that is the point of
+    * PQ). Routing, LUT and ADC rank are identical to [[ivfPqTopK]], which
+    * delegates here (spec + oracle-gated equal). When the codes table is
+    * physically partitioned by cent_id, the probed-lists join prunes to
+    * nProbe partitions per query batch.
+    */
+  def ivfPqQuery(queries: DataFrame, coarse: DataFrame, codebook: DataFrame,
+      lists: DataFrame, topK: Int, nProbe: Int = 2,
+      nSub: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
-    val cents = e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val lists = pqEncode(embeddings, nSub, k, dim)
-      .join(ivfAssign(e, cents).select(col("vec_id"), col("cent_id")), Seq("vec_id"))
-    val q = e.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val q = queries.select(col("vec_id").as("q_id"), expr(castVec).as("qv"))
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))
-    val probed = q.crossJoin(broadcast(cents))
+    val probed = q.crossJoin(broadcast(coarse))
       .withColumn("cos", cosine("qv", "cv"))
       .withColumn("rk", row_number().over(wQ)).where(col("rk") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id"))
-    val qlut = probed
-      .crossJoin(broadcast(pqCodebookRow(e, k)))
+    val cbRow = codebook
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
+    val qlut = probed.crossJoin(broadcast(cbRow))
       .select(col("q_id"), col("cent_id"), expr(pqLutExpr(nSub, sd)).as("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))
     qlut.join(lists, Seq("cent_id"))

@@ -272,6 +272,29 @@ class CliSpec extends AnyFunSuite {
     assert(msg3.contains("curate ->") && !msg3.contains("="), msg3)
   }
 
+  test("ann command: stored index + query equals the library ivfPqTopK; codes partitioned by list") {
+    import org.apache.spark.sql.functions._
+    val embP = Files.createTempDirectory("cli-ann").toString + "/emb"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(embP)
+    val idx = out()
+    val msg = cli.Main.run("ann", conf("input" -> embP, "output" -> idx))
+    assert(msg.contains("500 vectors coded into 8 lists"), msg)
+    // the inverted lists are physical partitions: a query prunes to nProbe dirs
+    val parts = new java.io.File(s"$idx/codes").list().filter(_.startsWith("cent_id=")).sorted
+    assert(parts.length == 8, parts.mkString(","))
+    // query the stored index: identical results to the all-in-one library call
+    val qP = Files.createTempDirectory("cli-ann").toString + "/q"
+    val emb = spark.read.parquet(embP)
+    emb.where(col("vec_id").isin(20L, 21L, 22L)).write.parquet(qP)
+    val o = out()
+    cli.Main.run("ann", conf("mode" -> "query", "index" -> idx,
+      "input" -> qP, "output" -> o))
+    val got = spark.read.parquet(o)
+    val want = graft.ops.Similarity.ivfPqTopK(emb, Seq(20L, 21L, 22L), 3)
+    assert(got.count() == 9 &&
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("cc refuses an implicit quadratic pairing above max_auto_pairs_convs") {
     val ex = intercept[IllegalArgumentException] {
       cli.Main.run("cc", conf(
