@@ -2467,6 +2467,38 @@ object Queries {
          |  FROM adcs) WHERE rk <= 3""".stripMargin
     })
 
+  val q87 = Q("q87_pq_neardup",
+    // embedding near-dup with PQ-code-PREFIX blocking (the dedup mode a
+    // stored PQ index gives for free): the candidate self-join runs on
+    // the codes table alone — k^prefix blocks bound the funnel (16²=256
+    // here, 954 candidates of 124,750 possible pairs at sf0.001) — then
+    // exact cosine verifies. Same verify/keeper discipline as q46; the
+    // block key is injective (joined with '-') so the string-key engine
+    // join equals the oracle's list-slice equality.
+    (s, d) => graft.ops.Similarity.pqNearDup(emb(s, d), minCosine = 0.2),
+    Some {
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, m.m, cb.cent_id,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (v[m.m * 8 + i] - cv[m.m * 8 + i]) * (v[m.m * 8 + i] - cv[m.m * 8 + i]))) AS d
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, cent_id AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rk
+         |  FROM sc) WHERE rk = 1),
+         |ca AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+         |cand AS (SELECT x.vec_id AS v1, y.vec_id AS v2 FROM ca x JOIN ca y
+         |  ON x.codes[1:2] = y.codes[1:2] AND x.vec_id < y.vec_id),
+         |scv AS (SELECT v1 AS keeper, v2 AS dup,
+         |    round(${dotD("a.v", "b.v")}
+         |      / (sqrt(${dotD("a.v", "a.v")}) * sqrt(${dotD("b.v", "b.v")})), 9) AS cosine
+         |  FROM cand JOIN e a ON a.vec_id = v1 JOIN e b ON b.vec_id = v2)
+         |SELECT keeper, dup, cosine FROM scv WHERE cosine >= 0.2""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2474,6 +2506,6 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86
+    q80, q81, q82, q83, q84, q85, q86, q87
   )
 }

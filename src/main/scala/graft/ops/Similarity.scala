@@ -323,6 +323,34 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).where(col("rk") <= topK)
   }
 
+  /** Embedding near-duplicate candidates by PQ-code-PREFIX blocking,
+    * verified by exact cosine — the dedup mode that rides on a stored PQ
+    * index: the blocking self-join touches ONLY the codes table (nSub
+    * small ints per vector; the raw corpus joins in just for the
+    * output-bounded verification, same shape as [[cosineNearDup]]).
+    * `prefix` subspaces form the block key: vectors quantizing identically
+    * in the first `prefix` subspaces are candidates — k^prefix blocks, so
+    * expected candidates are n²/k^prefix on uniform data; size prefix to
+    * the corpus exactly like LSH plane counts. Keeper = lower vec_id.
+    */
+  def pqNearDup(embeddings: DataFrame, minCosine: Double, prefix: Int = 2,
+      nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(prefix >= 1 && prefix <= nSub, s"need 1 <= prefix <= $nSub, got $prefix")
+    val codes = pqEncode(embeddings, nSub, k, dim)
+      .select(col("vec_id"),
+        expr(s"concat_ws('-', slice(codes, 1, $prefix))").as("blk"))
+    val cand = codes.as("x").join(codes.as("y"),
+        col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
+      .select(col("v1").as("keeper"), col("v2").as("dup"),
+        round(cosine("va", "vb"), 9).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Exact squared-L2 top-k — the brute-force truth the PQ recall metric
     * (q83) grades against, and the L2 sibling of [[cosineTopK]]. Same
     * broadcast-queries shape: the corpus streams, nothing shuffles.

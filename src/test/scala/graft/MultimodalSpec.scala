@@ -145,6 +145,11 @@ class MultimodalSpec extends AnyFunSuite {
     val ivfpq = Similarity.ivfPqTopK(emb2, Seq(900L), 1).collect()
     assert(ivfpq.length == 1 && ivfpq(0).getLong(1) == 3L && ivfpq(0).getDouble(2) == 0.0,
       ivfpq.mkString(","))
+    // the exact duplicate shares vec 3's full code word, so PQ-blocked
+    // near-dup must pair them at cosine 1 with the lower id as keeper
+    val nd = Similarity.pqNearDup(emb2, minCosine = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(nd.contains((3L, 900L, 1.0)), nd.mkString(","))
     // the recall surface grades every query against exactly k truth rows
     val rec = Queries.q83.fn(spark, "/root/testdata/sf0.001").collect()
     assert(rec.length == 3 &&
