@@ -2387,20 +2387,24 @@ object Queries {
     Some(s"""WITH w AS (SELECT doc_id,
             |    list_filter($tokensDuck, x -> x <> '') AS ws FROM documents),
             |c AS (SELECT doc_id, len(ws) AS n_words,
-            |    list_sum(list_transform(ws, x -> length(x))) AS n_word_chars,
+            |    -- DuckDB list_sum([]) is NULL where Spark's aggregate fold
+            |    -- is 0, hence the coalesce; but it must fire ONLY on the
+            |    -- empty list — a NULL text is NULL on the engine side too
+            |    CASE WHEN ws IS NULL THEN NULL
+            |      ELSE coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+            |      END AS n_word_chars,
             |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
             |    len(list_filter(ws, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS n_stop
             |  FROM w)
-            |SELECT doc_id, n_words,
-            |  coalesce(n_word_chars, 0) AS n_word_chars, n_alpha_words, n_stop,
+            |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop,
             |  (n_words >= 25 AND n_words <= 80) AS ok_word_count,
-            |  (coalesce(n_word_chars, 0) >= n_words * 3
-            |    AND coalesce(n_word_chars, 0) <= n_words * 10) AS ok_mean_len,
+            |  (n_word_chars >= n_words * 3
+            |    AND n_word_chars <= n_words * 10) AS ok_mean_len,
             |  (n_alpha_words * 5 >= n_words * 4) AS ok_alpha,
             |  (n_stop >= 2) AS ok_stop,
             |  ((n_words >= 25 AND n_words <= 80)
-            |    AND (coalesce(n_word_chars, 0) >= n_words * 3
-            |         AND coalesce(n_word_chars, 0) <= n_words * 10)
+            |    AND (n_word_chars >= n_words * 3
+            |         AND n_word_chars <= n_words * 10)
             |    AND (n_alpha_words * 5 >= n_words * 4)
             |    AND (n_stop >= 2)) AS is_clean
             |FROM c""".stripMargin))

@@ -449,14 +449,17 @@ object Main {
     * externally trained ones — the index format is identical.
     * `mode=query`: `index` = dir from mode=index, input = queries parquet
     * (vec_id, embedding) → output = top-k parquet (q_id, neighbor_id,
-    * adc, rk). Keys: n_centroids, k, n_sub, dim, n_probe, top_k.
+    * adc, rk). Index keys: n_centroids, k, n_sub, dim; query keys:
+    * n_probe, top_k — nSub/dim are derived from the stored index, never
+    * from query config (a mismatch would silently null-rank every
+    * candidate).
     */
   def ann(spark: SparkSession, c: Conf): String = {
     import graft.ops.Similarity
-    val nSub = c.int("n_sub", 8)
-    val dim = c.int("dim", 64)
     c.get("mode", "index") match {
       case "index" =>
+        val nSub = c.int("n_sub", 8)
+        val dim = c.int("dim", 64)
         val emb = spark.read.parquet(c("input"))
         val e = emb.select(col("vec_id"), expr(Similarity.castVec).as("v"))
         def standIn(n: Int) = e.where(col("vec_id") < n)
@@ -468,24 +471,34 @@ object Main {
         val out = c("output")
         coarse.write.mode("overwrite").parquet(s"$out/coarse")
         codebook.write.mode("overwrite").parquet(s"$out/codebook")
-        Similarity.pqEncodeWith(emb, codebook, nSub, dim)
+        val lists = Similarity.pqEncodeWith(emb, codebook, nSub, dim)
           .join(Similarity.ivfAssign(e, coarse).select(col("vec_id"), col("cent_id")),
             Seq("vec_id"))
-          .write.mode("overwrite").partitionBy("cent_id").parquet(s"$out/codes")
-        val n = spark.read.parquet(s"$out/codes").count()
+        lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$out/codes")
+        // explicit schema: an empty corpus writes only _SUCCESS and schema
+        // inference would throw after the (successful) write — same guard
+        // as the curate command's count read-back
+        val n = spark.read.schema(lists.schema).parquet(s"$out/codes").count()
         s"ann index: $n vectors coded into ${coarse.count()} lists -> $out"
       case "query" =>
         val idx = c("index")
+        val codebook = spark.read.parquet(s"$idx/codebook")
+        val codes = spark.read.parquet(s"$idx/codes")
+        // nSub/dim are PROPERTIES OF THE STORED INDEX, never config: a
+        // mismatched n_sub would make zip_with(codes, lut) null-pad and
+        // rank every candidate at adc null — silently wrong top-k. Derive
+        // both from the index itself.
+        val dim = codebook.select(size(col("cv"))).head().getInt(0)
+        val nSub = codes.select(size(col("codes"))).head().getInt(0)
         val res = Similarity.ivfPqQuery(
           spark.read.parquet(c("input")),
           spark.read.parquet(s"$idx/coarse"),
-          spark.read.parquet(s"$idx/codebook"),
-          spark.read.parquet(s"$idx/codes"),
+          codebook, codes,
           topK = c.int("top_k", 3), nProbe = c.int("n_probe", 2),
           nSub = nSub, dim = dim)
         res.write.mode("overwrite").parquet(c("output"))
         val n = spark.read.schema(res.schema).parquet(c("output")).count()
-        s"ann query: $n result rows (top_k=${c.int("top_k", 3)}) -> ${c("output")}"
+        s"ann query: $n result rows (top_k=${c.int("top_k", 3)}, nSub=$nSub, dim=$dim) -> ${c("output")}"
       case m => throw new IllegalArgumentException(s"unknown ann mode '$m'")
     }
   }

@@ -169,16 +169,22 @@ object Similarity {
        |  slice($b, $m * $subDim + 1, $subDim), (x, y) -> (x - y) * (x - y)),
        |  0D, (acc, p) -> acc + p)""".stripMargin
 
-  /** One-row id-sorted codebook (full vectors; encode/LUT expressions slice
-    * per subspace). Like [[ivfTopK]], the codebook is the `k` lowest-id
-    * vectors — a deterministic stand-in for a trained k-means codebook that
-    * keeps both engines and all cluster sizes bit-agreed; it requires ids
-    * 0..k-1 to exist so codes index the sorted array densely.
+  /** THE one-row id-sorted codebook aggregation — the single definition
+    * every PQ stage (encode fold, LUT build) broadcasts, so the
+    * engine/oracle bit-agreement argument rests on exactly one expression.
+    * Input: a (cent_id, cv) table; cent_ids must be dense 0..k-1 so codes
+    * index the sorted array. The default codebook ([[pqEncode]] et al.) is
+    * the k lowest-id vectors — a deterministic stand-in for a trained
+    * k-means codebook that keeps both engines and all cluster sizes
+    * bit-agreed.
     */
-  private def pqCodebookRow(e: DataFrame, k: Int): DataFrame =
+  private def codebookRow(codebook: DataFrame): DataFrame =
+    codebook.agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
+
+  /** The default stand-in codebook table: the `k` lowest-id vectors. */
+  private def standInCodebook(e: DataFrame, k: Int): DataFrame =
     e.where(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
 
   /** Product-quantization encode (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search", IEEE TPAMI 33(1)): the vector is split
@@ -194,9 +200,7 @@ object Similarity {
   def pqEncode(embeddings: DataFrame, nSub: Int = 8, k: Int = 16,
       dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
-    pqEncodeWith(embeddings,
-      e.where(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("v").as("cv")),
-      nSub, dim)
+    pqEncodeWith(embeddings, standInCodebook(e, k), nSub, dim)
   }
 
   /** [[pqEncode]] against an EXPLICIT codebook table (cent_id, cv) — the
@@ -211,8 +215,7 @@ object Similarity {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
-    val cb = codebook
-      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
+    val cb = codebookRow(codebook)
     val codes =
       s"""transform(sequence(0, ${nSub - 1}), m ->
          |  aggregate(
@@ -252,10 +255,11 @@ object Similarity {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
-    val enc = pqEncode(embeddings, nSub, k, dim)
+    val codebook = standInCodebook(e, k) // one table feeds encode AND LUT
+    val enc = pqEncodeWith(embeddings, codebook, nSub, dim)
     val q = e.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(broadcast(pqCodebookRow(e, k)))
+      .crossJoin(broadcast(codebookRow(codebook)))
       .select(col("q_id"), expr(pqLutExpr(nSub, sd)).as("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))
     enc.crossJoin(broadcast(q))
@@ -281,10 +285,8 @@ object Similarity {
       nCentroids: Int = 8, nProbe: Int = 2,
       nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
-    val coarse = e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val codebook = e.where(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val coarse = standInCodebook(e, nCentroids)
+    val codebook = standInCodebook(e, k)
     val lists = pqEncodeWith(embeddings, codebook, nSub, dim)
       .join(ivfAssign(e, coarse).select(col("vec_id"), col("cent_id")), Seq("vec_id"))
     ivfPqQuery(embeddings.where(col("vec_id").isin(queryIds: _*)),
@@ -311,9 +313,7 @@ object Similarity {
       .withColumn("cos", cosine("qv", "cv"))
       .withColumn("rk", row_number().over(wQ)).where(col("rk") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id"))
-    val cbRow = codebook
-      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("cb"))
-    val qlut = probed.crossJoin(broadcast(cbRow))
+    val qlut = probed.crossJoin(broadcast(codebookRow(codebook)))
       .select(col("q_id"), col("cent_id"), expr(pqLutExpr(nSub, sd)).as("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))
     qlut.join(lists, Seq("cent_id"))

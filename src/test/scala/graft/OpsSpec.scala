@@ -727,6 +727,14 @@ class OpsSpec extends AnyFunSuite {
       (3L, "12 34 56 78 90 11 22 33"),                               // no alphabetic words
       (4L, "cat dog tree park run sit jump walk")                    // no stopwords
     ).toDF("doc_id", "text")
+    // NULL text: every count and flag is NULL (visible corruption, the
+    // hashSplit discipline) — the q84 oracle's empty-list coalesce must
+    // NOT fire here, and empty text is all-zero counts, not NULL
+    val edge = Seq((7L, null.asInstanceOf[String]), (8L, "")).toDF("doc_id", "text")
+    val er = graft.ops.TextQuality.gopherQuality(edge, "doc_id", "text", 2, 10)
+      .collect().map(r => r.getLong(0) -> (1 to 9).map(r.isNullAt)).toMap
+    assert(er(7L).forall(identity), s"null text must stay NULL end to end: ${er(7L)}")
+    assert(er(8L).forall(!_), s"empty text must be zeros/falses, not NULL: ${er(8L)}")
     val g = graft.ops.TextQuality.gopherQuality(docs, "doc_id", "text", 5, 100)
       .collect().map(r => r.getLong(0) ->
         (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))
