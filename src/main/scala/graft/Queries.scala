@@ -2503,6 +2503,115 @@ object Queries {
          |SELECT keeper, dup, cosine FROM scv WHERE cosine >= 0.2""".stripMargin
     })
 
+  // --------------------------------------- G. sketches / boilerplate / intervals
+
+  /** q88's input: the corpus with deterministic boilerplate lines appended
+    * (the q61/q66 synthesize-inside-the-query pattern — the real corpus is
+    * single-line, so cross-document repeated lines are manufactured from
+    * the row's own columns, identically on both engines): a universal
+    * footer (doc-freq = corpus size), a per-source footer (doc-freq =
+    * source size), a modulo promo line (doc-freq ≈ n/7), and a unique ref
+    * line (doc-freq 1).
+    */
+  private def boilerDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).withColumn("text2", concat(
+      col("text"), lit("\nsubscribe to our newsletter\ncopyright "),
+      col("source"), lit("\npromo "), (col("doc_id") % 7).cast("string"),
+      lit("\nref "), col("doc_id").cast("string")))
+
+  private val boilerDocsDuck =
+    """SELECT doc_id, concat(text, chr(10), 'subscribe to our newsletter',
+      |    chr(10), 'copyright ', source,
+      |    chr(10), 'promo ', CAST(doc_id % 7 AS VARCHAR),
+      |    chr(10), 'ref ', CAST(doc_id AS VARCHAR)) AS text2
+      |  FROM documents""".stripMargin
+
+  val q88 = Q("q88_boilerplate_lines",
+    // cross-corpus boilerplate stripping (graft.ops.TextQuality
+    // .boilerplate): lines in >= 30 distinct docs removed everywhere,
+    // order preserved; gated on the rebuilt text + its md5. At sf0.01 the
+    // universal footer (500 docs) and the promo line (~71) strip, the
+    // per-source footer (25) and the body/ref lines stay.
+    (s, d) => graft.ops.TextQuality.boilerplate(boilerDocs(s, d), "doc_id", "text2", 30),
+    Some(raw"""WITH base AS ($boilerDocsDuck),
+              |w AS (SELECT doc_id,
+              |    list_filter(list_transform(string_split(text2, chr(10)), x -> trim(x)), x -> x <> '') AS ln
+              |  FROM base),
+              |e AS (SELECT doc_id, unnest(ln) AS line, unnest(range(1, len(ln) + 1)) AS pos FROM w),
+              |f AS (SELECT line, count(DISTINCT doc_id) AS dfreq FROM e GROUP BY 1),
+              |j AS (SELECT e.doc_id, e.pos, e.line, f.dfreq >= 30 AS boiler
+              |  FROM e JOIN f USING (line))
+              |SELECT doc_id, count(*) AS n_lines,
+              |  count(*) FILTER (WHERE boiler) AS n_boiler,
+              |  count(*) FILTER (WHERE NOT boiler) AS n_kept,
+              |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT boiler)) AS clean_fp,
+              |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT boiler) AS clean_text
+              |FROM j GROUP BY 1""".stripMargin))
+
+  val q89 = Q("q89_hll_registers",
+    // HyperLogLog register table over event user_ids (graft.ops.Sketch
+    // .hllRegisters, p=8): a pure-INTEGER mergeable sketch in the md5 hex
+    // domain — bucket = first 2 hex digits, rho = 1 + leading zero bits of
+    // the next 12, via a regexp zero-run + ASCII CASE ladder both engines
+    // evaluate identically (no float log2). The estimate/merge laws are
+    // spec-gated (SketchSpec); the driver gate hashes the registers.
+    (s, d) => graft.ops.Sketch.hllRegisters(ev(s, d), "user_id", 8),
+    Some(raw"""WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+              |  WHERE user_id IS NOT NULL),
+              |r AS (SELECT
+              |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+              |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+              |    length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1)) AS z,
+              |    substr(substr(hx, 3, 12), length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1)) + 1, 1) AS d
+              |  FROM h)
+              |SELECT bucket, max(CASE WHEN z = 12 THEN 49
+              |  ELSE 4 * z + (CASE WHEN d >= '8' THEN 0 WHEN d >= '4' THEN 1
+              |                     WHEN d >= '2' THEN 2 ELSE 3 END) + 1 END) AS register
+              |FROM r GROUP BY 1""".stripMargin))
+
+  val q90 = Q("q90_heavy_hitters",
+    // frequency sketch -> exact verify (graft.ops.Sketch.heavyHitters):
+    // per-partition Misra-Gries candidates (a provable superset of every
+    // word with freq > N/k), then exact counts over the broadcast
+    // candidate set only — output exact and partitioning-independent, the
+    // full-vocabulary groupBy never happens. k=30 splits this corpus's
+    // 31-word vocabulary (~15 above, ~16 below), so both the keep and the
+    // drop side of the threshold are exercised.
+    (s, d) => graft.ops.Sketch.heavyHitters(
+      docs(s, d).select(explode(expr(
+        raw"filter(split(trim(text), '\\s+'), w -> w != '')")).as("item")),
+      "item", 30),
+    Some(raw"""WITH w AS (SELECT unnest(list_filter($tokensDuck, x -> x <> '')) AS item
+              |  FROM documents),
+              |t AS (SELECT count(*) AS n_total FROM w)
+              |SELECT item, count(*) AS n, min(t.n_total) AS n_total
+              |FROM w CROSS JOIN t GROUP BY 1
+              |HAVING count(*) * 30 > min(t.n_total)""".stripMargin))
+
+  val q91 = Q("q91_interval_overlap",
+    // interval-overlap join (graft.ops.IntervalJoin.overlap): per-user
+    // click activity windows [ts, ts+6h) x error windows [ts, ts+4h) that
+    // intersect — exploded to 6 h buckets so the join is a plain hash
+    // equi-join on (user_id, bucket) with arithmetic pair-dedup, never a
+    // nested-loop range join (plan-gated in PlanSpec).
+    (s, d) => {
+      val e = ev(s, d)
+      val l = e.where(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_start"), (col("ts") + expr("INTERVAL 6 HOURS")).as("l_end"))
+      val r = e.where(col("event_type") === "error").select(
+        col("user_id"), col("event_id").as("r_id"),
+        col("ts").as("r_start"), (col("ts") + expr("INTERVAL 4 HOURS")).as("r_end"))
+      graft.ops.IntervalJoin.overlap(l, r, "user_id", bucketSec = 21600)
+    },
+    Some("""WITH l AS (SELECT user_id, event_id AS l_id, ts AS ls,
+           |    ts + INTERVAL 6 HOUR AS le FROM events WHERE event_type = 'click'),
+           |r AS (SELECT user_id, event_id AS r_id, ts AS rs,
+           |    ts + INTERVAL 4 HOUR AS re FROM events WHERE event_type = 'error')
+           |SELECT l.user_id, l_id, r_id,
+           |  epoch_us(least(le, re)) - epoch_us(greatest(ls, rs)) AS overlap_us
+           |FROM l JOIN r ON l.user_id = r.user_id AND ls < re AND rs < le""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2510,6 +2619,6 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91
   )
 }

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable summary sketches — the cardinality / frequency layer a 100 TB
+  * corpus pipeline runs BEFORE it commits to exact work (how many distinct
+  * urls? which tokens dominate?). Exact distinct/top-k at that scale means
+  * a full shuffle of the key population; these operators bound the state to
+  * kilobytes per partition and stay exact where it matters:
+  *
+  *  - [[hllRegisters]] is a HyperLogLog sketch (Flajolet et al. 2007) in
+  *    the engine's cross-engine-verifiable hash domain (md5 hex — the
+  *    discipline graft.ops.Sampling/Dedup established): the register table
+  *    is a pure-INTEGER surface, so the sketch itself hash-oracles exactly
+  *    in any SQL engine; only the final estimate is floating point.
+  *  - [[heavyHitters]] follows the production sketch pattern: a mergeable
+  *    Misra-Gries candidate pass (provably a superset of every item with
+  *    frequency > N/k) feeds an EXACT second count pass over the bounded
+  *    candidate set — output counts are exact, partitioning-independent,
+  *    and the full-population groupBy never happens.
+  *
+  * Reference analog: the reference keeps no sketches (single-node xarray
+  * needs none); these are the scale-native additions the builder prompt
+  * requires alongside dedup/similarity.
+  */
+object Sketch {
+
+  /** Register width: 12 hex digits = 48 bits of rho-range after the bucket
+    * prefix. rho ∈ [1, 49]; 49 = "all 48 bits zero".
+    */
+  private val WHexDigits = 12
+
+  /** HyperLogLog register table over `idCol`: one row per OCCUPIED bucket,
+    * `(bucket, register)`, both integers — the mergeable sketch state
+    * (merge = max per bucket, see [[hllMerge]]; a partition-local partial
+    * agg does the same max map-side, so the exchange carries at most 2^p
+    * rows per partition regardless of input size).
+    *
+    * Hash domain: md5(id as string). bucket = first p/4 hex digits;
+    * rho = 1 + (leading zero BITS of the next 12 hex digits), computed in
+    * pure string/integer arithmetic — the leading-zero-hex-digit run via
+    * regexp, the intra-digit bit count via an ASCII CASE ladder — so a SQL
+    * oracle replays it verbatim (no float log2 whose rounding at exact
+    * powers of two could differ per libm).
+    *
+    * NULL ids are excluded (a NULL hashes to no bucket; cardinality of
+    * NULL is not a defined question here).
+    *
+    * @param p bucket-prefix bits; multiple of 4 in [4, 16] so the bucket is
+    *          a whole hex-digit prefix (m = 2^p registers).
+    */
+  def hllRegisters(df: DataFrame, idCol: String, p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
+    val bHex = p / 4
+    val h = s"md5(cast($idCol as string))"
+    val whex = s"substr($h, ${bHex + 1}, $WHexDigits)"
+    val z = s"length(regexp_extract($whex, '^(0*)', 1))"
+    val d = s"substr($whex, $z + 1, 1)"
+    val rho =
+      s"""CASE WHEN $z = $WHexDigits THEN ${4 * WHexDigits + 1}
+         | ELSE 4 * $z + (CASE WHEN $d >= '8' THEN 0 WHEN $d >= '4' THEN 1
+         |                     WHEN $d >= '2' THEN 2 ELSE 3 END) + 1 END""".stripMargin
+    df.where(col(idCol).isNotNull)
+      .select(
+        expr(s"cast(conv(substr($h, 1, $bHex), 16, 10) as int)").as("bucket"),
+        expr(rho).cast("int").as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Merge two register tables (sketches of disjoint — or overlapping, HLL
+    * doesn't care — inputs): per-bucket max. This is the 100 TB property:
+    * shard sketches combine without revisiting data.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(max(col("register")).as("register"))
+
+  /** Cardinality estimate from a register table: the standard bias-corrected
+    * harmonic mean with the small-range (linear counting) correction.
+    * Returns one row: (m, occupied, estimate). Absent buckets are empty
+    * registers (contribute 2^0 to the harmonic sum). Expected relative
+    * error ~1.04/sqrt(2^p) (≈6.5% at p=8).
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .agg(count(lit(1)).as("occupied"), sum(expr("pow(0.5, register)")).as("sum_pow"))
+      .select(
+        lit(m).as("m"),
+        col("occupied"),
+        (lit(m) - col("occupied")).cast("double").as("v0"),
+        (lit(alpha * m.toDouble * m) / (col("sum_pow") + (lit(m) - col("occupied")))).as("raw"))
+      .withColumn("estimate",
+        when(col("raw") <= lit(2.5 * m) && col("v0") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v0")))
+          .otherwise(col("raw")))
+      .select(col("m"), col("occupied"), col("estimate"))
+  }
+
+  /** Exact counts of every item whose frequency strictly exceeds N/k —
+    * found WITHOUT a full-population groupBy. Stage 1 runs a Misra-Gries
+    * summary (k-1 counters) per partition: any item with global frequency
+    * > N/k exceeds n_p/k in at least one partition (averaging argument)
+    * and MG with k-1 counters provably retains every item above n_p/k —
+    * so the union of partition summaries is a candidate SUPERSET, at most
+    * (k-1) x numPartitions items. Stage 2 semi-joins the stream against the
+    * broadcast candidate set and counts exactly; the final filter applies
+    * the integer cross-multiplied threshold (n * k > N, no division).
+    * Output is exact and partitioning-independent: (item, n, n_total).
+    *
+    * NULL items are excluded (they are not a frequency question; count
+    * them upstream if NULL-rate matters).
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val cands = items.as[String]
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("item").distinct()
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.join(broadcast(cands), "item")
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * k > col("n_total"))
+      .select(col("item"), col("n"), col("n_total"))
+  }
+
+  /** Misra-Gries with k-1 counters over one partition's items: returns the
+    * surviving keys — guaranteed to include every item with partition
+    * frequency > n_p/k. Decrement-all is O(counters) but amortized O(1)
+    * per input item (each decrement consumes one prior increment).
+    */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val x = it.next()
+      m.get(x) match {
+        case Some(c) => m.update(x, c + 1L)
+        case None if m.size < k - 1 => m.update(x, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          m.foreach { case (key, c) =>
+            if (c == 1L) dead += key else m.update(key, c - 1L)
+          }
+          dead.result().foreach(m.remove)
+      }
+    }
+    m.keysIterator
+  }
+}

@@ -143,6 +143,55 @@ object TextQuality {
         md5(concat_ws("\n", col("__kept"))).as("clean_fp"),
         concat_ws("\n", col("__kept")).as("clean_text"))
 
+  /** CROSS-corpus boilerplate removal — the complement of [[dedupLines]]
+    * (which is within-document): a non-blank line appearing in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, licence footers) and is stripped from every document, order
+    * preserved (the C4/CCNet line-frequency cleanup; Raffel et al. 2020
+    * §2.2 drop rules, Wenzek et al. 2020 §4.1 paragraph dedup).
+    *
+    * Scale shape: lines explode once; the document-frequency table is
+    * built as distinct (line-hash, doc) pairs then a count — BOTH stages
+    * partial-aggregate map-side (an engine-planned count(DISTINCT) would
+    * expand instead) — and joins back by md5(line) so the exchange carries
+    * 32-byte keys, never full line text. The rebuild is one groupBy(doc)
+    * with an in-group sort_array (per-document state only). Two
+    * aggregations + one hash equi-join total; no collect, no broadcast of
+    * the (corpus-sized) line table — AQE may still choose broadcast when
+    * the frequency table turns out small.
+    *
+    * Documents with no non-blank lines produce no rows (nothing to clean —
+    * GROUP BY semantics). A document whose every line is boilerplate gets
+    * NULL clean_text/clean_fp (not the empty string — both engines agree
+    * NULL is "no kept lines"). Output: idCol, n_lines, n_boiler, n_kept,
+    * clean_fp, clean_text.
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ln = df.select(col(idCol),
+      posexplode(expr(linesExpr(textCol))).as(Seq("__pos", "__line")))
+    val freq = ln.select(md5(col("__line")).as("__lh"), col(idCol)).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+    ln.withColumn("__lh", md5(col("__line")))
+      .join(freq, "__lh")
+      .withColumn("__boiler", col("__df") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(!col("__boiler"), struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          "\n").as("__joined"))
+      .withColumn("n_kept", col("n_lines") - col("n_boiler"))
+      .withColumn("clean_text", when(col("n_kept") > 0, col("__joined")))
+      .select(col(idCol), col("n_lines"), col("n_boiler"), col("n_kept"),
+        md5(col("clean_text")).as("clean_fp"), col("clean_text"))
+  }
+
   /** Gopher-shaped document-level quality gate (Rae et al. 2021,
     * arXiv:2112.11446 appendix A1.1 — the word-level subset that applies
     * to whitespace-tokenizable text): word count within [minWords,

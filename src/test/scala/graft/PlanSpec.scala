@@ -327,4 +327,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"bench-shingle join is not a hash/merge join:\n$p")
   }
+
+  test("q91 interval overlap: range predicate rides a (key,bucket) HASH join — never a nested-loop range join") {
+    val p = plan(Queries.q91.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested-loop range join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no hash/merge join in the interval plan:\n$p")
+  }
+
+  test("q90 heavy hitters: candidate set broadcast, only the 1-row total nests, no full-vocab shuffle join") {
+    val p = plan(Queries.q90.fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"candidate semi-join not broadcast:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the 1-row total crossjoin, got $bnlj BNLJs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("q89 HLL: one partial-aggregated groupBy over <=256 buckets, no join, no window") {
+    val p = plan(Queries.q89.fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("HashAggregate"), s"registers not a hash aggregate:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      s"unexpected join/window in the sketch plan:\n$p")
+    // partial agg must run map-side: two HashAggregate levels around one exchange
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q88 boilerplate: frequency build + join-back are equi-joins/aggregates keyed by md5(line), no nested loop") {
+    val p = plan(Queries.q88.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"boilerplate join degraded:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"line-frequency join-back is not a hash/merge join:\n$p")
+    // the doc-frequency must be the distinct-pairs-then-count form, not an
+    // engine-planned count(DISTINCT) expand
+    assert(!p.contains("Expand"), s"count(DISTINCT) expand snuck in:\n$p")
+  }
 }
