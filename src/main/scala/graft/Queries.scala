@@ -2612,6 +2612,97 @@ object Queries {
            |  epoch_us(least(le, re)) - epoch_us(greatest(ls, rs)) AS overlap_us
            |FROM l JOIN r ON l.user_id = r.user_id AND ls < re AND rs < le""".stripMargin))
 
+  /** DuckDB integer from the first `digits` hex chars of expression `h` —
+    * the strpos ladder q89 introduced, generalized (no 0x cast: DuckDB and
+    * Spark `conv` must agree digit-by-digit, so both use base-16 positional
+    * arithmetic spelled out).
+    */
+  private def hexIntDuck(h: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val w = (1 to (digits - i)).foldLeft(1L)((a, _) => a * 16)
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+
+  val q92 = Q("q92_cms_grid",
+    // count-min sketch grid over document words (graft.ops.Sketch
+    // .cmsCounts, d=4, w=256): a pure-INTEGER mergeable frequency sketch —
+    // cell (r, c) counts items whose md5(r || ':' || item) starts with hex
+    // c. Merge law + overestimate guarantee + partition-independence are
+    // spec-gated (SketchSpec); the driver gate hashes the whole grid.
+    (s, d) => graft.ops.Sketch.cmsCounts(
+      docs(s, d).select(explode(expr(
+        raw"filter(split(trim(text), '\\s+'), w -> w != '')")).as("item")),
+      "item", d = 4, wHex = 2),
+    Some(raw"""WITH w AS (SELECT unnest(list_filter($tokensDuck, x -> x <> '')) AS item
+              |  FROM documents),
+              |c AS (SELECT t.r AS cms_row,
+              |    md5(CAST(t.r AS VARCHAR) || ':' || item) AS h
+              |  FROM w CROSS JOIN range(4) t(r))
+              |SELECT cms_row, ${hexIntDuck("h", 2)} AS cms_col, count(*) AS cnt
+              |FROM c GROUP BY 1, 2""".stripMargin))
+
+  val q93 = Q("q93_bloom_probe",
+    // Bloom-filter membership (graft.ops.Sketch.bloomBits +
+    // bloomMightContain, k=4, m=65536) built over event_ids, probed with
+    // item = event_id*2 — half the probes are present (even ids below n),
+    // half absent, so the gate pins the exact deterministic false-positive
+    // set at each scale (none at sf0.001's 6% fill; a handful at sf0.01's
+    // 45% fill). The no-false-negative law is structural (present items'
+    // bits are set by construction); the spec adds the fp-rate band.
+    (s, d) => {
+      val bits = graft.ops.Sketch.bloomBits(ev(s, d), "event_id", k = 4, mHex = 4)
+      val probes = ev(s, d).select((col("event_id") * 2).as("item"))
+      graft.ops.Sketch.bloomMightContain(bits, probes, k = 4, mHex = 4)
+    },
+    Some(raw"""WITH bits AS (SELECT DISTINCT
+              |    ${hexIntDuck("md5(CAST(t.r AS VARCHAR) || ':' || CAST(event_id AS VARCHAR))", 4)} AS bit,
+              |    1 AS is_set
+              |  FROM events CROSS JOIN range(4) t(r)),
+              |probes AS (SELECT event_id * 2 AS item FROM events),
+              |cells AS (SELECT item,
+              |    ${hexIntDuck("md5(CAST(t.r AS VARCHAR) || ':' || CAST(item AS VARCHAR))", 4)} AS bit
+              |  FROM probes CROSS JOIN range(4) t(r))
+              |SELECT item, count(*) = sum(coalesce(is_set, 0)) AS might_contain
+              |FROM cells LEFT JOIN bits USING (bit) GROUP BY 1""".stripMargin))
+
+  val q94 = Q("q94_cohort_retention",
+    // cohort retention matrix (graft.ops.Funnel.cohortRetention): users
+    // bucketed by first-activity day, counted at each later active-day
+    // offset. Raw events collapse to distinct (user, day) FIRST, so
+    // everything downstream is bounded by users x days, not event volume.
+    (s, d) => ntz(graft.ops.Funnel.cohortRetention(ev(s, d), "user_id", "ts"),
+      "cohort_day"),
+    Some("""WITH ud AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+           |    FROM events WHERE user_id IS NOT NULL),
+           |c AS (SELECT u, min(day) AS cohort_day FROM ud GROUP BY 1)
+           |SELECT c.cohort_day,
+           |  date_diff('day', c.cohort_day, ud.day) AS offset_days,
+           |  count(*) AS n_users
+           |FROM ud JOIN c USING (u) GROUP BY 1, 2""".stripMargin))
+
+  val q95 = Q("q95_ordered_funnel",
+    // strict first-match conversion funnel view -> click -> purchase
+    // (graft.ops.Funnel.orderedFunnel): per user, each step's first
+    // occurrence STRICTLY after the previous step's completion; one
+    // groupBy + an in-row fold over per-step sorted times (no step joins).
+    // The oracle takes the equivalent sequential-min formulation.
+    (s, d) => ntz(graft.ops.Funnel.orderedFunnel(
+      ev(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")), "t_first", "t_last"),
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |    WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |    JOIN s1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s1.t1
+           |    GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |    JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           |    GROUP BY 1)
+           |SELECT s1.user_id,
+           |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+           |       ELSE 1 END AS stage_reached,
+           |  t1 AS t_first, coalesce(t3, t2, t1) AS t_last
+           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2619,6 +2710,6 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95
   )
 }

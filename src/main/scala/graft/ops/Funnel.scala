@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics over the (event_id, ts, user_id,
+  * event_type) shape: cohort retention and ordered conversion funnels —
+  * the two queries every events warehouse serves daily, expressed so the
+  * surfaces stay pure-integer (hash-oracleable) and every stage is an
+  * equi-join or a partial-aggregated groupBy.
+  *
+  * Reference analog: none (the reference is a waveform engine); these are
+  * the timeseries-analytics additions the events table exists for, next
+  * to sessionization (q14) and coincidence triggers (q15).
+  */
+object Funnel {
+
+  /** Cohort retention matrix: users bucketed by their FIRST-activity day
+    * (the cohort), then counted per (cohort_day, offset_days) where offset
+    * is each later day the user was active at all. Output rows
+    * (cohort_day: midnight timestamp — the engine's date_trunc surface,
+    * not DATE, for cross-engine type parity; offset_days: int; n_users:
+    * long) — offset 0 is the cohort size; n_users at offset d = "day-d
+    * retention" numerator.
+    *
+    * Scale shape: raw events collapse FIRST to distinct (user, day) —
+    * a map-side partial-aggregated groupBy that bounds everything after it
+    * by users × days, not by event volume. Cohort day is a min over that
+    * small table, joined back by user_id (an equi-join; AQE broadcasts
+    * when the user dimension fits). Total: two aggregations + one
+    * equi-join + one counting groupBy; nothing rescans raw events.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val userDay = events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("__day"))
+      .distinct()
+    val cohort = userDay.groupBy(col("__u")).agg(min(col("__day")).as("cohort_day"))
+    userDay.join(cohort, "__u")
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered conversion funnel: per user, the first time each step's
+    * event_type occurs STRICTLY AFTER the previous step's first
+    * completion (the "first match" funnel — the strictest deterministic
+    * reading, no windowing knobs). Output one row per user who completed
+    * at least step 1: (userCol, stage_reached ∈ [1, steps.length],
+    * t_first: timestamp of step 1, t_last: timestamp of the deepest
+    * completed step).
+    *
+    * Scale shape: one pass builds per-(user, step) first-candidate times
+    * as a conditional aggregation (map-side combined, output bounded by
+    * users × steps); the sequential "after the previous step" constraint
+    * then folds over the pivoted step columns per row — no joins beyond
+    * the single groupBy, because a step's first-occurrence-after-T within
+    * a user is recoverable from the SORTED list of that user's step
+    * timestamps. To keep state bounded we keep per (user, step) only the
+    * ordered distinct timestamps via collect_set (bounded by that user's
+    * events of that type; for hot users cap with `maxTimesPerStep` —
+    * times beyond the cap can only matter if the funnel's previous stage
+    * first completes after cap occurrences of this stage, so the cap
+    * trades exactness on pathological users for bounded state and is OFF
+    * by default).
+    */
+  def orderedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxTimesPerStep: Int = Int.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.length == steps.length, s"steps must be distinct, got $steps")
+    require(maxTimesPerStep >= 1, s"maxTimesPerStep must be >= 1, got $maxTimesPerStep")
+    val stepIdx = steps.zipWithIndex.toMap
+    val idxExpr = steps.foldRight(lit(-1): org.apache.spark.sql.Column) { (s, acc) =>
+      when(col(typeCol) === s, lit(stepIdx(s))).otherwise(acc)
+    }
+    // per (user, step): sorted micros of that step's occurrences (capped)
+    val perStep = events
+      .where(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
+      .select(col(userCol), idxExpr.as("__step"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .groupBy(col(userCol), col("__step"))
+      .agg(slice(sort_array(collect_set(col("__us"))), 1, maxTimesPerStep).as("__times"))
+    // pivot to one row per user: array indexed by step of sorted-times
+    val n = steps.length
+    val pivoted = perStep
+      .groupBy(col(userCol))
+      .agg(map_from_arrays(collect_list(col("__step")),
+        collect_list(col("__times"))).as("__bystep"))
+    // fold the sequential constraint: t(0) = first time of step 0;
+    // t(i) = first time of step i strictly after t(i-1); stop at a miss
+    val fold = (0 until n).foldLeft(
+      pivoted.withColumn("__t", expr("try_element_at(try_element_at(__bystep, 0), 1)"))
+        .where(col("__t").isNotNull)
+        .withColumn("__stage", lit(1))
+        .withColumn("__t_first", col("__t"))) { (df, i) =>
+      if (i == 0) df
+      else {
+        // first element of step-i's sorted times strictly greater than __t
+        val nextT = expr(
+          s"try_element_at(filter(coalesce(try_element_at(__bystep, $i), " +
+            "cast(array() as array<bigint>)), x -> x > __t), 1)")
+        df.withColumn("__next", when(col("__stage") === i, nextT))
+          .withColumn("__stage",
+            when(col("__next").isNotNull, lit(i + 1)).otherwise(col("__stage")))
+          .withColumn("__t", coalesce(col("__next"), col("__t")))
+          .drop("__next")
+      }
+    }
+    fold.select(col(userCol),
+      col("__stage").as("stage_reached"),
+      timestamp_micros(col("__t_first")).as("t_first"),
+      timestamp_micros(col("__t")).as("t_last"))
+  }
+
+  /** The funnel rolled up to the report surface: one row per stage with
+    * the user count that reached AT LEAST that stage (monotone
+    * decreasing) — n_stage(1) is the funnel's entry population.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val f = orderedFunnel(events, userCol, tsCol, typeCol, steps)
+    f.select(col("stage_reached"),
+        explode(expr(s"sequence(1, stage_reached)")).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+}

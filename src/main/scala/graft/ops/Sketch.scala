@@ -136,6 +136,97 @@ object Sketch {
       .select(col("item"), col("n"), col("n_total"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): a d×w integer grid
+    * where cell (r, c) counts every item whose r-th hash lands on column c
+    * — point frequency estimates read min over the d rows, always an
+    * OVERestimate, error ≤ e·N/w with probability 1 − e^(−d). The grid is
+    * a pure-INTEGER mergeable surface (merge = per-cell SUM — unlike HLL's
+    * max, CMS merges by addition) and the aggregation partial-combines
+    * map-side, so the exchange carries ≤ d·w rows per partition no matter
+    * the input size.
+    *
+    * Hash domain: row r uses md5(r || ':' || item); the column is the
+    * first `wHex` hex digits as an integer — the same cross-engine-exact
+    * discipline as [[hllRegisters]], so a SQL oracle replays the grid
+    * verbatim. Only occupied cells are emitted (absent cell = 0).
+    *
+    * @param d rows (independent hashes), >= 1
+    * @param wHex column-width in hex digits, in [1, 7] (w = 16^wHex)
+    */
+  /** Column-index expression: first `hex` hex digits of md5(r:item). */
+  private def hashCol(r: Int, itemExpr: String, hex: Int): String =
+    s"cast(conv(substr(md5(concat('$r', ':', $itemExpr)), 1, $hex), 16, 10) as int)"
+
+  /** (row, col) cells for one item across all d hashes, as ONE exploded
+    * array — a single input scan regardless of d (a per-hash union would
+    * rescan the source d times).
+    */
+  private def cellsExpr(d: Int, itemExpr: String, hex: Int): String =
+    (0 until d).map(r =>
+      s"struct($r as r, ${hashCol(r, itemExpr, hex)} as c)").mkString("array(", ", ", ")")
+
+  def cmsCounts(df: DataFrame, itemCol: String, d: Int = 4, wHex: Int = 2): DataFrame = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    require(wHex >= 1 && wHex <= 7, s"wHex must be in [1,7], got $wHex")
+    df.where(col(itemCol).isNotNull)
+      .select(explode(expr(cellsExpr(d, s"cast($itemCol as string)", wHex))).as("__cell"))
+      .groupBy(col("__cell.r").as("cms_row"), col("__cell.c").as("cms_col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two CMS grids over the same (d, wHex) geometry: per-cell sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("cms_row"), col("cms_col")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `queries` (one column `item`) against a
+    * CMS grid: min over the d per-row cells (missing cell = 0). Runs as a
+    * broadcast-able equi-join on (row, cms_col) — the grid is ≤ d·16^wHex
+    * rows by construction, so serving estimates never shuffles the grid.
+    * Output: (item, est); est >= the true frequency, always.
+    */
+  def cmsEstimate(cms: DataFrame, queries: DataFrame, d: Int = 4, wHex: Int = 2): DataFrame = {
+    val cells = queries
+      .select(col("item"),
+        explode(expr(cellsExpr(d, "cast(item as string)", wHex))).as("__cell"))
+      .select(col("item"), col("__cell.r").as("cms_row"), col("__cell.c").as("cms_col"))
+    cells.join(broadcast(cms), Seq("cms_row", "cms_col"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Bloom filter as a set-bit position table: k md5-derived hashes per
+    * item into m = 16^mHex positions; the filter is the DISTINCT position
+    * set — a pure-INTEGER mergeable surface (merge = union ∪ distinct) a
+    * SQL oracle replays exactly. Positions partial-aggregate map-side
+    * (distinct = groupBy), so the exchange is bounded by m regardless of
+    * input size; the materialized filter is ≤ m rows ≈ k·n for sparse
+    * fill. False-positive rate ≈ (1 − e^(−k·n/m))^k; no false negatives.
+    */
+  def bloomBits(df: DataFrame, itemCol: String, k: Int = 4, mHex: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mHex >= 1 && mHex <= 7, s"mHex must be in [1,7], got $mHex")
+    df.where(col(itemCol).isNotNull)
+      .select(explode(expr(cellsExpr(k, s"cast($itemCol as string)", mHex))).as("__cell"))
+      .select(col("__cell.c").as("bit")).distinct()
+  }
+
+  /** Membership probe: true iff ALL k of the item's bits are set. The
+    * filter broadcasts (≤ m integer rows); the probe is k broadcast
+    * left-joins folded to a count — a shuffle-free semi-join prefilter,
+    * the 100 TB use: drop the guaranteed-absent rows of a big fact scan
+    * before the real (expensive) join. Output: (item, might_contain).
+    */
+  def bloomMightContain(bits: DataFrame, queries: DataFrame,
+      k: Int = 4, mHex: Int = 4): DataFrame = {
+    val cells = queries
+      .select(col("item"),
+        explode(expr(cellsExpr(k, "cast(item as string)", mHex))).as("__cell"))
+      .select(col("item"), col("__cell.c").as("bit"))
+    cells.join(broadcast(bits.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(col("item"))
+      .agg((count(lit(1)) === sum(coalesce(col("__set"), lit(0)))).as("might_contain"))
+  }
+
   /** Misra-Gries with k-1 counters over one partition's items: returns the
     * surviving keys — guaranteed to include every item with partition
     * frequency > n_p/k. Decrement-all is O(counters) but amortized O(1)

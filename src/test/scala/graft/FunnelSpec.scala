@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Funnel
+
+/** Cohort-retention and ordered-funnel semantics on handcrafted event
+  * fixtures: strict after-previous-step ordering, tie/exhaustion edges,
+  * the state cap, and the report-surface invariants.
+  */
+class FunnelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def t(dayMs: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + dayMs) // 2024-01-01 + offset
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private val DAY = 86400000L
+
+  // ----------------------------------------------------------------- cohort
+
+  test("cohortRetention: first-day buckets, offsets, multiple same-day events collapse") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = Seq(
+      (1L, t(0L)), (1L, t(1000L)),      // user 1: day 0 twice (one row)
+      (1L, t(2 * DAY)),                 // ... back on day 2
+      (2L, t(0L)), (2L, t(DAY)),        // user 2: days 0, 1
+      (3L, t(DAY + 5000L))              // user 3: cohort day 1
+    ).toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1)) -> r.getLong(2)).toMap
+    val d0 = 1704067200000L
+    assert(got == Map(
+      (d0, 0) -> 2L,          // users 1, 2 start day 0
+      (d0, 1) -> 1L,          // user 2 retained day 1
+      (d0, 2) -> 1L,          // user 1 retained day 2
+      (d0 + DAY, 0) -> 1L))   // user 3's own cohort
+  }
+
+  test("cohortRetention: offset-0 row equals cohort size; total mass = distinct (user, day)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val m = Funnel.cohortRetention(ev, "user_id", "ts")
+    val total = m.agg(sum("n_users")).head.getLong(0)
+    val userDays = ev.select(col("user_id"), date_trunc("day", col("ts")))
+      .distinct().count()
+    assert(total == userDays)
+    // every user appears in exactly one cohort at offset 0
+    val cohortMass = m.where(col("offset_days") === 0).agg(sum("n_users")).head.getLong(0)
+    assert(cohortMass == ev.select("user_id").distinct().count())
+  }
+
+  // ----------------------------------------------------------------- funnel
+
+  private def funnelFixture = {
+    import spark.implicits._
+    Seq(
+      // user 1: clean A -> B -> C
+      (1L, t(0L), "A"), (1L, t(1000L), "B"), (1L, t(2000L), "C"),
+      // user 2: C arrives BEFORE B — stops at stage 2 (strict ordering)
+      (2L, t(0L), "A"), (2L, t(500L), "C"), (2L, t(1000L), "B"),
+      // user 3: only A
+      (3L, t(0L), "A"),
+      // user 4: B and C but never A — not in the funnel at all
+      (4L, t(0L), "B"), (4L, t(100L), "C"),
+      // user 5: B at the EXACT ts of A — strictly-after excludes it; a
+      // later B rescues stage 2, and C before that B doesn't count
+      (5L, t(0L), "A"), (5L, t(0L), "B"), (5L, t(50L), "C"), (5L, t(100L), "B"),
+      // user 6: repeated A's; funnel anchors at the FIRST A
+      (6L, t(500L), "A"), (6L, t(900L), "A"), (6L, t(700L), "B")
+    ).toDF("user_id", "ts", "event_type")
+  }
+
+  test("orderedFunnel: strict after-previous ordering, ties, missing entry step") {
+    val got = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getTimestamp(2), r.getTimestamp(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 6L)) // user 4 absent (no A)
+    assert(got(1L) == ((3, t(0L), t(2000L))))
+    assert(got(2L) == ((2, t(0L), t(1000L))))    // C@500 < B@1000 never counts
+    assert(got(3L) == ((1, t(0L), t(0L))))
+    assert(got(5L) == ((2, t(0L), t(100L))))     // tie-B excluded, later B counts, C@50 lost
+    assert(got(6L) == ((2, t(500L), t(700L))))   // anchored at first A
+  }
+
+  test("orderedFunnel: partitioning-independent; 2-step prefix agrees with 3-step stages") {
+    val f3 = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"))
+    assert(rows(Funnel.orderedFunnel(funnelFixture.repartition(7), "user_id", "ts",
+      "event_type", Seq("A", "B", "C"))) == rows(f3))
+    val f2 = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+        Seq("A", "B"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s3 = f3.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((u, s) <- s3) assert(f2(u) == math.min(s, 2), s"user $u")
+  }
+
+  test("funnelCounts: monotone nonincreasing; stage-k count = users with stage_reached >= k") {
+    val counts = Funnel.funnelCounts(funnelFixture, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 5L, 2 -> 4L, 3 -> 1L))
+  }
+
+  test("orderedFunnel: maxTimesPerStep cap is a no-op when first matches suffice") {
+    val uncapped = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"))
+    val capped = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"), maxTimesPerStep = 2)
+    assert(rows(capped) == rows(uncapped))
+    // cap = 1 CAN lose user 5's rescue-B (its first B is the tie) — the
+    // documented exactness trade for bounded state
+    val tight = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), maxTimesPerStep = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tight(5L) == 1 && tight(1L) == 3)
+  }
+}

@@ -364,4 +364,35 @@ class PlanSpec extends AnyFunSuite {
     // engine-planned count(DISTINCT) expand
     assert(!p.contains("Expand"), s"count(DISTINCT) expand snuck in:\n$p")
   }
+
+  test("q92 CMS: single scan (one Generate explode, no union rescans), map-side partial agg, no join") {
+    val p = plan(Queries.q92.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Join"), s"unexpected join in the CMS grid plan:\n$p")
+    // one input scan: the d hashes ride ONE exploded array, not d unions
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans (per-hash union rescans?):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side partial agg:\n$p")
+  }
+
+  test("q93 bloom probe: filter side broadcast, probe join is a hash equi-join on bit") {
+    val p = plan(Queries.q93.fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"bits not broadcast:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"probe degraded:\n$p")
+  }
+
+  test("q94 cohort: distinct-first collapse then equi-join — no window, no nested loop") {
+    val p = plan(Queries.q94.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Window ["), s"unexpected window:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"cohort join degraded:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"cohort-day join-back is not a hash/merge join:\n$p")
+  }
+
+  test("q95 funnel: one groupBy pipeline — no joins at all, no window") {
+    val p = plan(Queries.q95.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Join"), s"funnel should not join (in-row fold):\n$p")
+    assert(!p.contains("Window ["), s"unexpected window:\n$p")
+  }
 }

@@ -100,6 +100,59 @@ class SketchSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 11L)
   }
 
+  // ------------------------------------------------------------- count-min
+
+  test("cmsCounts: partitioning-independent and merge(sketch(A), sketch(B)) == sketch(A++B)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val items = docs.select(explode(
+      expr("filter(split(trim(text), '\\\\s+'), w -> w != '')")).as("item"))
+    val a = items.where(md5(col("item")).startsWith("0") === false)
+    val b = items.where(md5(col("item")).startsWith("0"))
+    assert(rows(Sketch.cmsCounts(items.repartition(3), "item")) ==
+      rows(Sketch.cmsCounts(items.repartition(11), "item")))
+    assert(rows(Sketch.cmsMerge(Sketch.cmsCounts(a, "item"), Sketch.cmsCounts(b, "item"))) ==
+      rows(Sketch.cmsCounts(items, "item")))
+  }
+
+  test("cmsEstimate: every estimate >= the true frequency; grid mass conserved per row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val items = docs.select(explode(
+      expr("filter(split(trim(text), '\\\\s+'), w -> w != '')")).as("item"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cms = Sketch.cmsCounts(items, "item", d = 4, wHex = 2)
+    // each of the 4 rows holds exactly N total mass
+    val perRow = cms.groupBy("cms_row").agg(sum("cnt").as("mass"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(perRow == (0 until 4).map(_ -> n).toMap)
+    val est = Sketch.cmsEstimate(cms, items.distinct(), d = 4, wHex = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- est) assert(e >= exact(k), s"$k: est $e < exact ${exact(k)}")
+  }
+
+  // ------------------------------------------------------------------ bloom
+
+  test("bloomBits/bloomMightContain: zero false negatives, fp rate within 3x theory, merge = union") {
+    import spark.implicits._
+    val present = (0L until 1000L).toDF("id")
+    val bits = Sketch.bloomBits(present, "id", k = 4, mHex = 4)
+    val probes = (0L until 2000L).toDF("item")
+    val got = Sketch.bloomMightContain(bits, probes, k = 4, mHex = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 1000L).forall(got(_)), "false negative — structurally impossible")
+    val fp = (1000L until 2000L).count(got(_))
+    // fill = 1 - (1 - 1/65536)^4000 ~ 5.9%; fpr ~ fill^4 ~ 1.2e-5; 1000
+    // absent probes -> expect ~0.01 fps, allow <= 3 before crying foul
+    assert(fp <= 3, s"$fp false positives at ~6% fill")
+    val bitsUnion = Sketch.bloomBits(
+      (0L until 500L).toDF("id"), "id", k = 4, mHex = 4)
+      .unionByName(Sketch.bloomBits((500L until 1000L).toDF("id"), "id", k = 4, mHex = 4))
+      .distinct()
+    assert(rows(bitsUnion) == rows(bits))
+  }
+
   // ------------------------------------------------------------ boilerplate
 
   test("boilerplate: shared lines stripped, order preserved, all-boiler doc -> NULL text") {
