@@ -2548,15 +2548,8 @@ object Queries {
               |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT boiler) AS clean_text
               |FROM j GROUP BY 1""".stripMargin))
 
-  val q89 = Q("q89_hll_registers",
-    // HyperLogLog register table over event user_ids (graft.ops.Sketch
-    // .hllRegisters, p=8): a pure-INTEGER mergeable sketch in the md5 hex
-    // domain — bucket = first 2 hex digits, rho = 1 + leading zero bits of
-    // the next 12, via a regexp zero-run + ASCII CASE ladder both engines
-    // evaluate identically (no float log2). The estimate/merge laws are
-    // spec-gated (SketchSpec); the driver gate hashes the registers.
-    (s, d) => graft.ops.Sketch.hllRegisters(ev(s, d), "user_id", 8),
-    Some(raw"""WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+  private val q89Oracle =
+    raw"""WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
               |  WHERE user_id IS NOT NULL),
               |r AS (SELECT
               |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
@@ -2567,7 +2560,17 @@ object Queries {
               |SELECT bucket, max(CASE WHEN z = 12 THEN 49
               |  ELSE 4 * z + (CASE WHEN d >= '8' THEN 0 WHEN d >= '4' THEN 1
               |                     WHEN d >= '2' THEN 2 ELSE 3 END) + 1 END) AS register
-              |FROM r GROUP BY 1""".stripMargin))
+              |FROM r GROUP BY 1""".stripMargin
+
+  val q89 = Q("q89_hll_registers",
+    // HyperLogLog register table over event user_ids (graft.ops.Sketch
+    // .hllRegisters, p=8): a pure-INTEGER mergeable sketch in the md5 hex
+    // domain — bucket = first 2 hex digits, rho = 1 + leading zero bits of
+    // the next 12, via a regexp zero-run + ASCII CASE ladder both engines
+    // evaluate identically (no float log2). The estimate/merge laws are
+    // spec-gated (SketchSpec); the driver gate hashes the registers.
+    (s, d) => graft.ops.Sketch.hllRegisters(ev(s, d), "user_id", 8),
+    Some(q89Oracle))
 
   val q90 = Q("q90_heavy_hitters",
     // frequency sketch -> exact verify (graft.ops.Sketch.heavyHitters):
@@ -2703,6 +2706,43 @@ object Queries {
            |  t1 AS t_first, coalesce(t3, t2, t1) AS t_last
            |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin))
 
+  val q96 = Q("q96_hll_by_day",
+    // GROUPED HLL: one register table per day (graft.ops.Sketch
+    // .hllRegistersBy) — the scale answer to count(DISTINCT user) GROUP BY
+    // day: <=256 integer rows per day instead of a daily shuffle of the
+    // whole id population, and day sketches FOLD to month/total (q97)
+    // without revisiting raw data, which exact distinct cannot do.
+    (s, d) => ntz(graft.ops.Sketch.hllRegistersBy(
+      ev(s, d).withColumn("day", date_trunc("day", col("ts"))),
+      Seq("day"), "user_id", 8), "day"),
+    Some(raw"""WITH h AS (SELECT date_trunc('day', ts) AS day,
+              |    md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+              |  WHERE user_id IS NOT NULL),
+              |r AS (SELECT day,
+              |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+              |      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+              |    length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1)) AS z,
+              |    substr(substr(hx, 3, 12), length(regexp_extract(substr(hx, 3, 12), '^(0*)', 1)) + 1, 1) AS d
+              |  FROM h)
+              |SELECT day, bucket, max(CASE WHEN z = 12 THEN 49
+              |  ELSE 4 * z + (CASE WHEN d >= '8' THEN 0 WHEN d >= '4' THEN 1
+              |                     WHEN d >= '2' THEN 2 ELSE 3 END) + 1 END) AS register
+              |FROM r GROUP BY 1, 2""".stripMargin))
+
+  val q97 = Q("q97_hll_fold",
+    // the sketch-tier mergeability LAW under the driver hash gate: folding
+    // the per-day register tables (q96's surface) down to the total
+    // sketch equals sketching the whole input directly — so this query
+    // reuses q89's oracle SQL VERBATIM (the q72-reuses-q11 pattern). This
+    // is what makes grouped HLL retention-tier-compatible: expire raw
+    // days, keep 256-row sketches, still answer global distincts.
+    (s, d) => graft.ops.Sketch.foldRegisters(
+      graft.ops.Sketch.hllRegistersBy(
+        ev(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        Seq("day"), "user_id", 8),
+      Nil),
+    Some(q89Oracle))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2710,6 +2750,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
+    q96, q97
   )
 }

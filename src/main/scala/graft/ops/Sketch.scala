@@ -50,7 +50,17 @@ object Sketch {
     * @param p bucket-prefix bits; multiple of 4 in [4, 16] so the bucket is
     *          a whole hex-digit prefix (m = 2^p registers).
     */
-  def hllRegisters(df: DataFrame, idCol: String, p: Int = 8): DataFrame = {
+  def hllRegisters(df: DataFrame, idCol: String, p: Int = 8): DataFrame =
+    bucketRho(df, idCol, p, Nil)
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+
+  /** (passthrough keys..., bucket, rho) cells — the shared hash/rho
+    * projection under [[hllRegisters]], [[hllRegistersBy]] and the
+    * streaming face (graft.streaming.StreamingSketch).
+    */
+  private[graft] def bucketRho(df: DataFrame, idCol: String, p: Int,
+      keyCols: Seq[String]): DataFrame = {
     require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
     val bHex = p / 4
     val h = s"md5(cast($idCol as string))"
@@ -62,11 +72,9 @@ object Sketch {
          | ELSE 4 * $z + (CASE WHEN $d >= '8' THEN 0 WHEN $d >= '4' THEN 1
          |                     WHEN $d >= '2' THEN 2 ELSE 3 END) + 1 END""".stripMargin
     df.where(col(idCol).isNotNull)
-      .select(
+      .select(keyCols.map(col) ++ Seq(
         expr(s"cast(conv(substr($h, 1, $bHex), 16, 10) as int)").as("bucket"),
-        expr(rho).cast("int").as("rho"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rho")).as("register"))
+        expr(rho).cast("int").as("rho")): _*)
   }
 
   /** Merge two register tables (sketches of disjoint — or overlapping, HLL
@@ -75,6 +83,32 @@ object Sketch {
     */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("bucket")).agg(max(col("register")).as("register"))
+
+  /** GROUPED register tables: one HLL sketch per distinct `keyCols` tuple
+    * — the scale answer to COUNT(DISTINCT id) GROUP BY key. At 100 TB a
+    * per-day exact distinct shuffles the whole id population every day;
+    * this keeps ≤ 2^p integer rows per group, the groups are the natural
+    * retention-tier unit, and folding day sketches to month/total is
+    * [[foldRegisters]] — no revisit of raw data, unlike exact distinct
+    * which cannot compose across tiers. Output: keyCols..., bucket,
+    * register.
+    */
+  def hllRegistersBy(df: DataFrame, keyCols: Seq[String], idCol: String,
+      p: Int = 8): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty (use hllRegisters)")
+    bucketRho(df, idCol, p, keyCols)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Fold grouped register tables down to coarser keys (or to the total
+    * sketch with `keyCols = Nil`): per-bucket max — the tier-rollup face
+    * of [[hllMerge]]. foldRegisters(hllRegistersBy(df, day), Nil) ==
+    * hllRegisters(df), exactly (spec + oracle-gated).
+    */
+  def foldRegisters(grouped: DataFrame, keyCols: Seq[String]): DataFrame =
+    grouped.groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("register")).as("register"))
 
   /** Cardinality estimate from a register table: the standard bias-corrected
     * harmonic mean with the small-range (linear counting) correction.

@@ -390,6 +390,17 @@ class PlanSpec extends AnyFunSuite {
       s"cohort-day join-back is not a hash/merge join:\n$p")
   }
 
+  test("q96/q97 grouped HLL: pure partial-aggregated groupBys, no join — the fold adds one agg, not a rescan") {
+    for (q <- Seq(Queries.q96, Queries.q97)) {
+      val p = plan(q.fn(spark, "/root/testdata/sf0.001"))
+      assert(!p.contains("Join"), s"${q.name}: unexpected join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"${q.name}: no map-side partial agg:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"${q.name}: expected 1 scan, got $scans:\n$p")
+    }
+  }
+
   test("q95 funnel: one groupBy pipeline — no joins at all, no window") {
     val p = plan(Queries.q95.fn(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("Join"), s"funnel should not join (in-row fold):\n$p")

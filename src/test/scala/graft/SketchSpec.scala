@@ -72,6 +72,45 @@ class SketchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hllRegistersBy: each group's sketch == hllRegisters of that slice; fold == whole") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("day", date_trunc("day", col("ts")))
+    val byDay = Sketch.hllRegistersBy(ev, Seq("day"), "user_id")
+    val days = ev.select("day").distinct().collect().map(_.getTimestamp(0))
+    assert(days.length > 1)
+    for (d <- days.take(3)) {
+      val slice = Sketch.hllRegisters(ev.where(col("day") === d), "user_id")
+      val group = byDay.where(col("day") === d).select("bucket", "register")
+      assert(rows(group) == rows(slice), s"day $d")
+    }
+    assert(rows(Sketch.foldRegisters(byDay, Nil)) ==
+      rows(Sketch.hllRegisters(ev, "user_id")))
+  }
+
+  test("StreamingSketch: sealed-window registers == batch hllRegistersBy on the same days") {
+    val evB = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("sketch-in").toString
+    evB.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(evB.schema).parquet(dir)
+    val q = graft.streaming.StreamingSketch
+      .hllRegistersByWindow(streamIn, "ts", "user_id", span = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("stream_hll")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT day, bucket, register FROM stream_hll")
+    // append emits only watermark-CLOSED windows: all days strictly before
+    // the max-ts day
+    val maxTs = evB.agg(max("ts")).head.get(0) // LocalDateTime (ts is NTZ)
+    val want = Sketch.hllRegistersBy(
+        evB.withColumn("day", date_trunc("day", col("ts"))), Seq("day"), "user_id")
+      .where(col("day") + expr("interval 1 day") <= lit(maxTs))
+      // the stream side watermarks on TIMESTAMP (ltz); align types for the
+      // row-string compare (UTC session -> identical wall clock)
+      .withColumn("day", col("day").cast("timestamp"))
+    assert(got.count() > 0 && rows(got) == rows(want))
+  }
+
   // ---------------------------------------------------------- heavy hitters
 
   test("heavyHitters: equals the exact full groupBy, under any partitioning") {
