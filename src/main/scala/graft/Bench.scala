@@ -207,7 +207,10 @@ object Bench {
     // stay comparable round-over-round (the judge diffs totals on the
     // same 17-query set)
     val extras = Seq("q74_tfidf_topk", "q75_contamination", "q78_curation_pipeline",
-        "q81_pq_ann", "q84_gopher_quality")
+        "q81_pq_ann", "q84_gopher_quality",
+        // late-r5 additions: heaviest new text op, a sketch, an event-
+        // analytics query — same rule, still outside the 17-query total
+        "q88_boilerplate_lines", "q92_cms_grid", "q94_cohort_retention")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
