@@ -2743,6 +2743,57 @@ object Queries {
       Nil),
     Some(q89Oracle))
 
+  val q98 = Q("q98_hybrid_rrf",
+    // hybrid retrieval (graft.ops.Retrieval): an INTEGER term-overlap
+    // lexical leg (top-20) + the q40-style exact-cosine vector leg
+    // (top-20, round-9 like every cosine surface), fused by reciprocal-
+    // rank fusion rrf = sum 1/(60 + rank) — rank-domain, so the fused
+    // score is a 2-term commutative IEEE sum, hash-exact UNROUNDED (the
+    // q62 precedent). Probes = docs 0-4 (the q40 convention); doc_id and
+    // vec_id are the aligned corpus ids.
+    (s, d) => {
+      val lex = graft.ops.Retrieval.termOverlapTopN(
+        docs(s, d), "doc_id", "text",
+        docs(s, d).where(col("doc_id") < 5), "doc_id", n = 20)
+      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
+      val qv = e.where(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(qv))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          round(expr(dotSpark.format("qv", "v")) /
+            (sqrt(expr(dotSpark.format("qv", "qv"))) * sqrt(expr(dotSpark.format("v", "v")))), 9)
+            .as("cosine"))
+      val vw = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("doc_id"))
+      val vec = scored.withColumn("rk", row_number().over(vw)).where(col("rk") <= 20)
+      graft.ops.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", k = 60, topN = 10)
+    },
+    Some(raw"""WITH dt AS (SELECT doc_id,
+              |    unnest(list_distinct(list_filter($tokensDuck, x -> x <> ''))) AS w
+              |  FROM documents),
+              |qt AS (SELECT doc_id AS q_id, w FROM dt WHERE doc_id < 5),
+              |ov AS (SELECT qt.q_id, dt.doc_id, count(*) AS overlap
+              |  FROM dt JOIN qt USING (w) WHERE dt.doc_id <> qt.q_id GROUP BY 1, 2),
+              |lex AS (SELECT q_id, doc_id, rk FROM (SELECT q_id, doc_id, row_number()
+              |    OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id) AS rk FROM ov)
+              |  WHERE rk <= 20),
+              |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+              |sc AS (SELECT q_id, e.vec_id AS doc_id,
+              |  round(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+              |   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+              |      * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 9) AS cosine
+              |  FROM e CROSS JOIN qe WHERE e.vec_id <> q_id),
+              |vec AS (SELECT q_id, doc_id, rk FROM (SELECT q_id, doc_id, row_number()
+              |    OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rk FROM sc)
+              |  WHERE rk <= 20),
+              |fused AS (SELECT q_id, doc_id, sum(CAST(1.0 AS DOUBLE) / (60 + rk)) AS rrf
+              |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec) GROUP BY 1, 2)
+              |SELECT q_id, doc_id, rrf, rank FROM (SELECT q_id, doc_id, rrf,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+              |  FROM fused)
+              |WHERE rank <= 10""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2751,6 +2802,6 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97
+    q96, q97, q98
   )
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: a lexical leg, a vector leg, and reciprocal-rank
+  * fusion (Cormack et al. 2009) — the serving-side composition a corpus
+  * pipeline runs against its own index (find training docs "about" a
+  * probe, dedup candidates for audit, eval-set mining). Everything is
+  * rank-domain: the fused score is a sum of 1/(k + rank) over at most a
+  * handful of legs, so per-(query, doc) it's a tiny commutative IEEE sum —
+  * deterministic across engines with no rounding discipline needed.
+  */
+object Retrieval {
+
+  /** Lexical leg: integer term-overlap retrieval — score(q, d) =
+    * |distinct(terms(q)) ∩ distinct(terms(d))|, ranked (overlap DESC, id)
+    * per query, top `n`. The integer score keeps the whole leg
+    * hash-exact; swap in BM25 (graft.ops.TextRank) when float ranking is
+    * acceptable.
+    *
+    * Scale shape: docs explode to DISTINCT (doc, term) once (map-side
+    * partial distinct); the probe side is tiny and broadcasts, so the
+    * term equi-join never shuffles the corpus by term — and the per-query
+    * candidate count is bounded by the docs sharing at least one term.
+    * The final rank is one window per query over those candidates only.
+    *
+    * @param queries (qIdCol, textCol) — the probe documents
+    */
+  def termOverlapTopN(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, n: Int): DataFrame = {
+    def terms(df: DataFrame, id: Column, alias: String) = df.select(
+      id.as(alias),
+      explode(expr(
+        s"array_distinct(filter(split(trim($textCol), '\\\\s+'), w -> w != ''))")).as("__w"))
+    val dt = terms(docs, col(idCol), "__doc")
+    val qt = terms(queries, col(qIdCol), "q_id")
+    val ov = dt.join(broadcast(qt), "__w")
+      .where(col("__doc") =!= col("q_id"))
+      .groupBy(col("q_id"), col("__doc"))
+      .agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("overlap").desc, col("__doc"))
+    ov.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+      .select(col("q_id"), col("__doc").as(idCol), col("overlap"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion over ranked legs: rrf(q, d) = Σ_legs
+    * 1/(k + rank_leg(q, d)), docs missing from a leg contribute 0; output
+    * re-ranked (rrf DESC, id) per query, top `topN`. Each leg carries
+    * (q_id, idCol, rk). One union + one partial-aggregated groupBy + one
+    * window over ≤ Σ leg sizes rows per query — the legs already bounded
+    * the candidates, fusion never touches the corpus.
+    */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, k: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val unioned = legs.map(_.select(col("q_id"), col(idCol), col("rk")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(lit(1.0) / (lit(k) + col("rk"))).as("rrf"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= topN)
+  }
+}

@@ -401,6 +401,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 hybrid RRF: probe sides broadcast — term join is a BroadcastHashJoin, only the 5-probe crossjoin nests") {
+    val p = plan(Queries.q98.fn(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the probe crossjoin BNLJ, got $bnlj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("q95 funnel: one groupBy pipeline — no joins at all, no window") {
     val p = plan(Queries.q95.fn(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("Join"), s"funnel should not join (in-row fold):\n$p")
