@@ -503,11 +503,61 @@ object Main {
     }
   }
 
+  /** distinct — stored per-day HLL sketch build + range serving (the
+    * cardinality companion to `ann`'s stored vector index, and the
+    * retention story's payoff: expire raw days, keep ≤2^p-row sketches,
+    * still answer "distinct ids in [from, to]").
+    * `mode=build`: input parquet + `ts_col`/`id_col` → output/registers
+    * PARTITIONED BY day (yyyy-MM-dd string, so a range query
+    * partition-prunes to its days) + output/meta carrying p — a property
+    * of the stored sketch, never query config (the ann discipline: a
+    * mismatched p would silently mis-scale the estimate).
+    * `mode=query`: `index` = build dir, optional `from`/`to` (inclusive
+    * yyyy-MM-dd; lexicographic = chronological) → folds the in-range day
+    * registers ([[graft.ops.Sketch.foldRegisters]]) and estimates
+    * ([[graft.ops.Sketch.hllEstimate]]); writes the 1-row
+    * (m, occupied, estimate) to output. Raw data is never read.
+    */
+  def distinctCmd(spark: SparkSession, c: Conf): String = {
+    import graft.ops.Sketch
+    c.get("mode", "build") match {
+      case "build" =>
+        val p = c.int("p", 8)
+        val in = spark.read.parquet(c("input"))
+        val regs = Sketch.hllRegistersBy(
+          in.withColumn("day", date_format(col(c.get("ts_col", "ts")), "yyyy-MM-dd")),
+          Seq("day"), c.get("id_col", "user_id"), p)
+        val out = c("output")
+        regs.write.mode("overwrite").partitionBy("day").parquet(s"$out/registers")
+        spark.range(1).select(lit(p).as("p"))
+          .write.mode("overwrite").parquet(s"$out/meta")
+        val days = spark.read.schema(regs.schema).parquet(s"$out/registers")
+          .select("day").distinct().count()
+        s"distinct build: $days day sketches (p=$p) -> $out"
+      case "query" =>
+        val idx = c("index")
+        val p = spark.read.parquet(s"$idx/meta").head().getAs[Int]("p")
+        val regs0 = spark.read.parquet(s"$idx/registers")
+        val regs = (c.opt("from"), c.opt("to")) match {
+          case (from, to) => regs0
+            .where(from.map(col("day") >= _).getOrElse(lit(true)) &&
+              to.map(col("day") <= _).getOrElse(lit(true)))
+        }
+        val est = Sketch.hllEstimate(Sketch.foldRegisters(regs, Nil), p)
+        est.write.mode("overwrite").parquet(c("output"))
+        val row = spark.read.parquet(c("output")).head()
+        f"distinct query: estimate ${row.getAs[Double]("estimate")}%.1f over " +
+          s"${regs.select("day").distinct().count()} day sketches (p=$p) -> ${c("output")}"
+      case m => throw new IllegalArgumentException(s"unknown distinct mode '$m'")
+    }
+  }
+
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
     "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
-    "retention" -> retention, "curate" -> curate, "ann" -> ann)
+    "retention" -> retention, "curate" -> curate, "ann" -> ann,
+    "distinct" -> distinctCmd)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

@@ -195,7 +195,7 @@ object Sketch {
     * array — a single input scan regardless of d (a per-hash union would
     * rescan the source d times).
     */
-  private def cellsExpr(d: Int, itemExpr: String, hex: Int): String =
+  private[graft] def cellsExpr(d: Int, itemExpr: String, hex: Int): String =
     (0 until d).map(r =>
       s"struct($r as r, ${hashCol(r, itemExpr, hex)} as c)").mkString("array(", ", ", ")")
 

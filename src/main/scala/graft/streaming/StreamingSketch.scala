@@ -32,4 +32,24 @@ object StreamingSketch {
       .groupBy(window(col(tsCol), span), col("bucket"))
       .agg(max(col("rho")).as("register"))
       .select(col("window.start").as("day"), col("bucket"), col("register"))
+
+  /** Per-(tumbling window, cell) count-min grid over a stream — the q92
+    * surface, live: count composes, so state per open window is ≤ d·16^wHex
+    * integer cells and sealed windows equal the batch
+    * [[graft.ops.Sketch.cmsCounts]] over the same sealed rows. Sealed day
+    * grids fold to coarser tiers by per-cell SUM
+    * ([[graft.ops.Sketch.cmsMerge]]).
+    */
+  def cmsByWindow(events: DataFrame, tsCol: String, itemCol: String,
+      span: String = "1 day", d: Int = 4, wHex: Int = 2,
+      lateness: String = "0 seconds"): DataFrame =
+    events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .where(col(itemCol).isNotNull)
+      .select(col(tsCol),
+        explode(expr(Sketch.cellsExpr(d, s"cast($itemCol as string)", wHex))).as("__cell"))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), span), col("__cell.r").as("cms_row"),
+        col("__cell.c").as("cms_col"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("day"), col("cms_row"), col("cms_col"), col("cnt"))
 }

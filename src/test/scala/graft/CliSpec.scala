@@ -35,6 +35,51 @@ class CliSpec extends AnyFunSuite {
 
   private def out(): String = Files.createTempDirectory("cli-out").toString + "/t"
 
+  test("distinct: stored day sketches serve range cardinality with raw data gone") {
+    import org.apache.spark.sql.functions._
+    val events = "/root/testdata/sf0.001/events.parquet"
+    val idxDir = out()
+    val msg = cli.Main.run("distinct", conf(
+      "mode" -> "build", "input" -> events, "output" -> idxDir,
+      "ts_col" -> "ts", "id_col" -> "user_id", "p" -> "8"))
+    assert(msg.contains("day sketches"))
+    // stored registers == the library's grouped sketch (string-day keyed)
+    val evB = spark.read.parquet(events)
+    val want = graft.ops.Sketch.hllRegistersBy(
+      evB.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      Seq("day"), "user_id", 8)
+    val stored = spark.read.parquet(s"$idxDir/registers")
+      .select("day", "bucket", "register")
+    assert(stored.collect().map(_.toString).toSet ==
+      want.collect().map(_.toString).toSet)
+    // full-range query (no raw input key at all) ~ exact distinct
+    val ansDir = out()
+    cli.Main.run("distinct", conf(
+      "mode" -> "query", "index" -> idxDir, "output" -> ansDir))
+    val est = spark.read.parquet(ansDir).head().getAs[Double]("estimate")
+    val exact = evB.select("user_id").distinct().count().toDouble
+    assert(math.abs(est - exact) / exact < 0.16, s"est $est vs exact $exact")
+    // sub-range query == estimate from only those days' raw slice
+    val ans2 = out()
+    cli.Main.run("distinct", conf(
+      "mode" -> "query", "index" -> idxDir, "output" -> ans2,
+      "from" -> "2024-01-05", "to" -> "2024-01-10"))
+    val est2 = spark.read.parquet(ans2).head().getAs[Double]("estimate")
+    val slice = evB.where(date_format(col("ts"), "yyyy-MM-dd").between("2024-01-05", "2024-01-10"))
+    val want2 = graft.ops.Sketch.hllEstimate(
+      graft.ops.Sketch.hllRegisters(slice, "user_id", 8), 8)
+      .head().getAs[Double]("estimate")
+    assert(est2 == want2, s"range-served $est2 != recomputed $want2")
+    // rebuild is idempotent (overwrite): same registers
+    cli.Main.run("distinct", conf(
+      "mode" -> "build", "input" -> events, "output" -> idxDir,
+      "ts_col" -> "ts", "id_col" -> "user_id", "p" -> "8"))
+    assert(spark.read.parquet(s"$idxDir/registers")
+      .select("day", "bucket", "register")
+      .collect().map(_.toString).toSet ==
+      want.collect().map(_.toString).toSet)
+  }
+
   test("cc -> snr -> ct chain runs from properties files end-to-end") {
     val ccDir = out()
     cli.Main.run("cc", conf(

@@ -111,6 +111,32 @@ class SketchSpec extends AnyFunSuite {
     assert(got.count() > 0 && rows(got) == rows(want))
   }
 
+  test("StreamingSketch CMS: sealed-window grids == batch cmsCounts per day") {
+    val evB = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("cms-in").toString
+    evB.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(evB.schema).parquet(dir)
+    val q = graft.streaming.StreamingSketch
+      .cmsByWindow(streamIn, "ts", "event_type", span = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("stream_cms")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT day, cms_row, cms_col, cnt FROM stream_cms")
+    val maxTs = evB.agg(max("ts")).head.get(0)
+    val days = evB.select(date_trunc("day", col("ts")).as("day")).distinct()
+      .where(col("day") + expr("interval 1 day") <= lit(maxTs))
+      .collect().map(_.get(0))
+    assert(days.nonEmpty && got.count() > 0)
+    val want = days.map { d =>
+      graft.ops.Sketch.cmsCounts(
+          evB.where(date_trunc("day", col("ts")) === lit(d)), "event_type")
+        .withColumn("day", lit(d).cast("timestamp"))
+        .select("day", "cms_row", "cms_col", "cnt")
+    }.reduce(_ unionByName _)
+    assert(rows(got) == rows(want))
+  }
+
   // ---------------------------------------------------------- heavy hitters
 
   test("heavyHitters: equals the exact full groupBy, under any partitioning") {
