@@ -2794,6 +2794,32 @@ object Queries {
               |  FROM fused)
               |WHERE rank <= 10""".stripMargin))
 
+  val q99 = Q("q99_windowed_funnel",
+    // q95's funnel with a 48 h first-touch conversion window: later steps
+    // must land strictly after the previous step AND within 48 h of the
+    // user's FIRST view (no re-anchoring). The oracle adds the horizon
+    // bound to each sequential min.
+    (s, d) => ntz(graft.ops.Funnel.orderedFunnel(
+      ev(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), horizonSec = Some(48L * 3600)),
+      "t_first", "t_last"),
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |    WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |    JOIN s1 USING (user_id) WHERE e.event_type = 'click'
+           |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+           |    GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |    JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+           |    WHERE e.event_type = 'purchase'
+           |    AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+           |    GROUP BY 1)
+           |SELECT s1.user_id,
+           |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+           |       ELSE 1 END AS stage_reached,
+           |  t1 AS t_first, coalesce(t3, t2, t1) AS t_last
+           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2802,6 +2828,6 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98
+    q96, q97, q98, q99
   )
 }

@@ -45,7 +45,9 @@ object Funnel {
   /** Ordered conversion funnel: per user, the first time each step's
     * event_type occurs STRICTLY AFTER the previous step's first
     * completion (the "first match" funnel — the strictest deterministic
-    * reading, no windowing knobs). Output one row per user who completed
+    * reading); with `horizonSec`, later steps must additionally land
+    * within that window of the FIRST step (first-touch window, no
+    * re-anchoring on later entry events). Output one row per user who completed
     * at least step 1: (userCol, stage_reached ∈ [1, steps.length],
     * t_first: timestamp of step 1, t_last: timestamp of the deepest
     * completed step).
@@ -66,10 +68,12 @@ object Funnel {
     */
   def orderedFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
-      maxTimesPerStep: Int = Int.MaxValue): DataFrame = {
+      maxTimesPerStep: Int = Int.MaxValue,
+      horizonSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.length == steps.length, s"steps must be distinct, got $steps")
     require(maxTimesPerStep >= 1, s"maxTimesPerStep must be >= 1, got $maxTimesPerStep")
+    require(horizonSec.forall(_ > 0), s"horizonSec must be positive, got $horizonSec")
     val stepIdx = steps.zipWithIndex.toMap
     val idxExpr = steps.foldRight(lit(-1): org.apache.spark.sql.Column) { (s, acc) =>
       when(col(typeCol) === s, lit(stepIdx(s))).otherwise(acc)
@@ -97,9 +101,14 @@ object Funnel {
       if (i == 0) df
       else {
         // first element of step-i's sorted times strictly greater than __t
+        // (and, with a horizon, within horizonSec of the FIRST step — the
+        // standard first-touch funnel window; a later entry event whose
+        // window would admit conversion is deliberately not re-anchored)
+        val horizonPred = horizonSec
+          .map(h => s" and x <= __t_first + ${h * 1000000L}L").getOrElse("")
         val nextT = expr(
           s"try_element_at(filter(coalesce(try_element_at(__bystep, $i), " +
-            "cast(array() as array<bigint>)), x -> x > __t), 1)")
+            s"cast(array() as array<bigint>)), x -> x > __t$horizonPred), 1)")
         df.withColumn("__next", when(col("__stage") === i, nextT))
           .withColumn("__stage",
             when(col("__next").isNotNull, lit(i + 1)).otherwise(col("__stage")))

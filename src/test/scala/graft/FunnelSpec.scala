@@ -112,6 +112,30 @@ class FunnelSpec extends AnyFunSuite {
     assert(counts == Map(1 -> 5L, 2 -> 4L, 3 -> 1L))
   }
 
+  test("orderedFunnel horizon: later steps must land within the first-touch window; no re-anchoring") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: B inside the 10 s window, C outside -> stage 2
+      (1L, t(0L), "A"), (1L, t(5000L), "B"), (1L, t(20000L), "C"),
+      // user 2: all inside -> stage 3
+      (2L, t(0L), "A"), (2L, t(3000L), "B"), (2L, t(9000L), "C"),
+      // user 3: B only after the window; a LATER A would admit it but the
+      // funnel anchors at the FIRST A -> stage 1
+      (3L, t(0L), "A"), (3L, t(30000L), "A"), (3L, t(32000L), "B"),
+      // user 4: B exactly AT the window edge (<=) -> counts
+      (4L, t(0L), "A"), (4L, t(10000L), "B")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.orderedFunnel(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), horizonSec = Some(10L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 3, 3L -> 1, 4L -> 2))
+    // no horizon == infinite horizon
+    assert(rows(Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"), horizonSec = Some(86400L * 365))) ==
+      rows(Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"))))
+  }
+
   test("orderedFunnel: maxTimesPerStep cap is a no-op when first matches suffice") {
     val uncapped = Funnel.orderedFunnel(funnelFixture, "user_id", "ts", "event_type",
       Seq("A", "B", "C"))
