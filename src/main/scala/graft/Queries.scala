@@ -2520,10 +2520,14 @@ object Queries {
       lit("\nref "), col("doc_id").cast("string")))
 
   private val boilerDocsDuck =
-    """SELECT doc_id, concat(text, chr(10), 'subscribe to our newsletter',
-      |    chr(10), 'copyright ', source,
-      |    chr(10), 'promo ', CAST(doc_id % 7 AS VARCHAR),
-      |    chr(10), 'ref ', CAST(doc_id AS VARCHAR)) AS text2
+    // || not concat(): Spark's concat NULL-propagates, DuckDB's concat
+    // skips NULL args — a NULL-text doc must go NULL on BOTH engines
+    // || ends each line (never starts one): this snippet is re-embedded in
+    // q88's stripMargin block, which would strip a line-leading || to |
+    """SELECT doc_id, text || chr(10) || 'subscribe to our newsletter' ||
+      |    chr(10) || 'copyright ' || source ||
+      |    chr(10) || 'promo ' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS text2
       |  FROM documents""".stripMargin
 
   val q88 = Q("q88_boilerplate_lines",

@@ -537,12 +537,20 @@ object Main {
       case "query" =>
         val idx = c("index")
         val p = spark.read.parquet(s"$idx/meta").head().getAs[Int]("p")
-        val regs0 = spark.read.parquet(s"$idx/registers")
-        val regs = (c.opt("from"), c.opt("to")) match {
-          case (from, to) => regs0
-            .where(from.map(col("day") >= _).getOrElse(lit(true)) &&
-              to.map(col("day") <= _).getOrElse(lit(true)))
-        }
+        // explicit schema: partition-value inference would type day as
+        // DATE, breaking the documented lexicographic-STRING range
+        // contract (and a malformed bound would cast to NULL and silently
+        // select zero days instead of erroring)
+        val regs0 = spark.read.schema("bucket INT, register INT, day STRING")
+          .parquet(s"$idx/registers")
+        val from = c.opt("from")
+        val to = c.opt("to")
+        for (b <- from.iterator ++ to.iterator)
+          require(b.matches("""\d{4}-\d{2}-\d{2}"""),
+            s"range bounds must be yyyy-MM-dd, got '$b'")
+        val regs = regs0
+          .where(from.map(col("day") >= _).getOrElse(lit(true)) &&
+            to.map(col("day") <= _).getOrElse(lit(true)))
         val est = Sketch.hllEstimate(Sketch.foldRegisters(regs, Nil), p)
         est.write.mode("overwrite").parquet(c("output"))
         val row = spark.read.parquet(c("output")).head()

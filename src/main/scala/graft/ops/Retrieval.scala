@@ -27,9 +27,15 @@ object Retrieval {
     * The final rank is one window per query over those candidates only.
     *
     * @param queries (qIdCol, textCol) — the probe documents
+    * @param excludeSelf drop candidates whose id EQUALS the probe id —
+    *   only meaningful when probes are drawn from the corpus itself and
+    *   share its id domain (the q98 usage). Pass false for external
+    *   probes with their own id space, or id collisions silently drop
+    *   legitimate hits.
     */
   def termOverlapTopN(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, qIdCol: String, n: Int): DataFrame = {
+      queries: DataFrame, qIdCol: String, n: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     def terms(df: DataFrame, id: Column, alias: String) = df.select(
       id.as(alias),
       explode(expr(
@@ -37,7 +43,7 @@ object Retrieval {
     val dt = terms(docs, col(idCol), "__doc")
     val qt = terms(queries, col(qIdCol), "q_id")
     val ov = dt.join(broadcast(qt), "__w")
-      .where(col("__doc") =!= col("q_id"))
+      .where(if (excludeSelf) col("__doc") =!= col("q_id") else lit(true))
       .groupBy(col("q_id"), col("__doc"))
       .agg(count(lit(1)).as("overlap"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("overlap").desc, col("__doc"))

@@ -126,7 +126,11 @@ object Sketch {
       case _  => 0.7213 / (1.0 + 1.079 / m)
     }
     registers
-      .agg(count(lit(1)).as("occupied"), sum(expr("pow(0.5, register)")).as("sum_pow"))
+      // coalesce: sum() over an EMPTY register table is NULL, which would
+      // poison raw and the linear-counting guard — an empty sketch must
+      // estimate 0 (occupied=0 -> v0=m -> m*ln(1) = 0), not NULL
+      .agg(count(lit(1)).as("occupied"),
+        coalesce(sum(expr("pow(0.5, register)")), lit(0.0)).as("sum_pow"))
       .select(
         lit(m).as("m"),
         col("occupied"),

@@ -70,6 +70,20 @@ class CliSpec extends AnyFunSuite {
       graft.ops.Sketch.hllRegisters(slice, "user_id", 8), 8)
       .head().getAs[Double]("estimate")
     assert(est2 == want2, s"range-served $est2 != recomputed $want2")
+    // empty range -> estimate 0.0 (not NULL) in the stored answer
+    val ans3 = out()
+    cli.Main.run("distinct", conf(
+      "mode" -> "query", "index" -> idxDir, "output" -> ans3,
+      "from" -> "2030-01-01", "to" -> "2030-01-02"))
+    val r3 = spark.read.parquet(ans3).head()
+    assert(!r3.isNullAt(r3.fieldIndex("estimate")) && r3.getAs[Double]("estimate") == 0.0)
+    // malformed bound errors instead of silently matching nothing
+    val thrown = intercept[IllegalArgumentException] {
+      cli.Main.run("distinct", conf(
+        "mode" -> "query", "index" -> idxDir, "output" -> out(),
+        "from" -> "garbage"))
+    }
+    assert(thrown.getMessage.contains("yyyy-MM-dd"))
     // rebuild is idempotent (overwrite): same registers
     cli.Main.run("distinct", conf(
       "mode" -> "build", "input" -> events, "output" -> idxDir,

@@ -43,6 +43,14 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got.exists(g => g._2 == 4L || g._2 == 0L))
   }
 
+  test("termOverlapTopN: excludeSelf=false keeps the id-colliding candidate (external probe id space)") {
+    val got = Retrieval.termOverlapTopN(corpus, "doc_id", "text",
+        corpus.where(col("doc_id") === 0), "doc_id", n = 10, excludeSelf = false)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(0L) == 3L, "self doc (3-term full overlap) must appear when probes are external")
+    assert(got(1L) == 3L && got(2L) == 2L)
+  }
+
   test("rrfFuse: both-legs doc outranks single-leg doc at same ranks; missing leg adds 0") {
     import spark.implicits._
     val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q_id", "doc_id", "rk")

@@ -72,6 +72,14 @@ class SketchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hllEstimate: empty register table estimates 0, not NULL") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int)].toDF("bucket", "register")
+    val row = Sketch.hllEstimate(empty).head
+    assert(!row.isNullAt(row.fieldIndex("estimate")))
+    assert(row.getAs[Double]("estimate") == 0.0)
+  }
+
   test("hllRegistersBy: each group's sketch == hllRegisters of that slice; fold == whole") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("day", date_trunc("day", col("ts")))
