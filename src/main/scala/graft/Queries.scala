@@ -2824,6 +2824,106 @@ object Queries {
            |  t1 AS t_first, coalesce(t3, t2, t1) AS t_last
            |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin))
 
+  /** Shared input for q100/q102: the per-event_type 1-minute count series,
+    * gap-filled to a regular grid (the q12 pattern at minute resolution) —
+    * the precondition [[graft.ops.SeriesStats]] documents for lead(k) to
+    * mean exactly k grid steps.
+    */
+  private def minuteCountSeries(s: SparkSession, d: String): DataFrame = {
+    val b = ev(s, d).groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("c"))
+    val spans = b.groupBy(col("event_type")).agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val grid = spans.select(col("event_type"),
+      explode(expr("sequence(m0, m1, interval 1 minute)")).as("ts"))
+    grid.join(b, grid("event_type") === b("event_type") && grid("ts") === b("m"), "left")
+      .select(grid("event_type"), grid("ts"), coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  private val minuteSeriesDuck =
+    raw"""b AS (SELECT event_type, date_trunc('minute', ts) AS m, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, min(m) AS m0, max(m) AS m1 FROM b GROUP BY 1),
+         |g AS (SELECT event_type, unnest(generate_series(m0, m1, INTERVAL 1 MINUTE)) AS ts FROM s),
+         |f AS (SELECT g.event_type, g.ts, CAST(coalesce(b.c, 0) AS BIGINT) AS x
+         |  FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.ts = b.m)""".stripMargin
+
+  val q100 = Q("q100_acf",
+    // per-key autocorrelation at lags 1..5 over the gap-filled 1-minute
+    // count series (graft.ops.SeriesStats.acf) — the series-vs-itself
+    // analog of the reference's pairwise CC (signal/correlate.py:17-101).
+    // All Pearson partials are exact integer sums (hash-stable under any
+    // partitioning); acf itself is ONE double expression over those
+    // integers, round-9. The oracle replays the pairing with explicit
+    // lead(1..5) windows on the identical filled grid (a lag self-join
+    // is quadratic in DuckDB — no equi-key on time).
+    (s, d) => graft.ops.SeriesStats.acf(
+      minuteCountSeries(s, d), Seq("event_type"), "ts", "x", maxLag = 5),
+    Some(raw"""WITH $minuteSeriesDuck,
+              |p0 AS (SELECT event_type, x,
+              |    lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+              |    lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+              |    lead(x, 5) OVER w AS y5
+              |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+              |u AS (SELECT event_type, 1 AS lag, x, y1 AS y FROM p0 UNION ALL
+              |  SELECT event_type, 2, x, y2 FROM p0 UNION ALL
+              |  SELECT event_type, 3, x, y3 FROM p0 UNION ALL
+              |  SELECT event_type, 4, x, y4 FROM p0 UNION ALL
+              |  SELECT event_type, 5, x, y5 FROM p0),
+              |p AS (SELECT event_type, CAST(lag AS INTEGER) AS lag, x, y
+              |  FROM u WHERE y IS NOT NULL),
+              |a AS (SELECT event_type, lag, count(*) AS n_pairs,
+              |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+              |  CAST(sum(y*y) AS BIGINT) AS syy FROM p GROUP BY 1, 2)
+              |SELECT event_type, lag, n_pairs, sx, sy, sxy, sxx, syy,
+              |  CASE WHEN sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)) = 0
+              |    THEN NULL
+              |    ELSE round(CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+              |      / sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) * CAST(n_pairs*syy - sy*sy AS DOUBLE)), 9) END AS acf
+              |FROM a""".stripMargin))
+
+  val q101 = Q("q101_transitions",
+    // first-order state-transition matrix over per-user event sequences
+    // (graft.ops.SeriesStats.transitions): counts are exact integers; the
+    // row-normalized p is one integer division, round-9. event_id is the
+    // unique tiebreaker so the per-user sequence is total (q13 precedent).
+    (s, d) => graft.ops.SeriesStats.transitions(
+      ev(s, d), "user_id", "ts", "event_type", tieCols = Seq("event_id")),
+    Some("""WITH s AS (SELECT user_id, event_type AS from_state,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+           |  FROM events WHERE user_id IS NOT NULL)
+           |SELECT from_state, to_state, count(*) AS n_trans,
+           |  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY from_state) AS DOUBLE), 9) AS p
+           |FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2""".stripMargin))
+
+  val q102 = Q("q102_mad_anomaly",
+    // rolling-median/MAD anomaly flags over the gap-filled minute series
+    // (graft.ops.SeriesStats.rollingMadAnomaly, ±2-row window, k=3).
+    // Entirely in the exact integer domain — med2 = 2*median,
+    // mad4 = 4*MAD, flag = 2*|2x - med2| > k*mad4 — so the output hashes
+    // identically under any partitioning and any engine (no float
+    // median/quantile semantics to reconcile).
+    (s, d) => ntz(graft.ops.SeriesStats.rollingMadAnomaly(
+      minuteCountSeries(s, d), Seq("event_type"), "ts", "x", halfWin = 2, k = 3), "ts"),
+    Some(raw"""WITH $minuteSeriesDuck,
+              |w AS (SELECT event_type, ts, x,
+              |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY ts
+              |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS win
+              |  FROM f),
+              |m AS (SELECT event_type, ts, x, win, len(win) AS n,
+              |    CASE WHEN len(win) % 2 = 1 THEN 2 * win[(len(win)+1)//2]
+              |         ELSE win[len(win)//2] + win[len(win)//2 + 1] END AS med2
+              |  FROM w),
+              |d AS (SELECT event_type, ts, x, med2, n,
+              |    list_sort(list_transform(win, v -> abs(2*v - med2))) AS dev2 FROM m),
+              |z AS (SELECT event_type, ts, x, med2,
+              |    CASE WHEN n % 2 = 1 THEN 2 * dev2[(n+1)//2]
+              |         ELSE dev2[n//2] + dev2[n//2 + 1] END AS mad4
+              |  FROM d)
+              |SELECT event_type, ts, x, CAST(med2 AS BIGINT) AS med2, CAST(mad4 AS BIGINT) AS mad4,
+              |  (2 * abs(2*x - med2) > 3 * mad4) AS is_anomaly
+              |FROM z""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2832,6 +2932,6 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99
+    q96, q97, q98, q99, q100, q101, q102
   )
 }

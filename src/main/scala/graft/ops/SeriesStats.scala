@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second-order statistics over regular (gap-filled) integer-valued
+  * series: autocorrelation, state-transition matrices, and
+  * rolling-median/MAD anomaly flags.
+  *
+  * These extend the reference's correlation surface from PAIRS of series
+  * (`/root/reference/xcorr/signal/correlate.py:17-101`) to a series
+  * against itself (`acf` — the lag-domain fingerprint xcorr users read
+  * off the zero-offset column of the CC matrix) and to categorical event
+  * sequences (`transitions`). The anomaly detector mirrors the robust
+  * running statistics the reference applies before triggering
+  * (`/root/reference/xcorr/signal/rms.py:15-60` uses running RMS;
+  * median/MAD is its outlier-resistant counterpart).
+  *
+  * Determinism discipline (the hash-gate rules from [[graft.Queries]]):
+  * every aggregate here is an INTEGER sum/extremum — exact under any
+  * partitioning — and doubles appear only in final per-row expressions on
+  * integer inputs (one IEEE evaluation, engine-independent).
+  */
+object SeriesStats {
+
+  /** Per-key autocorrelation at lags 1..maxLag over a REGULAR series
+    * (one row per grid step — gap-fill first; `lead(k)` is then exactly
+    * k grid steps).
+    *
+    * Input: `keyCols` grouping, `tsCol` the grid timestamp, `valueCol`
+    * an integral count (LongType). Output per (key, lag): the exact
+    * integer Pearson partials (`n_pairs, sx, sy, sxy, sxx, syy`) plus
+    * `acf` = the Pearson correlation of (x_t, x_{t+lag}), round-9 (one
+    * double expression over exact integers).
+    *
+    * Scale shape: ONE window shuffle on the key (all maxLag leads share
+    * the single sort), then a map-side-combined groupBy of ≤ maxLag rows
+    * per key-lag. Shuffled bytes ∝ series rows; no self-join, no grid
+    * re-materialization. At 10^12 turns the series tier this runs on is
+    * already the 1m rollup (3-4 orders smaller than raw).
+    */
+  def acf(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val keys = keyCols.map(col)
+    // internal aliases so the window resolves after the rename (and so a
+    // valueCol/tsCol named like a key cannot collide)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__ts"))
+    // all leads ride one window sort; stack() unpivots to (lag, y) rows
+    val leads = (1 to maxLag).map(k => lead(col("__x"), k).over(w).as(s"y_$k"))
+    val stackExpr = expr(
+      s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"CAST($k AS INT), y_$k").mkString(", ") +
+        ") AS (lag, y)")
+    val paired = df
+      .select(keys :+ col(valueCol).cast("long").as("__x") :+ col(tsCol).as("__ts"): _*)
+      .select((keys :+ col("__x").as("x")) ++ leads: _*)
+      .select(keys :+ col("x") :+ stackExpr: _*)
+      .where(col("y").isNotNull)
+    val g = paired
+      .groupBy(keys :+ col("lag"): _*)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n_pairs")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double") *
+      (n * col("syy") - col("sy") * col("sy")).cast("double"))
+    g.withColumn("acf",
+      when(den === 0d, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den, 9)))
+  }
+
+  /** First-order state-transition counts over per-key event sequences
+    * (the Markov matrix of e.g. tool usage across transcript turns).
+    *
+    * Ordering within a key is (tsCol, tieCols...) — pass a unique
+    * tiebreaker so the sequence is total and the result partitioning-
+    * invariant. Output: (from_state, to_state, n_trans, p) where p is
+    * row-normalized per from_state (one integer division, round-9).
+    *
+    * Scale shape: one window shuffle on the key; the transition matrix
+    * itself is |states|² rows, so the final global groupBy is tiny and
+    * fully map-side combined.
+    */
+  def transitions(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      stateCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val seq = df
+      .where(col(keyCol).isNotNull)
+      .select(col(keyCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+    val counts = seq.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy(col("from_state"))
+    counts.withColumn("p",
+      round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(wf).cast("double"), 9))
+  }
+
+  /** Twice-the-median of a SORTED integer array column: 2*a[mid] for odd
+    * n, a[n/2-1]+a[n/2] for even — an integer for any n, so the median
+    * surface stays in the exact domain (the hash-gate trick: scale by 2
+    * instead of leaving .5 halves to float).
+    */
+  private def twiceMedian(sorted: Column, n: Column): Column = {
+    val odd = element_at(sorted, ((n + 1) / 2).cast("int")) * lit(2L)
+    val even = element_at(sorted, (n / 2).cast("int")) +
+      element_at(sorted, (n / 2 + 1).cast("int"))
+    when(n % 2 === 1, odd).otherwise(even)
+  }
+
+  /** Rolling-median/MAD anomaly flags over a regular integer series:
+    * a point is anomalous when |x - median| > k * MAD over the
+    * centered ±halfWin row window (the robust alternative to z-scores —
+    * a burst inside the window cannot drag the baseline the way a
+    * rolling mean/stddev would).
+    *
+    * Entirely in the exact integer domain: med2 = 2*median,
+    * mad4 = 2*median(2*|x - median|) = 4*MAD, and the flag compares
+    * 2*|2x - med2| > k*mad4 — every quantity an integer, so the output
+    * hashes identically under any partitioning and any engine.
+    *
+    * Scale shape: one window shuffle on the key; state per row is the
+    * 2*halfWin+1 window values (collect_list over a ROWS frame — bounded,
+    * unlike a range frame over skewed time). No self-join against the
+    * grid.
+    */
+  def rollingMadAnomaly(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      halfWin: Int,
+      k: Int): DataFrame = {
+    require(halfWin >= 1, s"halfWin must be >= 1, got $halfWin")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+      .rowsBetween(-halfWin, halfWin)
+    val x = col(valueCol).cast("long")
+    val withWin = df
+      .select(keys :+ col(tsCol) :+ x.as("x"): _*)
+      .withColumn("win", sort_array(collect_list(col("x")).over(w)))
+      .withColumn("n_win", size(col("win")).cast("long"))
+    val med2 = twiceMedian(col("win"), col("n_win"))
+    val withMed = withWin.withColumn("med2", med2)
+      // deviations stay integral: 2*|x - med| = |2x - med2|
+      .withColumn("dev2", sort_array(transform(col("win"),
+        v => abs(v * lit(2L) - col("med2")))))
+    val mad4 = twiceMedian(col("dev2"), col("n_win"))
+    withMed.withColumn("mad4", mad4)
+      .withColumn("is_anomaly",
+        abs(col("x") * lit(2L) - col("med2")) * lit(2L) > lit(k.toLong) * col("mad4"))
+      .select(keys :+ col(tsCol) :+ col("x") :+ col("med2") :+ col("mad4") :+
+        col("is_anomaly"): _*)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SeriesStats
+
+/** Hand-computed gates for the second-order series statistics (q100-q102):
+  * exact integer Pearson partials, Markov transition rows, and the
+  * all-integer rolling-median/MAD anomaly flags.
+  */
+class SeriesStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def minuteDf(rows: Seq[(String, Int, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "min", "x")
+      .select(col("k"),
+        timestamp_seconds(lit(1704067200L) + col("min") * 60).as("ts"),
+        col("x"))
+  }
+
+  test("acf: linear ramp has acf=1 at every lag; exact integer partials") {
+    val df = minuteDf((0 to 5).map(i => ("A", i, (i + 1).toLong)))
+    val out = SeriesStats.acf(df, Seq("k"), "ts", "x", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out.length == 2)
+    val l1 = out(0)
+    // pairs (1,2)..(5,6): n=5 sx=15 sy=20 sxy=70 sxx=55 syy=90 -> acf 1.0
+    assert(l1.getAs[Long]("n_pairs") == 5L)
+    assert(l1.getAs[Long]("sx") == 15L && l1.getAs[Long]("sy") == 20L)
+    assert(l1.getAs[Long]("sxy") == 70L)
+    assert(l1.getAs[Long]("sxx") == 55L && l1.getAs[Long]("syy") == 90L)
+    assert(l1.getAs[Double]("acf") == 1.0)
+    assert(out(1).getAs[Double]("acf") == 1.0)
+  }
+
+  test("acf: constant series has zero denominator -> NULL acf") {
+    val df = minuteDf((0 to 3).map(i => ("B", i, 7L)))
+    val out = SeriesStats.acf(df, Seq("k"), "ts", "x", maxLag = 1).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("acf")))
+    assert(out(0).getAs[Long]("n_pairs") == 3L)
+  }
+
+  test("acf: partitioning-invariant (exact integer domain)") {
+    val base = (0 until 200).map(i => ("A", i, ((i * 7919) % 23).toLong)) ++
+      (0 until 150).map(i => ("B", i, ((i * 104729) % 17).toLong))
+    val df = minuteDf(base)
+    def run(parts: Int) =
+      SeriesStats.acf(df.repartition(parts), Seq("k"), "ts", "x", maxLag = 4)
+        .orderBy("k", "lag").collect().toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("transitions: counts and row-normalized p; event_id tiebreak") {
+    import spark.implicits._
+    // u1: A->B->A (B,A tie on ts broken by event_id), u2: A->B
+    val df = Seq(
+      ("u1", 0L, 1L, "A"), ("u1", 60L, 2L, "B"), ("u1", 60L, 3L, "A"),
+      ("u2", 0L, 4L, "A"), ("u2", 30L, 5L, "B"),
+      (null.asInstanceOf[String], 0L, 6L, "A")
+    ).toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(lit(1704067200L) + col("sec")).as("ts"))
+    val out = SeriesStats.transitions(df, "user_id", "ts", "event_type",
+      tieCols = Seq("event_id"))
+      .orderBy("from_state", "to_state").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
+  }
+
+  test("rollingMadAnomaly: a lone spike is flagged, its neighbors are not") {
+    val df = minuteDf(Seq(5L, 5L, 5L, 50L, 5L, 5L, 5L).zipWithIndex.map {
+      case (v, i) => ("A", i, v)
+    })
+    val out = SeriesStats.rollingMadAnomaly(df, Seq("k"), "ts", "x", halfWin = 2, k = 3)
+      .orderBy("ts").collect()
+    assert(out.length == 7)
+    assert(out.map(_.getAs[Boolean]("is_anomaly")).toSeq ==
+      Seq(false, false, false, true, false, false, false))
+    // spike row: window [5,5,50,5,5] -> med2=10, dev2=[0,0,0,0,90] -> mad4=0
+    val spike = out(3)
+    assert(spike.getAs[Long]("med2") == 10L && spike.getAs[Long]("mad4") == 0L)
+    // even-window edge row idx1: window sorted [5,5,5,50] -> med2 = 5+5,
+    // dev2 sorted [0,0,0,90] -> mad4 = dev2[2]+dev2[3] = 0 (1-indexed)
+    assert(out(1).getAs[Long]("med2") == 10L && out(1).getAs[Long]("mad4") == 0L)
+  }
+}
