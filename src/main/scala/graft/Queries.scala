@@ -2924,6 +2924,43 @@ object Queries {
               |  (2 * abs(2*x - med2) > 3 * mad4) AS is_anomaly
               |FROM z""".stripMargin))
 
+  val q103 = Q("q103_lm_support",
+    // KenLM-style LM quality filter (graft.ops.LmScore.supportScore): a
+    // bigram model from the reference slice (doc_id % 10 == 0, the q75
+    // holdout convention) scores the rest by exact-integer model support.
+    // All aggregates are integer sums; the two rates are single int/int
+    // divisions round-6; the low-quality flag is integer cross-multiplied
+    // (no ln on the gated surface — see LmScore scaladoc).
+    (s, d) => {
+      val dd = docs(s, d)
+      val ref = dd.where(col("doc_id") % 10 === 0)
+      graft.ops.LmScore.supportScore(
+        dd.where(col("doc_id") % 10 =!= 0),
+        graft.ops.LmScore.bigramCounts(ref, "doc_id", "text"),
+        graft.ops.LmScore.unigramCounts(ref, "doc_id", "text"),
+        "doc_id", "text")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents
+            |  WHERE len($tokensDuck) >= 2),
+            |tr AS (SELECT doc_id,
+            |    unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i])) AS w1,
+            |    unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i+1])) AS w2
+            |  FROM toks),
+            |big AS (SELECT w1, w2, count(*) AS c2 FROM tr WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+            |uni AS (SELECT w1, count(*) AS c1 FROM tr WHERE doc_id % 10 = 0 GROUP BY 1),
+            |sc AS (SELECT t.doc_id, count(*) AS n_big,
+            |    count(*) - count(b.c2) AS n_unk,
+            |    CAST(coalesce(sum(b.c2), 0) AS BIGINT) AS support,
+            |    CAST(coalesce(sum(u.c1), 0) AS BIGINT) AS uni_support
+            |  FROM tr t LEFT JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+            |    LEFT JOIN uni u ON t.w1 = u.w1
+            |  WHERE t.doc_id % 10 <> 0 GROUP BY 1)
+            |SELECT doc_id, n_big, n_unk, support, uni_support,
+            |  round(CAST(support AS DOUBLE) / CAST(n_big AS DOUBLE), 6) AS avg_support,
+            |  round(CAST(n_unk AS DOUBLE) / CAST(n_big AS DOUBLE), 6) AS unk_rate,
+            |  n_unk * 100 >= n_big * 50 AS is_lowq
+            |FROM sc""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2932,6 +2969,6 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102
+    q96, q97, q98, q99, q100, q101, q102, q103
   )
 }

@@ -414,4 +414,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"funnel should not join (in-row fold):\n$p")
     assert(!p.contains("Window ["), s"unexpected window:\n$p")
   }
+
+  test("q103 LM support: both model joins are hash equi-joins (AQE-sizeable), no nested loop") {
+    val p = plan(Queries.q103.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"model join degraded to a non-equi join:\n$p")
+    // bigram + unigram lookups: must stay hash/merge joins so AQE can pick
+    // broadcast vs shuffle (and split hot stop-word w1 keys) by model size
+    val hj = "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r.findAllIn(p).size
+    assert(hj >= 2, s"expected >=2 hash/merge joins (bigram, unigram), got $hj:\n$p")
+  }
+
+  test("q100 acf: one window sort carries all lags — no self-join on the grid") {
+    val p = plan(Queries.q100.fn(spark, "/root/testdata/sf0.001"))
+    // the series pairs against itself via lead() over ONE window, never a
+    // time-shifted self-join (which re-shuffles the grid per lag); the
+    // plan prints top-down, so anything ABOVE the window (the pairing +
+    // aggregation) is the prefix before "Window [" — the only join allowed
+    // is below it (the gap-fill grid join feeding the window)
+    val aboveWindow = p.substring(0, p.indexOf("Window ["))
+    assert(!aboveWindow.contains("Join"),
+      s"acf pairing uses a join above the window instead of lead():\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1, s"expected one window:\n$p")
+  }
 }
