@@ -210,7 +210,10 @@ object Bench {
         "q81_pq_ann", "q84_gopher_quality",
         // late-r5 additions: heaviest new text op, a sketch, an event-
         // analytics query — same rule, still outside the 17-query total
-        "q88_boilerplate_lines", "q92_cms_grid", "q94_cohort_retention")
+        "q88_boilerplate_lines", "q92_cms_grid", "q94_cohort_retention",
+        // final-r5 additions: the heaviest series-stats op (q102 windows
+        // the full minute grid), the acf window+agg, the LM model joins
+        "q100_acf", "q102_mad_anomaly", "q103_lm_support")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")
