@@ -2961,6 +2961,32 @@ object Queries {
             |  n_unk * 100 >= n_big * 50 AS is_lowq
             |FROM sc""".stripMargin))
 
+  val q104 = Q("q104_trailing_mad",
+    // trailing-window MAD flags (graft.ops.SeriesStats.trailingMadAnomaly,
+    // last-4-rows window, k=3): q102's exact integer surface with a
+    // past-only frame, so every flag is final on arrival — the batch
+    // definition the StreamingAnomaly live face is spec-equal to.
+    (s, d) => ntz(graft.ops.SeriesStats.trailingMadAnomaly(
+      minuteCountSeries(s, d), Seq("event_type"), "ts", "x", win = 4, k = 3), "ts"),
+    Some(raw"""WITH $minuteSeriesDuck,
+              |w AS (SELECT event_type, ts, x,
+              |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY ts
+              |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS win
+              |  FROM f),
+              |m AS (SELECT event_type, ts, x, win, len(win) AS n,
+              |    CASE WHEN len(win) % 2 = 1 THEN 2 * win[(len(win)+1)//2]
+              |         ELSE win[len(win)//2] + win[len(win)//2 + 1] END AS med2
+              |  FROM w),
+              |d AS (SELECT event_type, ts, x, med2, n,
+              |    list_sort(list_transform(win, v -> abs(2*v - med2))) AS dev2 FROM m),
+              |z AS (SELECT event_type, ts, x, med2,
+              |    CASE WHEN n % 2 = 1 THEN 2 * dev2[(n+1)//2]
+              |         ELSE dev2[n//2] + dev2[n//2 + 1] END AS mad4
+              |  FROM d)
+              |SELECT event_type, ts, x, CAST(med2 AS BIGINT) AS med2, CAST(mad4 AS BIGINT) AS mad4,
+              |  (2 * abs(2*x - med2) > 3 * mad4) AS is_anomaly
+              |FROM z""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2969,6 +2995,6 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102, q103
+    q96, q97, q98, q99, q100, q101, q102, q103, q104
   )
 }

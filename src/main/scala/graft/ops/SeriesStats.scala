@@ -149,10 +149,38 @@ object SeriesStats {
       halfWin: Int,
       k: Int): DataFrame = {
     require(halfWin >= 1, s"halfWin must be >= 1, got $halfWin")
+    madFlags(df, keyCols, tsCol, valueCol, -halfWin.toLong, halfWin.toLong, k)
+  }
+
+  /** Trailing-window variant: the window is the last `win` rows INCLUDING
+    * the current one — each row's flag depends only on the past, so it is
+    * immediately final (the property [[graft.streaming.StreamingAnomaly]]
+    * exploits: no watermark, flags emit as rows arrive). Same exact
+    * integer med2/mad4 surface as [[rollingMadAnomaly]].
+    */
+  def trailingMadAnomaly(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      win: Int,
+      k: Int): DataFrame = {
+    require(win >= 2, s"win must be >= 2, got $win")
+    madFlags(df, keyCols, tsCol, valueCol, -(win - 1).toLong, 0L, k)
+  }
+
+  private def madFlags(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      frameLo: Long,
+      frameHi: Long,
+      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
-      .rowsBetween(-halfWin, halfWin)
+      .rowsBetween(frameLo, frameHi)
     val x = col(valueCol).cast("long")
     val withWin = df
       .select(keys :+ col(tsCol) :+ x.as("x"): _*)
