@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate | ann
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate | ann | distinct | anomaly
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -560,12 +560,68 @@ object Main {
     }
   }
 
+  /** anomaly — robust median/MAD outlier flags over a series or tier
+    * table (engine-new; the live counterpart of the reference's
+    * running-RMS pre-trigger screening, signal/rms.py:15-60). Keys:
+    * input, output, key_cols (comma list, default conv_id,metric),
+    * ts_col (default chunk_start — tier tables from `rollup`/
+    * `streamrollup` work unchanged), value_col (default n), win (rows,
+    * default 9), k (default 3), and mode:
+    *
+    *  - `batch` (default): trailing window via
+    *    SeriesStats.trailingMadAnomaly; `centered=true` switches to the
+    *    ±halfWin centered window (win must then be odd).
+    *  - `stream`: input is a LIVE parquet dir (e.g. the streamrollup 1m
+    *    sink); StreamingAnomaly.flags runs as a resumable AvailableNow
+    *    query (checkpoint under output/_checkpoints) — rerun with no new
+    *    input files is a no-op, flags are final on arrival (no
+    *    watermark). The key is concat_ws("\u0001", key_cols) — trailing
+    *    state is per composite key.
+    */
+  def anomaly(spark: SparkSession, c: Conf): String = {
+    import graft.ops.SeriesStats
+    import graft.streaming.StreamingAnomaly
+    val keyCols = c.get("key_cols", "conv_id,metric").split(",").map(_.trim).toSeq
+    val tsCol = c.get("ts_col", "chunk_start")
+    val valueCol = c.get("value_col", "n")
+    val win = c.int("win", 9)
+    val k = c.int("k", 3)
+    c.get("mode", "batch") match {
+      case "batch" =>
+        val in = spark.read.parquet(c("input"))
+        val flags =
+          if (c.bool("centered", false)) {
+            require(win % 2 == 1, s"centered mode needs an odd win, got $win")
+            SeriesStats.rollingMadAnomaly(in, keyCols, tsCol, valueCol, (win - 1) / 2, k)
+          } else SeriesStats.trailingMadAnomaly(in, keyCols, tsCol, valueCol, win, k)
+        flags.write.mode("overwrite").parquet(c("output"))
+        val n = spark.read.parquet(c("output")).where(col("is_anomaly")).count()
+        s"anomaly: $n flagged rows -> ${c("output")}"
+      case "stream" =>
+        import org.apache.spark.sql.streaming.Trigger
+        val out = c("output")
+        val inSchema = spark.read.parquet(c("input")).schema
+        val keyed = spark.readStream.schema(inSchema).parquet(c("input"))
+          .withColumn("__key", concat_ws("\u0001", keyCols.map(col): _*))
+        val q = StreamingAnomaly.flags(keyed, "__key", tsCol, valueCol, win, k)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$out/flags")
+          .option("checkpointLocation", s"$out/_checkpoints/flags")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val n = spark.read.parquet(s"$out/flags").where(col("is_anomaly")).count()
+        s"anomaly stream: $n flagged rows so far (resumable) -> $out/flags"
+      case m => throw new IllegalArgumentException(s"unknown anomaly mode '$m'")
+    }
+  }
+
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
     "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
     "retention" -> retention, "curate" -> curate, "ann" -> ann,
-    "distinct" -> distinctCmd)
+    "distinct" -> distinctCmd, "anomaly" -> anomaly)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

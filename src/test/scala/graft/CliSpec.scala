@@ -364,6 +364,59 @@ class CliSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("explicit pairs table"), ex.getMessage)
   }
 
+  test("anomaly command: batch flags a tier table; stream mode is resumable and equals batch") {
+    import org.apache.spark.sql.functions._
+    // tier-1 rollup of a small transcript set = the table a user points
+    // the command at (chunk_start/n columns are the defaults)
+    val t = Transcripts.generate(spark, 3, 400).toDF()
+    val tier = graft.ops.Rollup.fromPoints(
+      graft.ops.Ingest.series(t, 60), "minute").cache()
+    val tierDir = Files.createTempDirectory("anom-in").toString + "/tier"
+    tier.write.parquet(tierDir)
+
+    // batch mode: library equality
+    val outB = out()
+    val msg = cli.Main.run("anomaly", conf(
+      "input" -> tierDir, "output" -> outB, "win" -> "5", "k" -> "3"))
+    assert(msg.startsWith("anomaly:"))
+    val got = spark.read.parquet(outB)
+    val want = graft.ops.SeriesStats.trailingMadAnomaly(
+      tier, Seq("conv_id", "metric"), "chunk_start", "n", win = 5, k = 3)
+    assert(got.count() == want.count() && got.count() == tier.count())
+    val cols = got.columns.toSeq
+    val diff = got.union(want.select(cols.map(col): _*))
+      .groupBy(cols.map(col): _*).count().where(col("count") =!= 2)
+    assert(diff.count() == 0, "CLI batch flags differ from the library call")
+
+    // centered mode rejects an even window with a usable message
+    val e = intercept[IllegalArgumentException](cli.Main.run("anomaly", conf(
+      "input" -> tierDir, "output" -> out(), "centered" -> "true", "win" -> "4")))
+    assert(e.getMessage.contains("odd win"))
+
+    // stream mode: flags equal the batch trailing operator on the
+    // composite key, and a rerun with no new input is a no-op
+    val outS = Files.createTempDirectory("anom-out").toString
+    val msgS = cli.Main.run("anomaly", conf(
+      "input" -> tierDir, "output" -> outS, "mode" -> "stream",
+      "win" -> "5", "k" -> "3"))
+    assert(msgS.contains("resumable"))
+    val flags = spark.read.parquet(s"$outS/flags")
+    assert(flags.count() == tier.count())
+    val wantS = want.select(
+      concat_ws("\u0001", col("conv_id"), col("metric")).as("key"),
+      col("chunk_start").as("ts"), col("x"),
+      col("med2"), col("mad4"), col("is_anomaly"))
+    val colsS = flags.columns.toSeq
+    val diffS = flags.union(wantS.select(colsS.map(col): _*))
+      .groupBy(colsS.map(col): _*).count().where(col("count") =!= 2)
+    assert(diffS.count() == 0, "streamed flags differ from batch trailing operator")
+    val n0 = flags.count()
+    cli.Main.run("anomaly", conf(
+      "input" -> tierDir, "output" -> outS, "mode" -> "stream",
+      "win" -> "5", "k" -> "3"))
+    assert(spark.read.parquet(s"$outS/flags").count() == n0, "rerun not a no-op")
+  }
+
   test("unknown command and missing keys fail with usable messages") {
     intercept[IllegalArgumentException](cli.Main.run("nope", conf("input" -> "x")))
     val e = intercept[IllegalArgumentException](
