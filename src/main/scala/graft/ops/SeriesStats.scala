@@ -47,9 +47,15 @@ object SeriesStats {
       valueCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    // the output/internal names below would shadow a key of the same name
+    val reserved = Set("x", "y", "lag", "__x", "__ts") ++
+      (1 to maxLag).map(k => s"y_$k")
+    require(!keyCols.exists(reserved), s"keyCols may not use the reserved " +
+      s"names ${reserved.toSeq.sorted.mkString(", ")} — rename the column first")
     val keys = keyCols.map(col)
     // internal aliases so the window resolves after the rename (and so a
-    // valueCol/tsCol named like a key cannot collide)
+    // valueCol/tsCol named like a key cannot collide; key names themselves
+    // are guarded by the require above)
     val w = Window.partitionBy(keys: _*).orderBy(col("__ts"))
     // all leads ride one window sort; stack() unpivots to (lag, y) rows
     val leads = (1 to maxLag).map(k => lead(col("__x"), k).over(w).as(s"y_$k"))

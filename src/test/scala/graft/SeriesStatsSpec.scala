@@ -59,6 +59,18 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("acf: refuses key columns whose names collide with internals") {
+    val df = minuteDf((0 to 3).map(i => ("A", i, i.toLong)))
+    for (bad <- Seq("x", "y", "lag", "y_2")) {
+      val e = intercept[IllegalArgumentException] {
+        SeriesStats.acf(df.withColumnRenamed("k", bad), Seq(bad), "ts", "x", maxLag = 2)
+      }
+      assert(e.getMessage.contains(bad) || e.getMessage.contains("reserved"))
+    }
+    // y_3 is only reserved when maxLag reaches 3
+    SeriesStats.acf(df.withColumnRenamed("k", "y_3"), Seq("y_3"), "ts", "x", maxLag = 2)
+  }
+
   test("transitions: counts and row-normalized p; event_id tiebreak") {
     import spark.implicits._
     // u1: A->B->A (B,A tie on ts broken by event_id), u2: A->B
