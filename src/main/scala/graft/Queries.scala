@@ -2987,6 +2987,93 @@ object Queries {
               |  (2 * abs(2*x - med2) > 3 * mad4) AS is_anomaly
               |FROM z""".stripMargin))
 
+  /** PII-laced text derived deterministically from the documents table —
+    * the synthetic corpus is word-soup (letters only), so q105 injects
+    * emails/phones/IPs from doc_id arithmetic, identically in both
+    * engines, then scrubs them. Presence varies by doc (mod-classes) so
+    * the counts exercise 0 and 1 per category.
+    */
+  private val piiTextSpark: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 3 === 0, concat(lit("mail u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org "))).otherwise(lit("")),
+    substring(coalesce(col("text"), lit("")), 1, 80),
+    when(col("doc_id") % 4 === 1, concat(lit(" call +31"),
+      (col("doc_id") + 6000000L).cast("string"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 2, concat(lit(" or "), (col("doc_id") % 900 + 100).cast("string"),
+      lit("-555-"), (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+
+  private val piiTextDuck: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'mail u' || CAST(doc_id AS VARCHAR) || '@ex'
+      |   || CAST(doc_id % 7 AS VARCHAR) || '.org ' ELSE '' END)
+      | || substr(coalesce(text, ''), 1, 80)
+      | || (CASE WHEN doc_id % 4 = 1 THEN ' call +31' || CAST(doc_id + 6000000 AS VARCHAR) ELSE '' END)
+      | || (CASE WHEN doc_id % 5 = 2 THEN ' or ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+      |   || '-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END)
+      | || (CASE WHEN doc_id % 2 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |   || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)""".stripMargin.replace("\n", " ")
+
+  val q105 = Q("q105_pii_scrub",
+    // PII redaction (graft.ops.TrainPrep.scrubPii): sequential
+    // email→phone→IP regex passes, each category counted on the text as
+    // it stands when scrubbed. The patterns use only the Java-regex ∩ RE2
+    // common subset (char classes, bounded quantifiers, \b, alternation)
+    // so the full CLEAN STRING hash-matches RE2 byte-for-byte — the
+    // privacy-scrub stage every released corpus runs (pure per-row map,
+    // zero shuffle)
+    (s, d) => graft.ops.TrainPrep.scrubPii(
+      docs(s, d).select(col("doc_id"), piiTextSpark.as("text")), "text")
+      .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"),
+        col("n_ips").cast("long").as("n_ips"), col("clean")),
+    Some(raw"""WITH t AS (SELECT doc_id, $piiTextDuck AS text FROM documents),
+              |s1 AS (SELECT doc_id,
+              |    len(regexp_extract_all(text, '${graft.ops.TrainPrep.EmailRe}')) AS n_emails,
+              |    regexp_replace(text, '${graft.ops.TrainPrep.EmailRe}', '<EMAIL>', 'g') AS t FROM t),
+              |s2 AS (SELECT doc_id, n_emails,
+              |    len(regexp_extract_all(t, '${graft.ops.TrainPrep.PhoneRe}')) AS n_phones,
+              |    regexp_replace(t, '${graft.ops.TrainPrep.PhoneRe}', '<PHONE>', 'g') AS t FROM s1)
+              |SELECT doc_id, n_emails, n_phones,
+              |  len(regexp_extract_all(t, '${graft.ops.TrainPrep.IpRe}')) AS n_ips,
+              |  regexp_replace(t, '${graft.ops.TrainPrep.IpRe}', '<IP>', 'g') AS clean
+              |FROM s2""".stripMargin))
+
+  val q106 = Q("q106_seq_packing",
+    // GPT-style sequence packing (graft.ops.TrainPrep.pack): docs laid
+    // head-to-tail in (md5-shard, id) order, token stream cut every 128
+    // tokens — which training sequences each doc lands in. One shuffle on
+    // the shard key; the per-shard cumsum is the parallelism unit, no
+    // global sort anywhere
+    (s, d) => graft.ops.TrainPrep.pack(docs(s, d), "doc_id", "text",
+      budget = 128, nShards = 8),
+    Some(s"""WITH b AS (SELECT doc_id, (${duckBucket("doc_id")}) % 8 AS shard,
+            |    CAST(len($tokensDuck) AS BIGINT) AS n_tok FROM documents),
+            |o AS (SELECT doc_id, shard, n_tok,
+            |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+            |  FROM b WHERE n_tok >= 1)
+            |SELECT doc_id, shard, n_tok, tok_offset,
+            |  tok_offset // 128 AS first_seq,
+            |  (tok_offset + n_tok - 1) // 128 AS last_seq,
+            |  (tok_offset + n_tok - 1) // 128 - tok_offset // 128 + 1 AS n_seqs
+            |FROM o""".stripMargin))
+
+  val q107 = Q("q107_token_chunks",
+    // sliding-window chunking (graft.ops.TrainPrep.chunk): 32-token
+    // windows at stride 24, final windows partial, chunk text rebuilt
+    // from the token array (canonical single-space) — the long-context /
+    // retrieval splitter. Pure per-row explode, zero shuffle
+    (s, d) => graft.ops.TrainPrep.chunk(docs(s, d), "doc_id", "text",
+      chunkSize = 32, stride = 24),
+    Some(s"""WITH w AS (SELECT doc_id, $tokensDuck AS ws FROM documents),
+            |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w WHERE len(ws) >= 1),
+            |e AS (SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 24)) AS tok_start FROM n)
+            |SELECT doc_id, tok_start // 24 AS chunk_idx, tok_start,
+            |  least(32, n - tok_start) AS tok_len,
+            |  array_to_string(list_slice(ws, tok_start + 1, tok_start + least(32, n - tok_start)), ' ') AS chunk_text
+            |FROM e""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -2995,6 +3082,6 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102, q103, q104
+    q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107
   )
 }

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 0..255 from the first two md5 hex digits — integer arithmetic end to
-    * end so the oracle needs no float discipline.
+    * end so the oracle needs no float discipline. Public: the ONE bucket
+    * definition every deterministic-assignment operator shares
+    * ([[hashSplit]]/[[rebalance]] here, [[TrainPrep.pack]]'s shard key).
     */
-  private def bucketCol(idCol: String) =
+  def bucketCol(idCol: String) =
     expr(s"cast(conv(substr(md5(cast($idCol as string)), 1, 2), 16, 10) as int)")
 
   /** Deterministic train/val/test assignment by hash bucket:

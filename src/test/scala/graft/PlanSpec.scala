@@ -437,4 +437,25 @@ class PlanSpec extends AnyFunSuite {
       s"acf pairing uses a join above the window instead of lead():\n$p")
     assert("Window \\[".r.findAllIn(p).size == 1, s"expected one window:\n$p")
   }
+
+  test("q105 pii / q107 chunks: pure per-row maps — zero exchange, no join, no UDF") {
+    for (q <- Seq(Queries.q105, Queries.q107)) {
+      val p = plan(q.fn(spark, "/root/testdata/sf0.001"))
+      assert(!p.contains("Exchange"), s"${q.name} shuffles a per-row map:\n$p")
+      assert(!p.contains("Join"), s"${q.name} joins in a per-row map:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"${q.name} fell off codegen onto a UDF:\n$p")
+    }
+  }
+
+  test("q106 packing: ONE shard-keyed exchange feeds the cumsum window — no global sort") {
+    val p = plan(Queries.q106.fn(spark, "/root/testdata/sf0.001"))
+    // hashpartitioning(shard) → per-shard window sort; a global order-by
+    // (rangepartitioning) or a second exchange would serialize packing
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1,
+      s"expected exactly one shard-keyed exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected ONE exchange total:\n$p")
+    assert(!p.contains("rangepartitioning"), s"packing degraded to a global sort:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1, s"expected one cumsum window:\n$p")
+  }
 }
