@@ -213,7 +213,10 @@ object Bench {
         "q88_boilerplate_lines", "q92_cms_grid", "q94_cohort_retention",
         // final-r5 additions: the heaviest series-stats op (q102 windows
         // the full minute grid), the acf window+agg, the LM model joins
-        "q100_acf", "q102_mad_anomaly", "q103_lm_support")
+        "q100_acf", "q102_mad_anomaly", "q103_lm_support",
+        // trainer last-mile: the 3-pass regex scrub (regex cost per row)
+        // and the shard-window packing (the one-exchange cumsum)
+        "q105_pii_scrub", "q106_seq_packing")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

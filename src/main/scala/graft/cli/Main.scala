@@ -15,7 +15,7 @@ import graft.ops.{Correlate, Ingest, Postprocess, Timelapse, Trigger}
   *
   * {{{
   * spark-submit --class graft.cli.Main xcorrspark.jar <command> <config.properties>
-  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate | ann | distinct | anomaly
+  * commands: cc | snr | ct | psd | plmax | timelapse | beamform | rollup | dedup | asof | streamrollup | retention | curate | prep | ann | distinct | anomaly
   * }}}
   *
   * The config is a flat java.util.Properties file; every command reads
@@ -361,6 +361,44 @@ object Main {
     s"curate -> ${c("output")} ($counts)"
   }
 
+  /** prep — the trainer-facing last mile over a kept corpus
+    * (graft.ops.TrainPrep), downstream of `curate`: PII scrub, then
+    * token-budget sequence packing over the CLEAN text, then optional
+    * sliding-window chunks. Keys: input, output, id_col (doc_id),
+    * text_col (text), budget (2048), shards (64), chunk_size (0 = skip
+    * the chunk output), stride (chunk_size/2 when unset). Outputs:
+    * output/clean (docs + redaction counts + clean text), output/packing
+    * (per-doc sequence placement), output/chunks (when chunk_size > 0).
+    * Packing and chunking read the STORED clean table back (one scrub
+    * pass, not one per stage).
+    */
+  def prep(spark: SparkSession, c: Conf): String = {
+    import graft.ops.TrainPrep
+    val idCol = c.get("id_col", "doc_id")
+    val textCol = c.get("text_col", "text")
+    val out = c("output")
+    val clean = TrainPrep.scrubPii(spark.read.parquet(c("input")), textCol)
+    clean.write.mode("overwrite").parquet(s"$out/clean")
+    val stored = spark.read.schema(clean.schema).parquet(s"$out/clean")
+    val packed = TrainPrep.pack(stored, idCol, "clean",
+      budget = c.int("budget", 2048), nShards = c.int("shards", 64))
+    packed.write.mode("overwrite").parquet(s"$out/packing")
+    // total training sequences = Σ_shard (max last_seq + 1); one tiny agg
+    val seqs = spark.read.schema(packed.schema).parquet(s"$out/packing")
+      .groupBy("shard").agg(max(col("last_seq")).as("m"))
+      .agg(coalesce(sum(col("m") + 1L), lit(0L))).collect()(0).getLong(0)
+    val scrubbed = stored
+      .where(col("n_emails") + col("n_phones") + col("n_ips") > 0).count()
+    val chunkMsg = c.int("chunk_size", 0) match {
+      case n if n > 0 =>
+        val ch = TrainPrep.chunk(stored, idCol, "clean", n, c.int("stride", math.max(n / 2, 1)))
+        ch.write.mode("overwrite").parquet(s"$out/chunks")
+        s", ${spark.read.schema(ch.schema).parquet(s"$out/chunks").count()} chunks"
+      case _ => ""
+    }
+    s"prep -> $out ($scrubbed docs scrubbed, $seqs sequences$chunkMsg)"
+  }
+
   /** asof — as-of enrichment of an event table from a reference table.
     * Keys: left, right (parquet paths), output, keys (comma-separated),
     * left_ts, right_ts, pick (comma-separated right columns),
@@ -621,7 +659,7 @@ object Main {
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
     "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
     "retention" -> retention, "curate" -> curate, "ann" -> ann,
-    "distinct" -> distinctCmd, "anomaly" -> anomaly)
+    "distinct" -> distinctCmd, "anomaly" -> anomaly, "prep" -> prep)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

@@ -417,6 +417,37 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outS/flags").count() == n0, "rerun not a no-op")
   }
 
+  test("prep command: clean/packing/chunks outputs equal the library ops; chunks optional") {
+    import org.apache.spark.sql.functions._
+    val docsP = Files.createTempDirectory("cli-prep").toString + "/docs"
+    // lace deterministic PII into the word-soup corpus so the scrub bites
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, concat(lit(" u"), col("doc_id").cast("string"),
+          lit("@mail.example"))).otherwise(lit(""))))
+      .write.parquet(docsP)
+    val o1 = out()
+    val msg = cli.Main.run("prep", conf("input" -> docsP, "output" -> o1,
+      "budget" -> "64", "shards" -> "4", "chunk_size" -> "16"))
+    assert(msg.contains("docs scrubbed") && msg.contains("sequences") && msg.contains("chunks"), msg)
+    val docs = spark.read.parquet(docsP)
+    val wantClean = graft.ops.TrainPrep.scrubPii(docs, "text")
+    val gotClean = spark.read.parquet(s"$o1/clean")
+    assert(gotClean.exceptAll(wantClean).count() == 0 && wantClean.exceptAll(gotClean).count() == 0)
+    // 125 of 500 docs carry the injected email and must be flagged
+    assert(gotClean.where(col("n_emails") > 0).count() == 125)
+    val wantPack = graft.ops.TrainPrep.pack(wantClean, "doc_id", "clean", 64, 4)
+    val gotPack = spark.read.parquet(s"$o1/packing")
+    assert(gotPack.exceptAll(wantPack).count() == 0 && wantPack.exceptAll(gotPack).count() == 0)
+    val wantChunks = graft.ops.TrainPrep.chunk(wantClean, "doc_id", "clean", 16, 8)
+    val gotChunks = spark.read.parquet(s"$o1/chunks")
+    assert(gotChunks.exceptAll(wantChunks).count() == 0 && wantChunks.exceptAll(gotChunks).count() == 0)
+    // chunk_size unset -> no chunks dir, message without the chunk clause
+    val o2 = out()
+    val msg2 = cli.Main.run("prep", conf("input" -> docsP, "output" -> o2))
+    assert(!msg2.contains("chunks") && !new java.io.File(s"$o2/chunks").exists(), msg2)
+  }
+
   test("unknown command and missing keys fail with usable messages") {
     intercept[IllegalArgumentException](cli.Main.run("nope", conf("input" -> "x")))
     val e = intercept[IllegalArgumentException](
