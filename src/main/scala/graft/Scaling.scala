@@ -63,7 +63,24 @@ object Scaling {
   private val lo = sys.env.getOrElse("SCALE_LO", "8").toInt
   private val hi = 4 * lo
 
-  private def session(cores: Int): SparkSession = {
+  /** One bounded retry on executor-registration failure: successive
+    * local-cluster sessions in one JVM occasionally race the previous
+    * cluster's teardown (the Worker logs "Shutdown hooks cannot be
+    * modified during shutdown" and never launches executors) — a
+    * harness-bringup flake, not a measured quantity; the retry rebuilds
+    * from a clean stop and the registration gate still applies.
+    */
+  private def session(cores: Int): SparkSession =
+    try sessionOnce(cores)
+    catch {
+      case e: IllegalArgumentException
+          if mode == "cluster" && e.getMessage.contains("failed to register") =>
+        System.err.println(s"[scaling] $e — retrying session bringup once")
+        Thread.sleep(15000)
+        sessionOnce(cores)
+    }
+
+  private def sessionOnce(cores: Int): SparkSession = {
     val master =
       if (mode == "cluster") {
         require(sys.env.contains("SPARK_HOME"),
