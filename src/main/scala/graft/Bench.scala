@@ -216,7 +216,11 @@ object Bench {
         "q100_acf", "q102_mad_anomaly", "q103_lm_support",
         // trainer last-mile: the 3-pass regex scrub (regex cost per row)
         // and the shard-window packing (the one-exchange cumsum)
-        "q105_pii_scrub", "q106_seq_packing")
+        "q105_pii_scrub", "q106_seq_packing",
+        // viz/tier/passage wave: M4 over the 216k-row minute grid (two
+        // bounded aggs), and the positional shingle self-join + diagonal
+        // run windows (the heaviest new shape)
+        "q108_m4_downsample", "q112_shared_spans")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

@@ -3074,6 +3074,127 @@ object Queries {
             |  array_to_string(list_slice(ws, tok_start + 1, tok_start + least(32, n - tok_start)), ' ') AS chunk_text
             |FROM e""".stripMargin))
 
+  val q108 = Q("q108_m4_downsample",
+    // M4 pixel-bucket downsampling (graft.ops.Rollup.m4, VLDB'14) over
+    // the gap-filled minute series: 256 buckets per event_type, each
+    // keeping {min, max, first, last, n} — the error-free line-chart
+    // reduction, LTTB's deterministic sibling (q23). Bucket index is pure
+    // BIGINT µs arithmetic; all stats are integer extrema / arg-extrema
+    // on the unique grid ts, so the table is hash-exact by construction.
+    (s, d) => ntz(graft.ops.Rollup.m4(
+      minuteCountSeries(s, d), Seq("event_type"), "ts", "x", width = 256), "ts_first"),
+    Some(raw"""WITH $minuteSeriesDuck,
+              |sp AS (SELECT event_type, min(epoch_us(ts)) AS t0u, max(epoch_us(ts)) AS t1u
+              |  FROM f GROUP BY 1),
+              |bk AS (SELECT f.event_type,
+              |    ((epoch_us(f.ts) - sp.t0u) * 256) // (sp.t1u - sp.t0u + 1) AS bucket,
+              |    f.ts, f.x
+              |  FROM f JOIN sp ON f.event_type = sp.event_type)
+              |SELECT event_type, bucket, count(*) AS n, min(x) AS x_min, max(x) AS x_max,
+              |  arg_min(x, ts) AS x_first, arg_max(x, ts) AS x_last, min(ts) AS ts_first
+              |FROM bk GROUP BY 1, 2""".stripMargin))
+
+  val q109 = Q("q109_hist_by_day",
+    // mergeable distribution tier (graft.ops.Sketch.histByKey): per
+    // (event_type, day), 20 equi-width bins of `value` over [0, 500) —
+    // integer counts, ONE IEEE bin expression per row; the day tables are
+    // the retention-tier unit q110 folds.
+    (s, d) => ntz(graft.ops.Sketch.histByKey(
+      ev(s, d).withColumn("day", date_trunc("day", col("ts"))),
+      Seq("event_type", "day"), "value", lo = 0.0, hi = 500.0, nBins = 20), "day"),
+    Some("""SELECT event_type, date_trunc('day', ts) AS day,
+           |  LEAST(19, GREATEST(0, CAST(floor((value - 0.0) * 20 / 500.0) AS INTEGER))) AS bin,
+           |  count(*) AS cnt
+           |FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3""".stripMargin))
+
+  val q110 = Q("q110_hist_fold",
+    // the histogram tier law, oracle-shaped like q97's HLL fold: folding
+    // the per-day bin counts to event_type (graft.ops.Sketch.histFold,
+    // sum per bin) must equal the histogram computed directly over all
+    // rows — bin-exact, the property that lets a 100 TB scan build days
+    // once and answer any coarser tier without revisiting raw data.
+    (s, d) => graft.ops.Sketch.histFold(
+      graft.ops.Sketch.histByKey(
+        ev(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        Seq("event_type", "day"), "value", lo = 0.0, hi = 500.0, nBins = 20),
+      Seq("event_type")),
+    Some("""SELECT event_type,
+           |  LEAST(19, GREATEST(0, CAST(floor((value - 0.0) * 20 / 500.0) AS INTEGER))) AS bin,
+           |  count(*) AS cnt
+           |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin))
+
+  /** q111's input: the q12-pattern count series at HOUR resolution (720
+    * grid steps over the 30-day span — the recursion depth the oracle's
+    * recursive CTE replays).
+    */
+  private def hourCountSeries(s: SparkSession, d: String): DataFrame = {
+    val b = ev(s, d).groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val spans = b.groupBy(col("event_type")).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = spans.select(col("event_type"),
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("ts"))
+    grid.join(b, grid("event_type") === b("event_type") && grid("ts") === b("h"), "left")
+      .select(grid("event_type"), grid("ts"), coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  private val hourSeriesDuck =
+    raw"""b AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1),
+         |g AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM s),
+         |f AS (SELECT g.event_type, g.ts, CAST(coalesce(b.c, 0) AS BIGINT) AS x
+         |  FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.ts = b.h)""".stripMargin
+
+  val q111 = Q("q111_ewma_hourly",
+    // α=1/2 EWMA smoothing (graft.ops.SeriesStats.ewma) over the hourly
+    // count series: sₜ = (xₜ + sₜ₋₁)/2 — halving is exact in binary, so
+    // the per-key recursion (typed flatMapSortedGroups, O(1) state) is
+    // bit-identical to the oracle's recursive CTE evaluating the same
+    // IEEE ops in the same series order. No rounding anywhere.
+    (s, d) => graft.ops.SeriesStats.ewma(
+      hourCountSeries(s, d), "event_type", "ts", "x"),
+    Some(raw"""WITH RECURSIVE $hourSeriesDuck,
+              |fi AS (SELECT event_type, ts, x,
+              |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts) AS BIGINT) AS idx
+              |  FROM f),
+              |r AS (SELECT event_type, ts, idx, x, CAST(x AS DOUBLE) AS ewma
+              |    FROM fi WHERE idx = 1
+              |  UNION ALL
+              |  SELECT fi.event_type, fi.ts, fi.idx, fi.x,
+              |    (CAST(fi.x AS DOUBLE) + r.ewma) / 2
+              |  FROM fi JOIN r ON fi.event_type = r.event_type AND fi.idx = r.idx + 1)
+              |SELECT event_type, ts, x, ewma FROM r""".stripMargin))
+
+  val q112 = Q("q112_shared_spans",
+    // passage-level dedup (graft.ops.Dedup.sharedSpans): matching 3-gram
+    // positions per doc pair grouped into diagonal runs (constant p1−p2,
+    // consecutive p1) — a run of r shingles is a verbatim shared passage
+    // of r+2 tokens. Per pair: longest run, run count, matched positions
+    // — aggregate-only (no argmax row: the q57 tie lesson), exact
+    // integers; the dfCap=100 stop-shingle anti-join applies identically
+    // in the oracle (the q36 discipline).
+    (s, d) => graft.ops.Dedup.sharedSpans(docs(s, d), "doc_id", "text",
+      n = 3, dfCap = 100, minRun = 2),
+    Some(s"""WITH toks AS (SELECT doc_id, $tokensDuck AS a FROM documents WHERE len($tokensDuck) >= 3),
+            |sh AS (SELECT doc_id,
+            |    unnest(generate_series(0, len(a) - 3)) AS pos,
+            |    unnest(list_transform(generate_series(1, len(a) - 2),
+            |      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS sh
+            |  FROM toks),
+            |rare AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 100),
+            |shc AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN rare USING (sh)),
+            |hits AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.pos AS p1, x.pos - y.pos AS diag
+            |  FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+            |isl AS (SELECT d1, d2, diag, p1,
+            |    p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+            |  FROM hits),
+            |runs AS (SELECT d1, d2, diag, grp, count(*) AS run_len
+            |  FROM isl GROUP BY 1, 2, 3, 4)
+            |SELECT d1, d2, max(run_len) AS max_run,
+            |  count(*) FILTER (WHERE run_len >= 2) AS n_runs,
+            |  CAST(sum(run_len) AS BIGINT) AS matched
+            |FROM runs GROUP BY 1, 2 HAVING max(run_len) >= 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3082,6 +3203,7 @@ object Queries {
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107
+    q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
+    q108, q109, q110, q111, q112
   )
 }

@@ -314,4 +314,57 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** Passage-level shared spans: for every document pair, the matching
+    * word n-gram positions grouped into DIAGONAL RUNS — maximal stretches
+    * where both documents advance token-for-token (constant p1 − p2 with
+    * consecutive p1). A run of r shingles is a verbatim shared passage of
+    * r + n − 1 tokens: the substring-level signal document-level Jaccard
+    * ([[ngramJaccard]]) blurs away, and the unit "dedup the repeated
+    * passages, keep the documents" pipelines act on.
+    *
+    * Per pair (d1 < d2): `max_run` (longest run, in shingles), `n_runs`
+    * (runs of length ≥ minRun), `matched` (total matching positions, =
+    * Σ run lengths). Aggregate-only output — no argmax row, so no tie
+    * ambiguity (the q57 lesson). All values are exact integers.
+    *
+    * Scale shape: positions explode once; shingles in more than `dfCap`
+    * positions corpus-wide are anti-joined out BEFORE the self-join
+    * (identically in the oracle), bounding every join key's fan-out by
+    * dfCap², exactly the [[ngramJaccard]] discipline — AQE picks
+    * broadcast vs shuffled anti-join from the hot set's real size. The
+    * run detection is one window sort keyed (d1, d2, diag) — bounded by
+    * matched positions, not document length.
+    */
+  def sharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, dfCap: Int = 100, minRun: Int = 1
+  ): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    import org.apache.spark.sql.expressions.Window
+    // duplicates KEPT (unlike shingles()): positions are the payload
+    val pos = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(shingleArrayExpr("__toks", n))).as(Seq("pos", "sh")))
+    val hot = pos.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") > dfCap).select(col("sh"))
+    val rare = pos.join(hot, Seq("sh"), "left_anti")
+    val hits = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.pos").as("p1"), (col("x.pos") - col("y.pos")).as("diag"))
+    val w = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    val runs = hits
+      // consecutive p1 at fixed diag share (p1 − row_number): the island id
+      .withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("d1"), col("d2"))
+      .agg(
+        max(col("run_len")).as("max_run"),
+        count(when(col("run_len") >= minRun, 1)).as("n_runs"),
+        sum(col("run_len")).as("matched"))
+      .where(col("max_run") >= minRun)
+  }
 }

@@ -290,4 +290,51 @@ object Rollup {
       Seq(col("conv_id"), col("metric"), date_trunc(chunkUnit, col("ts")).as("chunk")))
     pass(stage1, Seq(col("conv_id"), col("metric")))
   }
+
+  /** M4 visualization downsampler (Jugel et al., VLDB 2014): per key,
+    * divide the key's [t0, t1] span into `width` equal pixel buckets and
+    * keep {min, max, first, last} of the value per bucket — the
+    * error-free rasterization set for line charts, the deterministic
+    * complement to [[lttbTier]] (LTTB picks perceptual keepers; M4 is
+    * exactly the four extremes a `width`-pixel canvas can show).
+    *
+    * Exactness: the bucket index is pure BIGINT arithmetic on microsecond
+    * epochs — `(tsU − t0U) · width DIV (t1U − t0U + 1)` (the +1 makes the
+    * half-open span cover t1 without a conditional; max lag 30 d in µs ×
+    * width 2²⁰ stays far under 2⁶³) — and the four stats are integer
+    * extrema / `min_by`/`max_by` on the (unique per key) grid ts, so the
+    * output hashes identically under any partitioning.
+    *
+    * Scale shape: one map-side-combined span agg (2 longs per key), one
+    * broadcast-or-AQE join of that tiny span table, one final
+    * map-side-combined bucket agg. Output ≤ keys × width rows regardless
+    * of input volume; no window sort, no per-key history in memory.
+    */
+  def m4(points: DataFrame, keyCols: Seq[String], tsCol: String,
+         valCol: String, width: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val reserved = Set("__tu", "__x", "bucket", "n", "x_min", "x_max",
+      "x_first", "x_last", "t0u", "t1u", "ts_min")
+    require(!keyCols.exists(reserved), s"keyCols may not use the reserved " +
+      s"names ${reserved.toSeq.sorted.mkString(", ")} — rename the column first")
+    val keys = keyCols.map(col)
+    val base = points.select(
+      keys :+ unix_micros(col(tsCol)).as("__tu") :+ col(valCol).cast("long").as("__x"): _*)
+    val spans = base.groupBy(keys: _*)
+      .agg(min(col("__tu")).as("t0u"), max(col("__tu")).as("t1u"))
+    base.join(spans, keyCols)
+      .withColumn("bucket",
+        expr(s"((__tu - t0u) * $width) div (t1u - t0u + 1)"))
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__x")).as("x_min"),
+        max(col("__x")).as("x_max"),
+        min_by(col("__x"), col("__tu")).as("x_first"),
+        max_by(col("__x"), col("__tu")).as("x_last"),
+        min(col("__tu")).as("ts_min"))
+      .select(keys ++ Seq(col("bucket"), col("n"), col("x_min"), col("x_max"),
+        col("x_first"), col("x_last"),
+        timestamp_micros(col("ts_min")).cast("timestamp_ntz").as("ts_first")): _*)
+  }
 }

@@ -204,4 +204,45 @@ object SeriesStats {
       .select(keys :+ col(tsCol) :+ col("x") :+ col("med2") :+ col("mad4") :+
         col("is_anomaly"): _*)
   }
+
+  /** Exponentially-weighted moving average with α = 1/2 over a regular
+    * integer series: s₀ = x₀, sₜ = (xₜ + sₜ₋₁) / 2 — the streaming
+    * smoother the reference's running-RMS plays for amplitude
+    * (`/root/reference/xcorr/signal/rms.py:15-60`); α = 1/2 halves are
+    * EXACT binary operations, so the recursion is bit-deterministic: any
+    * engine evaluating (x + s)/2 in series order produces the identical
+    * IEEE doubles (the q111 oracle replays it as a recursive CTE).
+    *
+    * Scale shape: ONE shuffle on the key, then `flatMapSortedGroups` —
+    * O(1) state per key (the previous smoothed value), nothing collected;
+    * keys are the parallelism unit exactly as in the streaming rollup.
+    * A window-function form would need a running product over the full
+    * prefix (no Spark built-in) or an O(n²) self-join; the typed sorted
+    * iterator is the Dataset-native recursion.
+    *
+    * Output: (key, ts [NTZ], x, ewma).
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    require(!Set("tu", "ewma").exists(Set(keyCol, tsCol, valueCol)),
+      "tu and ewma are reserved names here — rename the column first")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val base = df.select(col(keyCol).cast("string").as("k"),
+      unix_micros(col(tsCol)).as("tu"), col(valueCol).cast("long").as("x"))
+      .as[(String, Long, Long)]
+    base.groupByKey(_._1)
+      .flatMapSortedGroups(col("tu")) { (k, it) =>
+        var s = 0.0
+        var first = true
+        it.map { case (_, tu, x) =>
+          s = if (first) { first = false; x.toDouble } else (x.toDouble + s) / 2.0
+          (k, tu, x, s)
+        }
+      }
+      .toDF(keyCol, "tu", valueCol, "ewma")
+      .select(col(keyCol),
+        timestamp_micros(col("tu")).cast("timestamp_ntz").as(tsCol),
+        col(valueCol), col("ewma"))
+  }
 }

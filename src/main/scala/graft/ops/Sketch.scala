@@ -110,6 +110,38 @@ object Sketch {
     grouped.groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(max(col("register")).as("register"))
 
+  /** Equi-width histogram per `keyCols` tuple: non-empty bins of
+    * `floor((v − lo) · nBins / (hi − lo))` clamped to [0, nBins−1] — the
+    * mergeable quantile/distribution summary for retention tiers. Counts
+    * are exact integers and the bin expression is ONE IEEE evaluation per
+    * row on constants, so the table hashes identically in any engine; bins
+    * compose EXACTLY across tiers by adding counts ([[histFold]]), the
+    * property HLL registers have under max and Gorilla chunks lack
+    * entirely. Output: keyCols..., bin, cnt (absent bins are zero).
+    *
+    * Scale shape: one map-side-combined groupBy; ≤ keys × nBins rows out.
+    */
+  def histByKey(df: DataFrame, keyCols: Seq[String], valCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(!keyCols.contains("bin") && !keyCols.contains("cnt"),
+      "keyCols may not use the reserved names bin, cnt")
+    val keys = keyCols.map(col)
+    val binc = least(lit(nBins - 1), greatest(lit(0),
+      floor((col(valCol) - lit(lo)) * lit(nBins) / lit(hi - lo)).cast("int")))
+    df.where(col(valCol).isNotNull)
+      .groupBy(keys :+ binc.as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold grouped histograms to coarser keys by summing bin counts — the
+    * exact tier law: histFold(histByKey(df, day ++ ks), ks) ==
+    * histByKey(df, ks) row-for-row (oracle-gated). */
+  def histFold(hist: DataFrame, keyCols: Seq[String]): DataFrame =
+    hist.groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Cardinality estimate from a register table: the standard bias-corrected
     * harmonic mean with the small-range (linear counting) correction.
     * Returns one row: (m, occupied, estimate). Absent buckets are empty

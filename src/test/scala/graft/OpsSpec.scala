@@ -841,4 +841,50 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4L) == (1L, 1L, 1.0, true))
     assert(r.keySet == Set(1L, 2L, 4L)) // bench rows and short docs excluded
   }
+
+  test("Rollup.m4: pixel buckets keep exact {n,min,max,first,last} per key") {
+    import spark.implicits._
+    // 10 minute-grid points, width=2: span 540e6 µs, bucket boundary
+    // between i=4 (240e6·2 < 540e6+1) and i=5 (300e6·2 > 540e6+1)
+    val vals = Seq(5L, 1L, 9L, 3L, 7L, 2L, 8L, 4L, 6L, 0L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("A", i, v) }
+      .toDF("k", "min", "x")
+      .select(col("k"), timestamp_seconds(lit(1704067200L) + col("min") * 60).as("ts"), col("x"))
+    val out = graft.ops.Rollup.m4(df, Seq("k"), "ts", "x", width = 2)
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getAs[Long]("bucket") == 0L && b0.getAs[Long]("n") == 5L)
+    assert(b0.getAs[Long]("x_min") == 1L && b0.getAs[Long]("x_max") == 9L)
+    assert(b0.getAs[Long]("x_first") == 5L && b0.getAs[Long]("x_last") == 7L)
+    val b1 = out(1)
+    assert(b1.getAs[Long]("bucket") == 1L && b1.getAs[Long]("n") == 5L)
+    assert(b1.getAs[Long]("x_min") == 0L && b1.getAs[Long]("x_max") == 8L)
+    assert(b1.getAs[Long]("x_first") == 2L && b1.getAs[Long]("x_last") == 0L)
+    // every bucket's stats are reconstructible from the raw slice: totals agree
+    assert(out.map(_.getAs[Long]("n")).sum == vals.length)
+  }
+
+  test("Dedup.sharedSpans: diagonal runs measure verbatim shared passages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y"),        // one diag-constant run of 3 shingles
+      (3L, "c d e q a b c")         // two isolated single-shingle matches
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.sharedSpans(docs, "doc_id", "text", n = 3,
+        dfCap = 100, minRun = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getAs[Long]("max_run"), x.getAs[Long]("n_runs"), x.getAs[Long]("matched"))).toMap
+    // (1,2): "a b c","b c d","c d e" at constant diag -1, consecutive p1
+    assert(r((1L, 2L)) == (3L, 1L, 3L), s"got ${r.get((1L, 2L))}")
+    // (1,3) and (2,3): same two shingles but on different diagonals -> runs of 1
+    assert(r((1L, 3L)) == (1L, 2L, 2L))
+    assert(r((2L, 3L)) == (1L, 2L, 2L))
+    // minRun prunes: only the (1,2) passage survives a 2-shingle floor
+    val pruned = graft.ops.Dedup.sharedSpans(docs, "doc_id", "text", n = 3,
+      dfCap = 100, minRun = 2).collect()
+    assert(pruned.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pruned.head.getAs[Long]("n_runs") == 1L)
+  }
 }

@@ -448,6 +448,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 m4 / q111 ewma: tier shapes stay equi-joined, no global sort") {
+    // m4: the tiny span table joins back on the key EQUI-join (AQE may
+    // broadcast it); a theta-join or range partitioning would make the
+    // pixel bucketing quadratic / serialized at corpus scale
+    val m4 = plan(Queries.q108.fn(spark, "/root/testdata/sf0.001"))
+    assert(!m4.contains("NestedLoop") && !m4.contains("CartesianProduct"),
+      s"m4 span join degraded to a non-equi join:\n$m4")
+    assert(!m4.contains("rangepartitioning"), s"m4 introduced a global sort:\n$m4")
+    // ewma: the recursion rides ONE key-hash exchange into the sorted
+    // groups (local sort only); a global order-by would serialize all keys
+    val ew = plan(Queries.q111.fn(spark, "/root/testdata/sf0.001"))
+    assert(!ew.contains("rangepartitioning"), s"ewma degraded to a global sort:\n$ew")
+    assert(!ew.contains("CartesianProduct") && !ew.contains("NestedLoop"),
+      s"ewma gap-fill join degraded:\n$ew")
+  }
+
+  test("q112 shared spans: positional self-join is equi on the shingle, one run window") {
+    val p = plan(Queries.q112.fn(spark, "/root/testdata/sf0.001"))
+    // sh-equality must be the join key (d1<d2 is a post-condition);
+    // Cartesian/BNLJ here is O(positions²) at corpus scale
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"span join degraded to a non-equi join:\n$p")
+    // exactly one window sort (the diagonal-run islands)
+    assert("Window \\[".r.findAllIn(p).size == 1, s"expected one run window:\n$p")
+  }
+
   test("q106 packing: ONE shard-keyed exchange feeds the cumsum window — no global sort") {
     val p = plan(Queries.q106.fn(spark, "/root/testdata/sf0.001"))
     // hashpartitioning(shard) → per-shard window sort; a global order-by

@@ -104,4 +104,18 @@ class SeriesStatsSpec extends AnyFunSuite {
     // dev2 sorted [0,0,0,90] -> mad4 = dev2[2]+dev2[3] = 0 (1-indexed)
     assert(out(1).getAs[Long]("med2") == 10L && out(1).getAs[Long]("mad4") == 0L)
   }
+
+  test("ewma: alpha=1/2 recursion is exact per key and sorted by ts") {
+    val df = minuteDf(
+      Seq(4L, 8L, 2L, 10L).zipWithIndex.map { case (v, i) => ("A", i, v) } ++
+        Seq(1L, 2L).zipWithIndex.map { case (v, i) => ("B", i, v) })
+    val out = SeriesStats.ewma(df, "k", "ts", "x")
+      .orderBy("k", "ts").collect()
+    // A: s0=4, s1=(8+4)/2=6, s2=(2+6)/2=4, s3=(10+4)/2=7; B: 1, 1.5
+    assert(out.map(_.getAs[Double]("ewma")).toSeq ==
+      Seq(4.0, 6.0, 4.0, 7.0, 1.0, 1.5))
+    assert(out.map(_.getAs[Long]("x")).toSeq == Seq(4L, 8L, 2L, 10L, 1L, 2L))
+    // key B's recursion restarts at its own first value, not A's tail
+    assert(out(4).getAs[Double]("ewma") == 1.0)
+  }
 }

@@ -95,6 +95,25 @@ class SketchSpec extends AnyFunSuite {
       rows(Sketch.hllRegisters(ev, "user_id")))
   }
 
+  test("histByKey: clamped equi-width bins by hand; histFold == direct") {
+    import spark.implicits._
+    // lo=0 hi=100 nBins=4 -> width 25; out-of-range clamps to edge bins
+    val df = Seq(("A", -5.0), ("A", 0.0), ("A", 24.9), ("A", 25.0),
+      ("A", 99.9), ("A", 100.0), ("A", 250.0), ("B", 50.0))
+      .toDF("k", "v")
+    val got = Sketch.histByKey(df, Seq("k"), "v", lo = 0.0, hi = 100.0, nBins = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(("A", 0, 3L), ("A", 1, 1L), ("A", 3, 3L), ("B", 2, 1L)))
+    // tier law on real data: fold(per-day hists) == direct histogram
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("day", date_trunc("day", col("ts")))
+    val byDay = Sketch.histByKey(ev, Seq("event_type", "day"), "value", 0.0, 500.0, 20)
+    assert(rows(Sketch.histFold(byDay, Seq("event_type"))
+        .select(col("event_type"), col("bin"), col("cnt"))) ==
+      rows(Sketch.histByKey(ev, Seq("event_type"), "value", 0.0, 500.0, 20)
+        .select(col("event_type"), col("bin"), col("cnt").cast("long"))))
+  }
+
   test("StreamingSketch: sealed-window registers == batch hllRegistersBy on the same days") {
     val evB = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("sketch-in").toString
