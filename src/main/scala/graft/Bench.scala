@@ -220,7 +220,10 @@ object Bench {
         // viz/tier/passage wave: M4 over the 216k-row minute grid (two
         // bounded aggs), and the positional shingle self-join + diagonal
         // run windows (the heaviest new shape)
-        "q108_m4_downsample", "q112_shared_spans")
+        "q108_m4_downsample", "q112_shared_spans",
+        // Lloyd step: 64-way posexplode into a map-side-combined
+        // (cent_id, dim) agg — the fixed-point reproducible-mean shape
+        "q114_kmeans_refine")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

@@ -3195,6 +3195,66 @@ object Queries {
             |  CAST(sum(run_len) AS BIGINT) AS matched
             |FROM runs GROUP BY 1, 2 HAVING max(run_len) >= 2""".stripMargin))
 
+  val q113 = Q("q113_cusum",
+    // two-sided CUSUM changepoint detection (graft.ops.SeriesStats.cusum,
+    // Page 1954) over the hourly count series: sp/sn accumulate deviations
+    // beyond slack k=1 from the per-key integer mean, alarm above h=30.
+    // EVERY quantity is a BIGINT (mu = sum div n is floor division of
+    // non-negative counts) — the recursion is exact, no IEEE anywhere, so
+    // the oracle's recursive CTE replays it bit-for-bit (q111's discipline
+    // without even the float determinism argument).
+    (s, d) => graft.ops.SeriesStats.cusum(
+      hourCountSeries(s, d), "event_type", "ts", "x", k = 1L, h = 30L),
+    Some(raw"""WITH RECURSIVE $hourSeriesDuck,
+              |m AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS mu
+              |  FROM f GROUP BY 1),
+              |fi AS (SELECT f.event_type, f.ts, f.x, m.mu,
+              |    CAST(row_number() OVER (PARTITION BY f.event_type ORDER BY f.ts) AS BIGINT) AS idx
+              |  FROM f JOIN m USING (event_type)),
+              |r AS (SELECT event_type, ts, idx, x, mu,
+              |    greatest(0, x - mu - 1) AS sp, greatest(0, mu - x - 1) AS sn
+              |    FROM fi WHERE idx = 1
+              |  UNION ALL
+              |  SELECT fi.event_type, fi.ts, fi.idx, fi.x, fi.mu,
+              |    greatest(0, r.sp + fi.x - fi.mu - 1),
+              |    greatest(0, r.sn + fi.mu - fi.x - 1)
+              |  FROM fi JOIN r ON fi.event_type = r.event_type AND fi.idx = r.idx + 1)
+              |SELECT event_type, ts, x, mu, sp AS cusum_pos, sn AS cusum_neg,
+              |  (sp > 30 OR sn > 30) AS is_shift FROM r""".stripMargin))
+
+  val q114 = Q("q114_kmeans_refine",
+    // one Lloyd refinement step for the coarse quantizer (graft.ops
+    // .Similarity.kmeansRefine) — the clustering stage of SemDeDup-style
+    // semantic dedup. Assignment is q44's max-cosine broadcast fold
+    // (ties to lowest cent_id); the centroid update accumulates each
+    // component in FIXED-POINT (floor(x·2^20) as BIGINT — exact: float32
+    // times a power of two is exact in double), so the integer sums
+    // commute and the refined centroids hash identically under any
+    // partitioning; c_new is one double division over exact integers.
+    (s, d) => graft.ops.Similarity.kmeansRefine(emb(s, d), nCentroids = 8),
+    Some {
+      def dotD(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+      def cosD(a: String, b: String) =
+        s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         |ac AS (SELECT e.vec_id, e.v, c.cent_id, ${cosD("e.v", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c),
+         |assigned AS (SELECT vec_id, v, cent_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+         |  FROM ac) WHERE rk = 1),
+         |fx AS (SELECT cent_id,
+         |    CAST(unnest(generate_series(0, 63)) AS INTEGER) AS dim,
+         |    unnest(list_transform(range(1, 65),
+         |      i -> CAST(floor(v[i] * 1048576) AS BIGINT))) AS fx
+         |  FROM assigned)
+         |SELECT cent_id, dim, count(*) AS n, CAST(sum(fx) AS BIGINT) AS sum_fx,
+         |  round(CAST(sum(fx) AS BIGINT) / (1048576 * count(*)), 9) AS c_new
+         |FROM fx GROUP BY 1, 2""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3204,6 +3264,6 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112
+    q108, q109, q110, q111, q112, q113, q114
   )
 }

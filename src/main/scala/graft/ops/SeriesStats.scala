@@ -245,4 +245,60 @@ object SeriesStats {
         timestamp_micros(col("tu")).cast("timestamp_ntz").as(tsCol),
         col(valueCol), col("ewma"))
   }
+
+  /** Two-sided CUSUM changepoint detector (Page 1954) over a regular
+    * integer series — the sequential mean-shift test that complements the
+    * pointwise MAD flags ([[rollingMadAnomaly]]): a level shift too small
+    * to trip any single-point threshold accumulates here until it alarms.
+    *
+    *   sp_t = max(0, sp_{t-1} + (x_t − μ − k))   (upward shift)
+    *   sn_t = max(0, sn_{t-1} + (μ − x_t − k))   (downward shift)
+    *   is_shift = sp_t > h OR sn_t > h
+    *
+    * with μ = the key's reference level (per-key integer mean,
+    * sum(x) div n — floor division of non-negative counts, identical in
+    * any engine), k the slack per step, h the decision threshold. Every
+    * quantity is a BIGINT: the recursion is EXACT, no IEEE anywhere, so
+    * the q113 oracle replays it as a recursive CTE bit-for-bit.
+    *
+    * Scale shape: one map-side-combined agg for μ (2 longs per key, joined
+    * back via AQE-broadcast), then ONE shuffle on the key and
+    * `flatMapSortedGroups` with O(1) state (two longs) — same shape as
+    * [[ewma]]; keys are the parallelism unit.
+    *
+    * Output: (key, ts [NTZ], x, mu, cusum_pos, cusum_neg, is_shift).
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      k: Long, h: Long): DataFrame = {
+    require(k >= 0, s"slack k must be >= 0, got $k")
+    require(h >= 0, s"threshold h must be >= 0, got $h")
+    require(!Set("tu", "mu", "cusum_pos", "cusum_neg", "is_shift")
+      .exists(Set(keyCol, tsCol, valueCol)),
+      "tu, mu, cusum_pos, cusum_neg, is_shift are reserved names here — " +
+        "rename the column first")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val base0 = df.select(col(keyCol).cast("string").as("k"),
+      unix_micros(col(tsCol)).as("tu"), col(valueCol).cast("long").as("x"))
+    val mu = base0.groupBy(col("k"))
+      .agg(expr("sum(x) div count(*)").as("mu"))
+    val base = base0.join(mu, "k")
+      .select(col("k"), col("tu"), col("x"), col("mu"))
+      .as[(String, Long, Long, Long)]
+    base.groupByKey(_._1)
+      .flatMapSortedGroups(col("tu")) { (key, it) =>
+        var spos = 0L
+        var sneg = 0L
+        it.map { case (_, tu, x, m) =>
+          spos = math.max(0L, spos + (x - m - k))
+          sneg = math.max(0L, sneg + (m - x - k))
+          (key, tu, x, m, spos, sneg, spos > h || sneg > h)
+        }
+      }
+      .toDF(keyCol, "tu", valueCol, "mu", "cusum_pos", "cusum_neg", "is_shift")
+      .select(col(keyCol),
+        timestamp_micros(col("tu")).cast("timestamp_ntz").as(tsCol),
+        col(valueCol), col("mu"), col("cusum_pos"), col("cusum_neg"),
+        col("is_shift"))
+  }
 }

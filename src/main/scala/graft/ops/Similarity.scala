@@ -367,4 +367,47 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), round(d, 9).as("l2sq"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** Fixed-point scale for [[kmeansRefine]]'s reproducible accumulation:
+    * float32 × 2²⁰ is EXACT in a double (power-of-two scaling only moves
+    * the exponent), and floor of an exact double is engine-independent.
+    */
+  val kmeansFx = 1048576L // 2^20
+
+  /** One Lloyd refinement step for the coarse quantizer — the k-means
+    * iteration that turns [[ivfTopK]]'s deterministic seed centroids
+    * (lowest `nCentroids` ids) into data-centered ones, and the clustering
+    * stage of SemDeDup-style semantic dedup (cluster embeddings, then
+    * near-dup within clusters — [[cosineNearDup]] downstream).
+    *
+    * The update is REPRODUCIBLE at any partitioning: a naive
+    * sum-of-doubles centroid mean depends on partition visit order (float
+    * addition is not associative), so instead each component is
+    * accumulated in FIXED-POINT — `floor(x · 2²⁰)` as BIGINT (exact: a
+    * float32 times a power of two is exact in double, floor of an exact
+    * double is unambiguous) — and divided back out once at the end. The
+    * integer sums commute, so the refined centroid hashes identically on
+    * 1 executor or 1000 (partitioning-invariance spec-gated; the q114
+    * oracle replays the same arithmetic in SQL).
+    *
+    * Scale shape: assignment is [[ivfAssign]]'s zero-exchange broadcast
+    * fold; the update posexplodes to (cent_id, dim) rows whose groupBy
+    * partial-aggregates map-side, so the ONE exchange carries ≤ partitions
+    * × k × dim pre-combined rows — never the raw vectors. Output: k × dim
+    * rows (cent_id, dim, n, sum_fx, c_new round-9).
+    */
+  def kmeansRefine(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = ivfAssign(e, cents)
+    assigned
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("cent_id"), col("dim"),
+        floor(col("x") * lit(kmeansFx)).cast("long").as("fx"))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("fx")).as("sum_fx"))
+      .select(col("cent_id"), col("dim"), col("n"), col("sum_fx"),
+        round(col("sum_fx") / (lit(kmeansFx) * col("n")), 9).as("c_new"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable summary sketches — the cardinality / frequency layer a 100 TB
@@ -123,16 +123,23 @@ object Sketch {
     */
   def histByKey(df: DataFrame, keyCols: Seq[String], valCol: String,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
-    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     require(!keyCols.contains("bin") && !keyCols.contains("cnt"),
       "keyCols may not use the reserved names bin, cnt")
     val keys = keyCols.map(col)
-    val binc = least(lit(nBins - 1), greatest(lit(0),
-      floor((col(valCol) - lit(lo)) * lit(nBins) / lit(hi - lo)).cast("int")))
     df.where(col(valCol).isNotNull)
-      .groupBy(keys :+ binc.as("bin"): _*)
+      .groupBy(keys :+ binExpr(valCol, lo, hi, nBins).as("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The ONE histogram bin definition (shared by [[histByKey]] and the
+    * streaming face): `floor((v − lo) · nBins / (hi − lo))` clamped to
+    * [0, nBins−1] — a single IEEE expression per row on constants.
+    */
+  def binExpr(valCol: String, lo: Double, hi: Double, nBins: Int): Column = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    least(lit(nBins - 1), greatest(lit(0),
+      floor((col(valCol) - lit(lo)) * lit(nBins) / lit(hi - lo)).cast("int")))
   }
 
   /** Fold grouped histograms to coarser keys by summing bin counts — the

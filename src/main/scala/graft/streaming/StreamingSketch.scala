@@ -52,4 +52,22 @@ object StreamingSketch {
         col("__cell.c").as("cms_col"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("day"), col("cms_row"), col("cms_col"), col("cnt"))
+
+  /** Per-(tumbling window, bin) equi-width histogram over a stream — the
+    * q109 surface, live: counts compose, so state per open window is ≤
+    * nBins integer cells, sealed windows equal the batch
+    * [[graft.ops.Sketch.histByKey]] over the same sealed rows (spec-gated),
+    * and sealed day tables fold to coarser tiers by per-bin SUM
+    * ([[graft.ops.Sketch.histFold]] — the q110 law).
+    */
+  def histByWindow(events: DataFrame, tsCol: String, valCol: String,
+      lo: Double, hi: Double, nBins: Int,
+      span: String = "1 day", lateness: String = "0 seconds"): DataFrame = {
+    events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .where(col(valCol).isNotNull)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), span), Sketch.binExpr(valCol, lo, hi, nBins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("day"), col("bin"), col("cnt"))
+  }
 }

@@ -120,6 +120,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want, s"$got vs $want")
   }
 
+  test("kmeansRefine: centroid = assigned mean within fixed-point ulp; partitioning-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.kmeansRefine(emb, nCentroids = 8)
+    val got = out.collect()
+    assert(got.length == 8 * 64) // every centroid keeps its seed member, so none is empty
+    // local oracle: assign by max cosine (tie -> lowest cent_id), then the
+    // per-dim float mean; the fixed-point mean must agree to within the
+    // quantization step 2^-20 (floor error < 1 ulp of the scale per row)
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = (0L until 8L).map(id => id -> local(id))
+    val assign = local.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }
+    val wantMean = assign.groupBy(_._2).map { case (cid, m) =>
+      val vs = m.keys.toSeq.map(local)
+      cid -> (0 until 64).map(j => vs.map(_(j)).sum / vs.size)
+    }
+    got.foreach { r =>
+      val (cid, dim, cNew) = (r.getAs[Long]("cent_id"), r.getAs[Int]("dim"),
+        r.getAs[Double]("c_new"))
+      assert(math.abs(cNew - wantMean(cid)(dim)) < 2.0 / (1 << 20) + 1e-9,
+        s"centroid $cid dim $dim: $cNew vs ${wantMean(cid)(dim)}")
+    }
+    // exact hash invariance: the integer sums commute under repartitioning
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toString).toSet
+    assert(rows(out) == rows(Similarity.kmeansRefine(
+      emb.repartition(13), nCentroids = 8)))
+  }
+
   test("pq: codebook self-encodes, planted duplicate retrieved at adc 0, recall shape") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // every codebook vector's slice is closest to itself in all 8 subspaces

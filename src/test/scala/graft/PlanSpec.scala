@@ -175,6 +175,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
   }
 
+  test("kmeansRefine: one partial-agg exchange; the vectors themselves never shuffle") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.kmeansRefine(e, nCentroids = 8))
+    // assignment is the ivfAssign broadcast fold (zero exchange); the ONE
+    // hash exchange is the (cent_id, dim) groupBy, and it must sit above a
+    // map-side partial aggregate so it carries <= partitions*k*dim combined
+    // rows, never the exploded vector components
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange (the centroid-update groupBy):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"centroid update not map-side combined before the exchange:\n$p")
+    assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
+    assert(!"Window \\[".r.findFirstIn(p).isDefined, s"window on the refine path:\n$p")
+  }
+
   test("pqEncode: zero-exchange broadcast fold — the codes path never shuffles the corpus") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = plan(graft.ops.Similarity.pqEncode(e))

@@ -118,4 +118,35 @@ class SeriesStatsSpec extends AnyFunSuite {
     // key B's recursion restarts at its own first value, not A's tail
     assert(out(4).getAs[Double]("ewma") == 1.0)
   }
+
+  test("cusum: hand-computed two-sided recursion; per-key integer mean; restart per key") {
+    // A: x = 10,10,22,10 -> mu = 52 div 4 = 13; k=1, h=5
+    //   sp: max(0,10-13-1)=0, 0, 0+22-13-1=8, 8+10-13-1=4
+    //   sn: 13-10-1=2, 2+13-10-1=4, max(0,4+13-22-1)=0, 0+13-10-1=2
+    //   alarms at t3 only (sp=8 > 5)
+    // B: single point x=5 -> mu=5, sp=sn=max(0,-1)=0
+    val df = minuteDf(
+      Seq(10L, 10L, 22L, 10L).zipWithIndex.map { case (v, i) => ("A", i, v) } ++
+        Seq(("B", 0, 5L)))
+    val out = SeriesStats.cusum(df, "k", "ts", "x", k = 1L, h = 5L)
+      .orderBy("k", "ts").collect()
+    assert(out.map(_.getAs[Long]("mu")).toSeq == Seq(13L, 13L, 13L, 13L, 5L))
+    assert(out.map(_.getAs[Long]("cusum_pos")).toSeq == Seq(0L, 0L, 8L, 4L, 0L))
+    assert(out.map(_.getAs[Long]("cusum_neg")).toSeq == Seq(2L, 4L, 0L, 2L, 0L))
+    assert(out.map(_.getAs[Boolean]("is_shift")).toSeq ==
+      Seq(false, false, true, false, false))
+  }
+
+  test("cusum: partitioning-invariant (pure BIGINT domain) and reserved-name guard") {
+    val df = minuteDf(for {
+      k <- Seq("A", "B", "C"); i <- 0 until 50
+    } yield (k, i, ((i * 7 + k.hashCode.abs) % 23).toLong))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toString).toSet
+    val a = SeriesStats.cusum(df, "k", "ts", "x", k = 0L, h = 10L)
+    val b = SeriesStats.cusum(df.repartition(7), "k", "ts", "x", k = 0L, h = 10L)
+    assert(rows(a) == rows(b) && a.count() == 150)
+    intercept[IllegalArgumentException] {
+      SeriesStats.cusum(df.withColumnRenamed("x", "mu"), "k", "ts", "mu", 1L, 5L)
+    }
+  }
 }

@@ -164,6 +164,29 @@ class SketchSpec extends AnyFunSuite {
     assert(rows(got) == rows(want))
   }
 
+  test("StreamingSketch hist: sealed-window bins == batch histByKey per day") {
+    val evB = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("hist-in").toString
+    evB.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(evB.schema).parquet(dir)
+    val q = graft.streaming.StreamingSketch
+      .histByWindow(streamIn, "ts", "value", lo = 0.0, hi = 500.0, nBins = 20,
+        span = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("stream_hist")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT day, bin, cnt FROM stream_hist")
+    val maxTs = evB.agg(max("ts")).head.get(0)
+    val want = Sketch.histByKey(
+        evB.withColumn("day", date_trunc("day", col("ts"))), Seq("day"),
+        "value", lo = 0.0, hi = 500.0, nBins = 20)
+      .where(col("day") + expr("interval 1 day") <= lit(maxTs))
+      .withColumn("day", col("day").cast("timestamp"))
+      .select("day", "bin", "cnt")
+    assert(got.count() > 0 && rows(got) == rows(want))
+  }
+
   // ---------------------------------------------------------- heavy hitters
 
   test("heavyHitters: equals the exact full groupBy, under any partitioning") {
