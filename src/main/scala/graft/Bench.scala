@@ -223,7 +223,10 @@ object Bench {
         "q108_m4_downsample", "q112_shared_spans",
         // Lloyd step: 64-way posexplode into a map-side-combined
         // (cent_id, dim) agg — the fixed-point reproducible-mean shape
-        "q114_kmeans_refine")
+        "q114_kmeans_refine",
+        // winnowing fingerprint self-join (bucketed candidate pairs) and
+        // the per-row trigram-profile language ID scan
+        "q116_winnow_pairs", "q117_langid")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

@@ -3255,6 +3255,113 @@ object Queries {
          |FROM fx GROUP BY 1, 2""".stripMargin
     })
 
+  /** DuckDB replica of WinnowUtil's normalize+hash pipeline: per doc, the
+    * filtered ASCII-folded codepoint list, then the k=5 polynomial rolling
+    * hashes (direct O(k) sums — max term 122*257^4 < 2^63, mod at the end).
+    */
+  private val winnowHashesDuck: String =
+    """cs AS (SELECT doc_id,
+      |    list_filter(list_transform(range(1, length(coalesce(text, '')) + 1),
+      |      i -> CASE WHEN unicode(substr(coalesce(text, ''), i, 1)) BETWEEN 97 AND 122
+      |             THEN unicode(substr(coalesce(text, ''), i, 1))
+      |           WHEN unicode(substr(coalesce(text, ''), i, 1)) BETWEEN 65 AND 90
+      |             THEN unicode(substr(coalesce(text, ''), i, 1)) + 32
+      |           WHEN unicode(substr(coalesce(text, ''), i, 1)) BETWEEN 48 AND 57
+      |             THEN unicode(substr(coalesce(text, ''), i, 1))
+      |           END), c -> c IS NOT NULL) AS cs
+      |  FROM documents),
+      |hs AS (SELECT doc_id, len(cs) - 4 AS m,
+      |    list_transform(range(1, greatest(len(cs) - 4, 0) + 1),
+      |      i -> (cs[i]*4362470401 + cs[i+1]*16974593 + cs[i+2]*66049
+      |            + cs[i+3]*257 + cs[i+4]) % 1000000007) AS hs
+      |  FROM cs WHERE len(cs) >= 5)""".stripMargin
+
+  val q115 = Q("q115_winnow_fp",
+    // winnowing document fingerprints (graft.functions.WinnowFingerprints,
+    // the MOSS rolling-hash algorithm, k=5 w=4): the DISTINCT rightmost-min
+    // (pos, hash) selections over every w-window of k-gram hashes. The
+    // kernel is one codegen'd byte pass per row; the oracle replays the
+    // identical integer arithmetic with list functions and picks each
+    // window's rightmost minimum via list_position over the reversed slice.
+    // Every output is exact-integer -> hash gate.
+    (s, d) => graft.ops.Winnow.fingerprints(docs(s, d), "doc_id", "text", k = 5, w = 4),
+    Some(s"""WITH $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |sel AS (SELECT doc_id, e,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp,
+    -- reversed-slice index p maps back to global hash index e - p + 1
+            |    e - list_position(list_reverse(list_slice(hs, greatest(1, e - 3), e)),
+            |                      list_min(list_slice(hs, greatest(1, e - 3), e))) + 1 AS pos0
+            |  FROM win)
+            |SELECT DISTINCT doc_id,
+            |  CAST(pos0 AS INTEGER) AS pos, CAST(fp AS BIGINT) AS fp
+            |FROM sel""".stripMargin))
+
+  val q116 = Q("q116_winnow_pairs",
+    // winnowing near-dup candidates (graft.ops.Winnow.candidatePairs): the
+    // bucketed self-equi-join on fingerprint VALUES with the MOSS
+    // document-frequency cap (df in [2, 50]) applied BEFORE the join — the
+    // skew guard that bounds bucket fan-out at corpus scale. n_shared =
+    // distinct shared hashes; pairs kept at >= 2 (one k+w-1 = 8-char run
+    // can collide by chance; two fingerprints mean two separate runs).
+    (s, d) => graft.ops.Winnow.candidatePairs(docs(s, d), "doc_id", "text",
+      k = 5, w = 4, minShared = 2, maxDf = 50),
+    Some(s"""WITH $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |fp AS (SELECT DISTINCT doc_id AS id,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp
+            |  FROM win),
+            |rare AS (SELECT fp FROM fp GROUP BY fp
+            |  HAVING count(*) BETWEEN 2 AND 50)
+            |SELECT x.id AS a, y.id AS b, count(DISTINCT x.fp) AS n_shared
+            |FROM fp x JOIN rare USING (fp) JOIN fp y USING (fp)
+            |WHERE x.id < y.id
+            |GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2""".stripMargin))
+
+  val q117 = Q("q117_langid",
+    // n-gram language ID (graft.ops.LangId — Cavnar-Trenkle profile
+    // scoring): padded char trigrams of the squeezed a-z text, rank-
+    // weighted BIGINT sums against the frozen en/de/es profiles, argmax
+    // with alpha-first ties plus the best-minus-runner-up margin. The
+    // synthetic corpus is word soup (its English-y vocabulary happens to
+    // be dense in de-profile endings like 'en '/'er ', so 'de' wins) — the
+    // gate checks the MECHANISM (exact scores under the identical literal
+    // profiles on both engines), not corpus realism; LangIdSpec classifies
+    // real en/de/es snippets correctly.
+    (s, d) => graft.ops.LangId.classify(docs(s, d), "text")
+      .select("doc_id", "s_de", "s_en", "s_es", "lang_pred", "margin"),
+    Some {
+      val profRows = graft.ops.LangId.profiles.toSeq.sortBy(_._1).flatMap {
+        case (l, ts) => ts.map { case (t, wt) => s"('$l', '$t', $wt)" }
+      }.mkString(", ")
+      s"""WITH prof(lang, tri, w) AS (VALUES $profRows),
+         |n AS (SELECT doc_id,
+         |    ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z]+', ' ', 'g')) || ' ' AS s
+         |  FROM documents),
+         |tg AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(s) - 1, 1)), i -> substr(s, i, 3))) AS g
+         |  FROM n WHERE length(s) >= 3),
+         |sc AS (SELECT tg.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN p.lang = 'de' THEN p.w END), 0) AS BIGINT) AS s_de,
+         |    CAST(coalesce(sum(CASE WHEN p.lang = 'en' THEN p.w END), 0) AS BIGINT) AS s_en,
+         |    CAST(coalesce(sum(CASE WHEN p.lang = 'es' THEN p.w END), 0) AS BIGINT) AS s_es
+         |  FROM tg LEFT JOIN prof p ON tg.g = p.tri GROUP BY 1),
+         |fl AS (SELECT d.doc_id, coalesce(sc.s_de, 0) AS s_de,
+         |    coalesce(sc.s_en, 0) AS s_en, coalesce(sc.s_es, 0) AS s_es
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, s_de, s_en, s_es,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+         |       WHEN s_en >= s_es THEN 'en' ELSE 'es' END AS lang_pred,
+         |  greatest(s_de, s_en, s_es)
+         |    - (s_de + s_en + s_es - greatest(s_de, s_en, s_es)
+         |       - least(s_de, s_en, s_es)) AS margin
+         |FROM fl""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3264,6 +3371,6 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117
   )
 }

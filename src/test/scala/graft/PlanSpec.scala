@@ -499,4 +499,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), s"packing degraded to a global sort:\n$p")
     assert("Window \\[".r.findAllIn(p).size == 1, s"expected one cumsum window:\n$p")
   }
+
+  test("q115 winnow fingerprints: pure map over the scan — zero exchange, codegen'd kernel") {
+    val p = plan(Queries.q115.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Exchange"), s"fingerprints must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"kernel must be an Expression, not a UDF:\n$p")
+    // '*(n)' prefix = operator runs inside whole-stage codegen stage n
+    assert("\\*\\(\\d+\\) Generate explode\\(winnowfingerprints".r.findFirstIn(p).isDefined,
+      s"kernel fell out of codegen:\n$p")
+  }
+
+  test("q116 winnow pairs: df-cap and self-join are hash equi-joins on fp — no nested loop") {
+    val p = plan(Queries.q116.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"candidate join degenerated to all-pairs:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash equi-joins on fp:\n$p")
+  }
+
+  test("q117 langid: per-row profile scan — zero exchange, no join, no UDF") {
+    val p = plan(Queries.q117.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Exchange"), s"langid must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"profiles are map literals, not a join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"scoring must be builtins:\n$p")
+  }
 }
