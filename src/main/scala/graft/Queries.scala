@@ -3362,6 +3362,104 @@ object Queries {
          |FROM fl""".stripMargin
     })
 
+  val q118 = Q("q118_ensemble_neardup",
+    // ensemble near-dup verdict: LEXICAL candidates (q116's winnow
+    // fingerprint pairs) cross-checked by the SEMANTIC leg (embedding
+    // cosine over the aligned doc_id=vec_id vectors, q40's round-9
+    // discipline). Production pipelines gate deletion on both legs
+    // agreeing — lexical-only pairs are often boilerplate collisions,
+    // semantic-only pairs are paraphrases a fingerprint can't see. Two
+    // hash equi-joins bring the vectors to the (already bucketed-join-
+    // bounded) candidate set; no new shuffle shape.
+    (s, d) => {
+      val pairs = graft.ops.Winnow.candidatePairs(docs(s, d), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
+      val e = emb(s, d).select(col("vec_id"), expr(vCast).as("v"))
+      pairs
+        .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+        .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+        .select(col("a"), col("b"), col("n_shared"),
+          round(expr(dotSpark.format("va", "vb")) /
+            (sqrt(expr(dotSpark.format("va", "va"))) *
+             sqrt(expr(dotSpark.format("vb", "vb")))), 9).as("cosine"))
+        .withColumn("both_agree", col("cosine") >= 0.2)
+    },
+    Some(s"""WITH $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |fp AS (SELECT DISTINCT doc_id AS id,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp
+            |  FROM win),
+            |rare AS (SELECT fp FROM fp GROUP BY fp
+            |  HAVING count(*) BETWEEN 2 AND 50),
+            |pairs AS (SELECT x.id AS a, y.id AS b, count(DISTINCT x.fp) AS n_shared
+            |  FROM fp x JOIN rare USING (fp) JOIN fp y USING (fp)
+            |  WHERE x.id < y.id
+            |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2),
+            |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |  FROM embeddings)
+            |SELECT a, b, n_shared,
+            |  round(list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+            |   / (sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])))
+            |      * sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])))), 9) AS cosine,
+            |  round(list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+            |   / (sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])))
+            |      * sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])))), 9) >= 0.2 AS both_agree
+            |FROM pairs JOIN ev ea ON pairs.a = ea.vec_id
+            |  JOIN ev eb ON pairs.b = eb.vec_id""".stripMargin))
+
+  val q119 = Q("q119_viz_serve",
+    // resolution-aware tier serving (graft.ops.Rollup.pickTierStep/serve):
+    // three dashboard requests over the same cascade, each resolving to a
+    // different tier — 2h/200pt -> 1m cells, 5d/200pt -> 1h, 28d/100pt ->
+    // 1d. The tier choice is pure integer arithmetic on request constants
+    // (ceil(span/step) <= maxPoints, finest wins), so the oracle hard-codes
+    // each request's step and aggregates raw events at that grain — equal
+    // iff BOTH the picker arithmetic and the tier composition are right.
+    // Sums are round-6 (reordering); first/last omitted (duplicate raw ts
+    // within a cell would make min_by ties engine-dependent).
+    (s, d) => {
+      val pts = ev(s, d).select(col("event_type").as("conv_id"),
+        lit("value").as("metric"), col("ts"), col("value"))
+      val (m1, h1, d1) = Rollup.cascade(pts)
+      val tiers = Map(60L -> m1, 3600L -> h1, 86400L -> d1)
+      def req(id: Int, t0: String, t1: String, mp: Long) =
+        Rollup.serve(tiers, java.sql.Timestamp.valueOf(t0),
+            java.sql.Timestamp.valueOf(t1), mp)
+          .select(lit(id).as("req_id"), col("step_sec"),
+            col("conv_id").as("event_type"), col("chunk_start"),
+            col("n"), round(col("sum"), 6).as("sum_v"),
+            col("min").as("min_v"), col("max").as("max_v"))
+      req(1, "2024-01-02 00:00:00", "2024-01-02 02:00:00", 200L)
+        .unionAll(req(2, "2024-01-05 00:00:00", "2024-01-10 00:00:00", 200L))
+        .unionAll(req(3, "2024-01-01 00:00:00", "2024-01-29 00:00:00", 100L))
+        .transform(x => ntz(x, "chunk_start"))
+    },
+    Some("""SELECT 1 AS req_id, CAST(60 AS BIGINT) AS step_sec, event_type,
+           |  date_trunc('minute', ts) AS chunk_start, count(*) AS n,
+           |  round(sum(value), 6) AS sum_v, min(value) AS min_v, max(value) AS max_v
+           |FROM events
+           |WHERE date_trunc('minute', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+           |  AND date_trunc('minute', ts) < TIMESTAMP '2024-01-02 02:00:00'
+           |GROUP BY 3, 4
+           |UNION ALL
+           |SELECT 2, CAST(3600 AS BIGINT), event_type,
+           |  date_trunc('hour', ts), count(*),
+           |  round(sum(value), 6), min(value), max(value)
+           |FROM events
+           |WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-05 00:00:00'
+           |  AND date_trunc('hour', ts) < TIMESTAMP '2024-01-10 00:00:00'
+           |GROUP BY 3, 4
+           |UNION ALL
+           |SELECT 3, CAST(86400 AS BIGINT), event_type,
+           |  date_trunc('day', ts), count(*),
+           |  round(sum(value), 6), min(value), max(value)
+           |FROM events
+           |WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-01 00:00:00'
+           |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-29 00:00:00'
+           |GROUP BY 3, 4""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3371,6 +3469,6 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119
   )
 }

@@ -302,7 +302,8 @@ object Main {
 
   /** dedup — near-duplicate cluster assignment over a documents table
     * (engine-new; no reference counterpart). Keys: input (parquet with
-    * id_col + text_col), output, mode = exact | minhash (default),
+    * id_col + text_col), output, mode = exact | minhash (default) |
+    * winnow (MOSS fingerprints; keys k, w, min_shared, max_df),
     * id_col, text_col, ngram, n_hashes, rows_per_band. Output one row per
     * document: (doc_id, cluster_id, keep) — keep marks the canonical
     * (minimum-id) member of each near-dup group.
@@ -316,6 +317,10 @@ object Main {
       case "minhash" => Dedup.minhashLshCandidates(in, idCol, textCol,
         n = c.int("ngram", 3), nHashes = c.int("n_hashes", 8),
         rowsPerBand = c.int("rows_per_band", 2))
+      case "winnow" => graft.ops.Winnow.candidatePairs(in, idCol, textCol,
+          k = c.int("k", 5), w = c.int("w", 4),
+          minShared = c.int("min_shared", 2), maxDf = c.int("max_df", 50))
+        .select(col("a").as("d1"), col("b").as("d2"))
       case "exact" =>
         val h = in.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
         val keep = h.groupBy(col("h")).agg(min(col("doc_id")).as("d1"))
@@ -654,12 +659,41 @@ object Main {
     }
   }
 
+  /** serve — answer one dashboard request from a tier store written by
+    * `rollup`/`streamrollup`: pick the finest tier whose grid fits
+    * `max_points` over [t0, t1) (graft.ops.Rollup.pickTierStep — a 1h
+    * panel reads 1m cells, a 90-day panel reads 1d cells, raw points are
+    * never scanned), read ONLY that tier with day-partition pruning, tag
+    * rows with the chosen step. Keys: input (store dir containing
+    * tier_1m/tier_1h/tier_1d), t0, t1 ('yyyy-MM-dd HH:mm:ss'),
+    * max_points, output. Downsampling below the tier grid is the viz
+    * ops' job (Rollup.m4 / lttbTier) — serve routes, it does not resample.
+    */
+  def serve(spark: SparkSession, c: Conf): String = {
+    val t0 = java.sql.Timestamp.valueOf(c("t0"))
+    val t1 = java.sql.Timestamp.valueOf(c("t1"))
+    require(t1.after(t0), s"empty request window: t0=$t0 t1=$t1")
+    val tiers = Map(60L -> "tier_1m", 3600L -> "tier_1h", 86400L -> "tier_1d")
+    val spanSec = math.max(1L, (t1.getTime - t0.getTime) / 1000L)
+    val step = graft.ops.Rollup.pickTierStep(spanSec, c.long("max_points", 1000), tiers.keys.toSeq)
+    val tier = spark.read.parquet(s"${c("input")}/${tiers(step)}")
+    val pruned = // day is the stores' partition column — prune before filter
+      if (tier.columns.contains("day"))
+        tier.where(col("day").between(to_date(lit(t0)), to_date(lit(t1))))
+      else tier
+    pruned.where(col("chunk_start") >= lit(t0) && col("chunk_start") < lit(t1))
+      .withColumn("step_sec", lit(step))
+      .write.mode("overwrite").parquet(c("output"))
+    s"serve: step=${step}s span=${spanSec}s -> ${c("output")}"
+  }
+
   val commands: Map[String, (SparkSession, Conf) => String] = Map(
     "cc" -> cc, "snr" -> snr, "ct" -> ct, "psd" -> psd, "plmax" -> plmax,
     "timelapse" -> timelapse, "beamform" -> beamform, "rollup" -> rollup,
     "dedup" -> dedup, "asof" -> asof, "streamrollup" -> streamrollup,
     "retention" -> retention, "curate" -> curate, "ann" -> ann,
-    "distinct" -> distinctCmd, "anomaly" -> anomaly, "prep" -> prep)
+    "distinct" -> distinctCmd, "anomaly" -> anomaly, "prep" -> prep,
+    "serve" -> serve)
 
   def run(command: String, configPath: String): String = {
     require(commands.contains(command),

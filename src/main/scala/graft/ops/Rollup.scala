@@ -337,4 +337,37 @@ object Rollup {
         col("x_first"), col("x_last"),
         timestamp_micros(col("ts_min")).cast("timestamp_ntz").as("ts_first")): _*)
   }
+
+  /** Resolution-aware tier choice for viz serving: the FINEST tier step
+    * (seconds) whose grid point count over `spanSec` fits `maxPoints` —
+    * `ceil(span/step) <= maxPoints` — else the coarsest step (the caller
+    * then M4/LTTBs that tier down to the canvas). Pure driver-side
+    * integer arithmetic on request constants: deterministic, no data
+    * inspection, so the served rows are fully hash-oracle-able (q119).
+    * This is the dashboard-serving rule the tier cascade exists FOR: a
+    * 1-hour panel reads 1m cells, a 90-day panel reads 1d cells, and
+    * nobody scans raw points.
+    */
+  def pickTierStep(spanSec: Long, maxPoints: Long,
+                   steps: Seq[Long] = Seq(60L, 3600L, 86400L)): Long = {
+    require(spanSec > 0 && maxPoints > 0 && steps.nonEmpty,
+      s"need positive span/maxPoints and at least one step, got span=$spanSec max=$maxPoints")
+    val sorted = steps.sorted
+    sorted.find(st => (spanSec + st - 1) / st <= maxPoints).getOrElse(sorted.last)
+  }
+
+  /** Serve one viz request from the pre-built tiers: pick the step for
+    * [t0, t1) via [[pickTierStep]], then return that tier's rows in range,
+    * tagged with the chosen step. `tiers` maps step-seconds to the tier
+    * table (chunk_start + stats); the range filter is a partition-prunable
+    * predicate on the tier's own chunk_start.
+    */
+  def serve(tiers: Map[Long, DataFrame], t0: java.sql.Timestamp,
+            t1: java.sql.Timestamp, maxPoints: Long): DataFrame = {
+    val spanSec = math.max(1L, (t1.getTime - t0.getTime) / 1000L)
+    val step = pickTierStep(spanSec, maxPoints, tiers.keys.toSeq)
+    tiers(step)
+      .where(col("chunk_start") >= lit(t0) && col("chunk_start") < lit(t1))
+      .withColumn("step_sec", lit(step))
+  }
 }

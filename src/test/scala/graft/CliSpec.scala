@@ -132,6 +132,23 @@ class CliSpec extends AnyFunSuite {
     val d1 = spark.read.parquet(s"$rDir/tier_1d")
     assert(m1.count() > d1.count() && d1.count() > 0)
 
+    // serve: a 2-day window at 50 points must route to the 1h tier
+    val h1 = spark.read.parquet(s"$rDir/tier_1h")
+    val tMin = m1.agg(org.apache.spark.sql.functions.min("chunk_start"))
+      .collect()(0).getTimestamp(0)
+    val day0 = new java.sql.Timestamp(tMin.getTime - tMin.getTime % 86400000L)
+    val day2 = new java.sql.Timestamp(day0.getTime + 2L * 86400000L)
+    val sDir = out()
+    cli.Main.run("serve", conf(
+      "input" -> rDir, "output" -> sDir, "max_points" -> "50",
+      "t0" -> day0.toString.stripSuffix(".0"), "t1" -> day2.toString.stripSuffix(".0")))
+    val served = spark.read.parquet(sDir)
+    assert(served.select("step_sec").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(3600L))
+    assert(served.count() ==
+      h1.where(org.apache.spark.sql.functions.col("chunk_start") >= day0 &&
+        org.apache.spark.sql.functions.col("chunk_start") < day2).count())
+
     val pDir = out()
     cli.Main.run("psd", conf(
       "input" -> transcriptsPath, "output" -> pDir,
@@ -167,6 +184,14 @@ class CliSpec extends AnyFunSuite {
     val eDir = out()
     cli.Main.run("dedup", conf("input" -> docs, "output" -> eDir, "mode" -> "exact"))
     assert(spark.read.parquet(eDir).count() == nDocs)
+
+    val wDir = out()
+    cli.Main.run("dedup", conf("input" -> docs, "output" -> wDir,
+      "mode" -> "winnow", "min_shared" -> "3"))
+    val wl = spark.read.parquet(wDir)
+    assert(wl.count() == nDocs, "one row per document (winnow mode)")
+    assert(wl.where(col("keep")).count() ==
+      wl.select(col("cluster_id")).distinct().count())
 
     val events = "/root/testdata/sf0.001/events.parquet"
     val refDir = out()

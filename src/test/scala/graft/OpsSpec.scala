@@ -865,6 +865,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == vals.length)
   }
 
+  test("Rollup.pickTierStep: finest fitting step, exact ceil boundaries, coarsest fallback") {
+    import graft.ops.Rollup.pickTierStep
+    // 12000 s / 60 = exactly 200 points -> 1m still fits at maxPoints=200
+    assert(pickTierStep(12000L, 200L) == 60L)
+    // one more second: ceil(12060/60)=201 > 200 -> next tier up
+    assert(pickTierStep(12060L, 200L) == 3600L)
+    assert(pickTierStep(5L * 86400L, 200L) == 3600L)   // 120 hourly points
+    assert(pickTierStep(28L * 86400L, 100L) == 86400L) // 28 daily points
+    // nothing fits -> coarsest (caller downsamples from there)
+    assert(pickTierStep(1000L * 86400L, 5L) == 86400L)
+    // unordered step list is sorted internally
+    assert(pickTierStep(3600L, 100L, Seq(86400L, 60L, 3600L)) == 60L)
+    assertThrows[IllegalArgumentException](pickTierStep(0L, 10L))
+  }
+
+  test("Rollup.serve: routes to the picked tier, filters [t0,t1), tags step_sec") {
+    import spark.implicits._
+    val pts = (0 until 3 * 1440).map { i => // 3 days of minutes
+      ("A", "value", new java.sql.Timestamp(1704067200000L + i * 60000L), 1.0)
+    }.toDF("conv_id", "metric", "ts", "value")
+    val (m1, h1, d1) = graft.ops.Rollup.cascade(pts)
+    val tiers = Map(60L -> m1, 3600L -> h1, 86400L -> d1)
+    val out = graft.ops.Rollup.serve(tiers,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), maxPoints = 30L)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Long]("step_sec") == 3600L)) // 24h/30pt -> 1h tier
+    assert(rows.length == 24)                               // day 1 hours only
+    assert(rows.map(_.getAs[Long]("n")).sum == 1440L)
+  }
+
   test("Dedup.sharedSpans: diagonal runs measure verbatim shared passages") {
     import spark.implicits._
     val docs = Seq(

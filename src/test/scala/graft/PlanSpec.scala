@@ -517,6 +517,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"expected hash equi-joins on fp:\n$p")
   }
 
+  test("q118 ensemble near-dup: vector joins stay hash equi-joins onto the bounded candidate set") {
+    val p = plan(Queries.q118.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"semantic leg degenerated to all-pairs:\n$p")
+    assert(!p.contains("ScalaUDF"), s"cosine must be builtin HOFs:\n$p")
+  }
+
   test("q117 langid: per-row profile scan — zero exchange, no join, no UDF") {
     val p = plan(Queries.q117.fn(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("Exchange"), s"langid must not shuffle:\n$p")
