@@ -226,7 +226,9 @@ object Bench {
         "q114_kmeans_refine",
         // winnowing fingerprint self-join (bucketed candidate pairs) and
         // the per-row trigram-profile language ID scan
-        "q116_winnow_pairs", "q117_langid")
+        "q116_winnow_pairs", "q117_langid",
+        // seasonal decomposition: two shared-sort MA windows + phase join
+        "q120_seasonal_decompose")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

@@ -3460,6 +3460,41 @@ object Queries {
            |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-29 00:00:00'
            |GROUP BY 3, 4""".stripMargin))
 
+  val q120 = Q("q120_seasonal_decompose",
+    // classical seasonal decomposition (graft.ops.SeriesStats
+    // .seasonalDecompose — the statsmodels moving-average method) of the
+    // hourly count series with a daily season: trend = centered 2×MA(24)
+    // carried as the exact BIGINT t2 (= 48·trend), detrended det = 48x−t2,
+    // seasonal = per-(key, hour-of-day) mean of det as the exact pair
+    // (s_sum, s_n), remainder numerator det·s_n − s_sum — every integer
+    // exact under any partitioning, the three readable doubles are single
+    // divisions round-6. Interior rows only (full ±12 window).
+    (s, d) => ntz(graft.ops.SeriesStats.seasonalDecompose(
+      hourCountSeries(s, d), "event_type", "ts", "x",
+      period = 24, stepSec = 3600L), "ts"),
+    Some(raw"""WITH $hourSeriesDuck,
+              |wf AS (SELECT event_type, ts, x,
+              |    count(*) OVER w25 AS n_win,
+              |    CAST(sum(x) OVER w25 + sum(x) OVER w23 AS BIGINT) AS t2
+              |  FROM f
+              |  WINDOW w25 AS (PARTITION BY event_type ORDER BY ts
+              |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+              |    w23 AS (PARTITION BY event_type ORDER BY ts
+              |      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+              |i AS (SELECT event_type, ts, x, t2, 48*x - t2 AS det,
+              |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS phase
+              |  FROM wf WHERE n_win = 25),
+              |p AS (SELECT event_type, phase,
+              |    CAST(sum(det) AS BIGINT) AS s_sum, count(*) AS s_n
+              |  FROM i GROUP BY 1, 2)
+              |SELECT i.event_type, i.ts, i.x, i.phase, i.t2, i.det,
+              |  p.s_sum, p.s_n,
+              |  round(i.t2 / 48.0, 6) AS trend_r,
+              |  round(p.s_sum / (p.s_n * 48.0), 6) AS seasonal_r,
+              |  round((i.det * p.s_n - p.s_sum) / (p.s_n * 48.0), 6) AS resid_r
+              |FROM i JOIN p ON i.event_type = p.event_type
+              |  AND i.phase = p.phase""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3469,6 +3504,7 @@ object Queries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
+    q120
   )
 }

@@ -301,4 +301,69 @@ object SeriesStats {
         col(valueCol), col("mu"), col("cusum_pos"), col("cusum_neg"),
         col("is_shift"))
   }
+
+  /** Classical seasonal decomposition (the moving-average method, as in
+    * statsmodels' `seasonal_decompose`) over a REGULAR integer series
+    * with an even period (default 24 — hourly data, daily season):
+    * x = trend + seasonal + remainder, with
+    *
+    *  - trend: the centered 2×MA — weights (½, 1, …, 1, ½)/period over
+    *    period+1 points, computed EXACTLY as the BIGINT
+    *    `t2 = sum[-p/2..p/2] + sum[-(p/2-1)..p/2-1]` (= 2·period × MA);
+    *  - detrended (×2·period): `det = 2·period·x − t2`, BIGINT;
+    *  - seasonal: per (key, phase) mean of detrended, carried as the
+    *    exact pair (`s_sum`, `s_n`) — the per-phase means are NOT
+    *    re-centered to sum to zero (the constant cancels in any delta
+    *    downstream; callers wanting statsmodels' centering subtract the
+    *    mean of the per-phase means);
+    *  - remainder (×2·period·s_n): `det·s_n − s_sum`, BIGINT.
+    *
+    * Only INTERIOR rows (full ±p/2 window) are emitted — the classical
+    * method leaves the edges undefined. Readable doubles (`trend_r`,
+    * `seasonal_r`, `resid_r`) are single divisions of the exact integers,
+    * round-6 — hash-gate safe (q120).
+    *
+    * Scale shape: ONE window shuffle on the key (both MA sums share the
+    * sort), a map-side-combined ≤ period-rows-per-key phase aggregate,
+    * and a hash join of that tiny table back — no self-join, no second
+    * pass over the grid. Reference analog: the reference removes trend
+    * per window with `detrend`/`demean`
+    * (/root/reference/xcorr/signal/detrend.py:17-76); this is the
+    * tier-level seasonal generalization.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, period: Int = 24,
+                        stepSec: Long = 3600L): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"classical decomposition needs an even period >= 2, got $period")
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    require(!Set("t2", "det", "phase", "s_sum", "s_n", "n_win",
+      "trend_r", "seasonal_r", "resid_r").exists(Set(keyCol, tsCol, valueCol)),
+      "t2, det, phase, s_sum, s_n, n_win, trend_r, seasonal_r, resid_r are " +
+        "reserved names here — rename the column first")
+    val h = period / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val full = w.rowsBetween(-h, h)
+    val inner = w.rowsBetween(-(h - 1), h - 1)
+    val x = col(valueCol).cast("long")
+    val scale = 2L * period
+    val interior = df
+      .withColumn("n_win", count(lit(1)).over(full))
+      .withColumn("t2", (sum(x).over(full) + sum(x).over(inner)).cast("long"))
+      .where(col("n_win") === (period + 1)) // edges stay undefined
+      .withColumn("det", lit(scale) * x - col("t2"))
+      // grid index mod period — for an hourly grid and period 24 this is
+      // the UTC hour of day (epoch 0 is midnight)
+      .withColumn("phase",
+        (unix_micros(col(tsCol)) / 1000000L / stepSec % period).cast("int"))
+    val phases = interior.groupBy(col(keyCol), col("phase"))
+      .agg(sum(col("det")).as("s_sum"), count(lit(1)).as("s_n"))
+    interior.join(phases, Seq(keyCol, "phase"))
+      .select(col(keyCol), col(tsCol), x.as(valueCol), col("phase"),
+        col("t2"), col("det"), col("s_sum"), col("s_n"),
+        round(col("t2") / lit(scale.toDouble), 6).as("trend_r"),
+        round(col("s_sum") / (col("s_n") * lit(scale.toDouble)), 6).as("seasonal_r"),
+        round((col("det") * col("s_n") - col("s_sum")) /
+          (col("s_n") * lit(scale.toDouble)), 6).as("resid_r"))
+  }
 }

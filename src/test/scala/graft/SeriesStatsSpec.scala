@@ -41,6 +41,52 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("acf") == 1.0)
   }
 
+  test("seasonalDecompose: alternating series splits into flat trend + exact seasonal") {
+    // period=2, step=60s: x = 0,4,0,4,... -> trend 2 everywhere (t2=8),
+    // det = ±8, per-phase seasonal means ±2, remainder 0
+    val df = minuteDf((0 to 7).map(i => ("A", i, if (i % 2 == 0) 0L else 4L)))
+    val out = SeriesStats.seasonalDecompose(df, "k", "ts", "x",
+      period = 2, stepSec = 60L).orderBy("ts").collect()
+    assert(out.length == 6) // 8 rows minus one edge each side
+    assert(out.forall(_.getAs[Long]("t2") == 8L))
+    assert(out.forall(_.getAs[Double]("trend_r") == 2.0))
+    assert(out.forall(r => math.abs(r.getAs[Long]("det")) == 8L))
+    assert(out.forall(r => r.getAs[Double]("seasonal_r") ==
+      (if (r.getAs[Long]("x") == 0L) -2.0 else 2.0)))
+    assert(out.forall(_.getAs[Double]("resid_r") == 0.0))
+  }
+
+  test("seasonalDecompose: linear ramp -> zero detrended, zero seasonal and remainder") {
+    // centered MA of a linear series reproduces it exactly at the interior
+    val df = minuteDf((0 to 9).map(i => ("A", i, (3L * i + 5L))))
+    val out = SeriesStats.seasonalDecompose(df, "k", "ts", "x",
+      period = 2, stepSec = 60L).collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getAs[Long]("det") == 0L))
+    assert(out.forall(r => r.getAs[Double]("trend_r") ==
+      r.getAs[Long]("x").toDouble))
+    assert(out.forall(_.getAs[Double]("seasonal_r") == 0.0))
+    assert(out.forall(_.getAs[Double]("resid_r") == 0.0))
+  }
+
+  test("seasonalDecompose: identity x = trend + seasonal + remainder holds exactly in integers") {
+    val df = minuteDf((0 to 40).map(i => ("A", i, (i * i % 13).toLong)))
+    val out = SeriesStats.seasonalDecompose(df, "k", "ts", "x",
+      period = 4, stepSec = 60L).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = 8L // 2 * period
+      val x = r.getAs[Long]("x"); val t2 = r.getAs[Long]("t2")
+      val det = r.getAs[Long]("det")
+      val sSum = r.getAs[Long]("s_sum"); val sN = r.getAs[Long]("s_n")
+      assert(det == scale * x - t2)
+      // x*scale*s_n == t2*s_n + s_sum + (det*s_n - s_sum) by construction
+      assert(scale * x * sN == t2 * sN + sSum + (det * sN - sSum))
+    }
+    assertThrows[IllegalArgumentException](
+      SeriesStats.seasonalDecompose(df, "k", "ts", "x", period = 3))
+  }
+
   test("acf: constant series has zero denominator -> NULL acf") {
     val df = minuteDf((0 to 3).map(i => ("B", i, 7L)))
     val out = SeriesStats.acf(df, Seq("k"), "ts", "x", maxLag = 1).collect()
