@@ -228,7 +228,13 @@ object Bench {
         // the per-row trigram-profile language ID scan
         "q116_winnow_pairs", "q117_langid",
         // seasonal decomposition: two shared-sort MA windows + phase join
-        "q120_seasonal_decompose")
+        "q120_seasonal_decompose",
+        // lead/lag Pearson sweep (5-lag fan-out + shifted-ts self-join)
+        // and 3-iteration PageRank over the winnow near-dup graph
+        "q121_lagged_corr", "q123_pagerank",
+        // the full keep/drop decision: star-contraction clusters +
+        // PageRank + per-cluster argmax window in one plan
+        "q125_canonical_pick")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

@@ -3495,6 +3495,211 @@ object Queries {
               |FROM i JOIN p ON i.event_type = p.event_type
               |  AND i.phase = p.phase""".stripMargin))
 
+  val q121 = Q("q121_lagged_corr",
+    // lead/lag Pearson sweep between every pair of hourly event-type
+    // series (graft.ops.SeriesStats.laggedCorr): for each unordered pair
+    // and lag L ∈ [-2, 2] hours, the correlation of (x_a(t), x_b(t+L))
+    // over the overlap. Sufficient statistics and Pearson numerators/
+    // denominators are exact BIGINTs under any partitioning; corr_r is
+    // one double expression (sqrt is correctly rounded per IEEE),
+    // round-6, NULL on constant series. One shifted-ts equi-join shuffle
+    // + a map-side-combined (pair × lag)-row aggregate.
+    (s, d) => graft.ops.SeriesStats.laggedCorr(
+      hourCountSeries(s, d), "event_type", "ts", "x",
+      maxLag = 2, stepSec = 3600L),
+    Some(raw"""WITH $hourSeriesDuck,
+              |l AS (SELECT unnest(range(-2, 3)) AS lg),
+              |gg AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+              |    CAST(l.lg AS INTEGER) AS "lag", count(*) AS n,
+              |    CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb,
+              |    CAST(sum(a.x * a.x) AS BIGINT) AS saa,
+              |    CAST(sum(b.x * b.x) AS BIGINT) AS sbb,
+              |    CAST(sum(a.x * b.x) AS BIGINT) AS sab
+              |  FROM f a, l, f b
+              |  WHERE b.ts = a.ts + l.lg * INTERVAL 1 HOUR
+              |    AND a.event_type < b.event_type
+              |  GROUP BY 1, 2, 3)
+              |SELECT key_a, key_b, "lag", n, sa, sb, saa, sbb, sab,
+              |  n*sab - sa*sb AS num, n*saa - sa*sa AS dena,
+              |  n*sbb - sb*sb AS denb,
+              |  CASE WHEN n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
+              |    THEN round((n*sab - sa*sb) / sqrt(
+              |      CAST(n*saa - sa*sa AS DOUBLE) * CAST(n*sbb - sb*sb AS DOUBLE)), 6)
+              |  END AS corr_r
+              |FROM gg""".stripMargin))
+
+  val q122 = Q("q122_daily_trend",
+    // per-(event_type, day) OLS trend of the hourly series on the
+    // hour-of-day regressor (graft.ops.SeriesStats.dailyTrend): exact
+    // BIGINT normal-equation pieces, slope/intercept numerators and the
+    // shared denominator, round-6 readable slope_r/icept_r (NULL when
+    // den = 0). One map-side-combined groupBy — no window, no join.
+    (s, d) => ntz(graft.ops.SeriesStats.dailyTrend(
+      hourCountSeries(s, d), "event_type", "ts", "x"), "day"),
+    Some(raw"""WITH $hourSeriesDuck,
+              |gg AS (SELECT event_type, date_trunc('day', ts) AS day,
+              |    count(*) AS n,
+              |    CAST(sum(EXTRACT(hour FROM ts)) AS BIGINT) AS st,
+              |    CAST(sum(x) AS BIGINT) AS sx,
+              |    CAST(sum(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)) AS BIGINT) AS stt,
+              |    CAST(sum(EXTRACT(hour FROM ts) * x) AS BIGINT) AS stx
+              |  FROM f GROUP BY 1, 2)
+              |SELECT event_type, day, n, st, sx, stt, stx,
+              |  n*stt - st*st AS den,
+              |  n*stx - st*sx AS slope_num,
+              |  sx*stt - st*stx AS icept_num,
+              |  CASE WHEN n*stt - st*st != 0 THEN
+              |    round((n*stx - st*sx) / CAST(n*stt - st*st AS DOUBLE), 6) END AS slope_r,
+              |  CASE WHEN n*stt - st*st != 0 THEN
+              |    round((sx*stt - st*stx) / CAST(n*stt - st*st AS DOUBLE), 6) END AS icept_r
+              |FROM gg""".stripMargin))
+
+  val q123 = Q("q123_pagerank",
+    // PageRank document centrality (graft.ops.Graph.pageRank) over the
+    // winnowing near-dup graph (q116's candidate pairs, symmetrized):
+    // 3 iterations of rank = (1-d) + d·Σ rank(u)/deg(u), d = 0.85, the
+    // unnormalized GraphX staticPageRank convention — the score that
+    // picks the canonical representative of a template family. Degrees
+    // and the iteration count are exact; ranks carry only per-neighbor
+    // float-sum reorder noise (~1e-15 relative), read round-6 (the
+    // q55/q56 float-sum precedent). The oracle unrolls the same three
+    // join+agg iterations as chained CTEs.
+    (s, d) => {
+      val ds = docs(s, d)
+      val pairs = graft.ops.Winnow.candidatePairs(ds, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
+      graft.ops.Graph.pageRank(ds, "doc_id", pairs, "a", "b",
+          iterations = 3, d = 0.85)
+        .select(col("doc_id"), round(col("rank"), 6).as("rank_r"))
+    },
+    Some(s"""WITH $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |fp AS (SELECT DISTINCT doc_id AS id,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp
+            |  FROM win),
+            |rare AS (SELECT fp FROM fp GROUP BY fp
+            |  HAVING count(*) BETWEEN 2 AND 50),
+            |pr AS (SELECT x.id AS a, y.id AS b
+            |  FROM fp x JOIN rare USING (fp) JOIN fp y USING (fp)
+            |  WHERE x.id < y.id
+            |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2),
+            |sym AS (SELECT a AS src, b AS dst FROM pr
+            |  UNION ALL SELECT b, a FROM pr),
+            |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
+            |n0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS rk FROM documents),
+            |c1 AS (SELECT s.dst AS id, sum(r.rk / d.dg) AS c
+            |  FROM sym s JOIN n0 r ON s.src = r.id JOIN deg d ON s.src = d.src
+            |  GROUP BY 1),
+            |n1 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n0 n LEFT JOIN c1 c USING (id)),
+            |c2 AS (SELECT s.dst AS id, sum(r.rk / d.dg) AS c
+            |  FROM sym s JOIN n1 r ON s.src = r.id JOIN deg d ON s.src = d.src
+            |  GROUP BY 1),
+            |n2 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n1 n LEFT JOIN c2 c USING (id)),
+            |c3 AS (SELECT s.dst AS id, sum(r.rk / d.dg) AS c
+            |  FROM sym s JOIN n2 r ON s.src = r.id JOIN deg d ON s.src = d.src
+            |  GROUP BY 1),
+            |n3 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n2 n LEFT JOIN c3 c USING (id))
+            |SELECT id AS doc_id, round(rk, 6) AS rank_r FROM n3""".stripMargin))
+
+  val q124 = Q("q124_holt",
+    // Holt's linear smoothing (graft.ops.SeriesStats.holt, α = β = 1/2)
+    // over the hourly count series: level l = (x + (l' + b'))/2, trend
+    // b = ((l − l') + b')/2, forecast = l + b. The per-key recursion is a
+    // fixed sequence of IEEE double ops in series order — bit-identical
+    // to the oracle's recursive CTE replaying the same expressions (the
+    // q111 EWMA discipline; the oracle recomputes the level expression
+    // inside the trend term — same ops, same value). No rounding.
+    (s, d) => graft.ops.SeriesStats.holt(
+      hourCountSeries(s, d), "event_type", "ts", "x"),
+    Some(raw"""WITH RECURSIVE $hourSeriesDuck,
+              |fi AS (SELECT event_type, ts, x,
+              |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts) AS BIGINT) AS idx
+              |  FROM f),
+              |r AS (SELECT event_type, ts, idx, x,
+              |    CAST(x AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+              |    FROM fi WHERE idx = 1
+              |  UNION ALL
+              |  SELECT fi.event_type, fi.ts, fi.idx, fi.x,
+              |    (CAST(fi.x AS DOUBLE) + (r.level + r.trend)) / 2,
+              |    (((CAST(fi.x AS DOUBLE) + (r.level + r.trend)) / 2 - r.level)
+              |      + r.trend) / 2
+              |  FROM fi JOIN r ON fi.event_type = r.event_type AND fi.idx = r.idx + 1)
+              |SELECT event_type, ts, x, level, trend,
+              |  level + trend AS forecast FROM r""".stripMargin))
+
+  val q125 = Q("q125_canonical_pick",
+    // the dedup KEEP/DROP decision end-to-end: connected components over
+    // the winnow near-dup graph (Dedup.clusters — large/small-star) joined
+    // with PageRank centrality over the SAME graph (Graph.pageRank), then
+    // per cluster the most-central doc wins (rank_r desc, doc_id asc —
+    // deterministic because the order key is the ROUNDED rank). Output
+    // per doc: cluster, size, centrality, is_keep. The oracle composes
+    // q47's transitive-closure CTE with q123's unrolled iterations.
+    (s, d) => {
+      val ds = docs(s, d)
+      val pairs = graft.ops.Winnow.candidatePairs(ds, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
+      val cl = graft.ops.Dedup.clusters(pairs, "a", "b", ds, "doc_id")
+      val pr = graft.ops.Graph.pageRank(ds, "doc_id", pairs, "a", "b",
+          iterations = 3, d = 0.85)
+        .select(col("doc_id"), round(col("rank"), 6).as("rank_r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      val wo = w.orderBy(col("rank_r").desc, col("doc_id").asc)
+      cl.join(pr, "doc_id")
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_keep", row_number().over(wo) === 1)
+    },
+    Some(s"""WITH RECURSIVE $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |fp AS (SELECT DISTINCT doc_id AS id,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp
+            |  FROM win),
+            |rare AS (SELECT fp FROM fp GROUP BY fp
+            |  HAVING count(*) BETWEEN 2 AND 50),
+            |pr AS (SELECT x.id AS a, y.id AS b
+            |  FROM fp x JOIN rare USING (fp) JOIN fp y USING (fp)
+            |  WHERE x.id < y.id
+            |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2),
+            |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+            |reach(id, r) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+            |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+            |  FROM reach GROUP BY id),
+            |deg AS (SELECT a AS src, count(*) AS dg FROM e GROUP BY 1),
+            |n0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS rk FROM documents),
+            |c1 AS (SELECT s.b AS id, sum(r.rk / d.dg) AS c
+            |  FROM e s JOIN n0 r ON s.a = r.id JOIN deg d ON s.a = d.src
+            |  GROUP BY 1),
+            |n1 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n0 n LEFT JOIN c1 c USING (id)),
+            |c2 AS (SELECT s.b AS id, sum(r.rk / d.dg) AS c
+            |  FROM e s JOIN n1 r ON s.a = r.id JOIN deg d ON s.a = d.src
+            |  GROUP BY 1),
+            |n2 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n1 n LEFT JOIN c2 c USING (id)),
+            |c3 AS (SELECT s.b AS id, sum(r.rk / d.dg) AS c
+            |  FROM e s JOIN n2 r ON s.a = r.id JOIN deg d ON s.a = d.src
+            |  GROUP BY 1),
+            |n3 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n2 n LEFT JOIN c3 c USING (id)),
+            |j AS (SELECT cl.doc_id, cl.cluster_id, round(n3.rk, 6) AS rank_r
+            |  FROM cl JOIN n3 ON cl.doc_id = n3.id)
+            |SELECT doc_id, cluster_id, rank_r,
+            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+            |  row_number() OVER (PARTITION BY cluster_id
+            |    ORDER BY rank_r DESC, doc_id ASC) = 1 AS is_keep
+            |FROM j""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3505,6 +3710,6 @@ object Queries {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120
+    q120, q121, q122, q123, q124, q125
   )
 }

@@ -366,4 +366,145 @@ object SeriesStats {
         round((col("det") * col("s_n") - col("s_sum")) /
           (col("s_n") * lit(scale.toDouble)), 6).as("resid_r"))
   }
+
+  /** Lead/lag Pearson correlation between every PAIR of keyed regular
+    * series: for each unordered pair (key_a < key_b) and each lag L in
+    * [-maxLag, maxLag] grid steps, the correlation of (x_a(t), x_b(t +
+    * L·step)) over the timestamps where both sides exist. A positive-L
+    * maximum reads "a leads b by L steps" — the tier-level lead/lag scan
+    * behind "which metric moves first", the same question the reference's
+    * waveform `correlate` + `compute_shift` answers per sample pair
+    * (/root/reference/xcorr/signal/correlate.py:17-101,
+    * /root/reference/xcorr/signal/lag.py).
+    *
+    * Hash-gate discipline: the per-(pair, lag) sufficient statistics
+    * (`n, sa, sb, saa, sbb, sab`) and the Pearson numerator/denominators
+    * (`num = n·sab − sa·sb`, `dena`, `denb`) are exact BIGINTs under any
+    * partitioning; `corr_r` is one double expression (sqrt is correctly
+    * rounded per IEEE 754, so it is engine-independent on identical
+    * integer inputs), round-6; NULL when either series is constant on the
+    * overlap. Overflow headroom: |num| ≤ n²·x_max² — at n = 10⁶ grid
+    * steps this caps x_max ≈ 3·10³ per step; correlate coarser tiers (or
+    * pre-center) beyond that.
+    *
+    * Scale shape: the lag fan-out rides the SMALL side (2·maxLag+1 copies
+    * made by one generator explode — no join to a lag table), then ONE
+    * equi-join shuffle on the shifted timestamp and a map-side-combined
+    * aggregate of (pairs × lags) rows. Per-timestamp work is k² for k
+    * concurrent keys — the inherent output size; no per-key windows, no
+    * grid re-sort.
+    */
+  def laggedCorr(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, maxLag: Int, stepSec: Long): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    val x = col(valueCol).cast("long")
+    val a = df.select(col(keyCol).as("key_a"), col(tsCol).as("__ts"), x.as("xa"))
+      .withColumn("lag", explode(array((-maxLag to maxLag).map(lit): _*)))
+      // b's grid timestamp that pairs with a's at this lag
+      .withColumn("__ts_b",
+        timestamp_micros(unix_micros(col("__ts")) + col("lag") * stepSec * 1000000L))
+    val b = df.select(col(keyCol).as("key_b"), col(tsCol).as("__tsb"), x.as("xb"))
+    a.join(b, a("__ts_b") === b("__tsb") && a("key_a") < b("key_b"))
+      .groupBy(col("key_a"), col("key_b"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum(col("xa") * col("xa")).as("saa"),
+        sum(col("xb") * col("xb")).as("sbb"),
+        sum(col("xa") * col("xb")).as("sab"))
+      .withColumn("num", col("n") * col("sab") - col("sa") * col("sb"))
+      .withColumn("dena", col("n") * col("saa") - col("sa") * col("sa"))
+      .withColumn("denb", col("n") * col("sbb") - col("sb") * col("sb"))
+      .withColumn("corr_r",
+        when(col("dena") > 0 && col("denb") > 0,
+          round(col("num") /
+            sqrt(col("dena").cast("double") * col("denb").cast("double")), 6)))
+  }
+
+  /** Holt's linear (double-exponential) smoothing with α = β = 1/2 over a
+    * regular integer series — [[ewma]] plus a smoothed TREND state, so the
+    * one-step forecast `level + trend` tracks ramps the flat EWMA lags
+    * behind (Holt 1957/2004, "Forecasting seasonals and trends by
+    * exponentially weighted moving averages"):
+    *
+    *   l₀ = x₀, b₀ = 0
+    *   lₜ = (xₜ + (lₜ₋₁ + bₜ₋₁)) / 2
+    *   bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) / 2
+    *
+    * Determinism: the per-key recursion is a FIXED sequence of IEEE
+    * double ops in series order (typed flatMapSortedGroups, O(1) state —
+    * two doubles), so the result is bit-identical to any engine replaying
+    * the same expressions in the same order (the q111 EWMA discipline;
+    * the q124 oracle is that replay as a recursive CTE). No rounding
+    * anywhere in the output.
+    *
+    * Scale shape: ONE shuffle on the key; keys are the parallelism unit,
+    * state is O(1) — the same shape the streaming faces use, so a
+    * `flatMapGroupsWithState` port is mechanical.
+    */
+  def holt(df: DataFrame, keyCol: String, tsCol: String,
+           valueCol: String): DataFrame = {
+    require(!Set("tu", "level", "trend", "forecast")
+      .exists(Set(keyCol, tsCol, valueCol)),
+      "tu, level, trend and forecast are reserved names here — rename the " +
+        "column first")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val base = df.select(col(keyCol).cast("string").as("k"),
+      unix_micros(col(tsCol)).as("tu"), col(valueCol).cast("long").as("x"))
+      .as[(String, Long, Long)]
+    base.groupByKey(_._1)
+      .flatMapSortedGroups(col("tu")) { (k, it) =>
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        it.map { case (_, tu, x) =>
+          if (first) { first = false; l = x.toDouble; b = 0.0 }
+          else {
+            val lNew = (x.toDouble + (l + b)) / 2.0
+            b = ((lNew - l) + b) / 2.0
+            l = lNew
+          }
+          (k, tu, x, l, b)
+        }
+      }
+      .toDF(keyCol, "tu", valueCol, "level", "trend")
+      .select(col(keyCol),
+        timestamp_micros(col("tu")).cast("timestamp_ntz").as(tsCol),
+        col(valueCol), col("level"), col("trend"),
+        (col("level") + col("trend")).as("forecast"))
+  }
+
+  /** Per-(key, day) ordinary-least-squares trend of an hourly series
+    * against the hour-of-day regressor t ∈ [0, 23]: the "is this metric
+    * rising or falling within the day, and how fast" scan. Output per
+    * group: the exact BIGINT normal-equation pieces (`n, st, sx, stt,
+    * stx`), the slope/intercept numerators (`slope_num = n·stx − st·sx`,
+    * `icept_num = sx·stt − st·stx`) and shared denominator
+    * (`den = n·stt − st²`), plus round-6 readable `slope_r`/`icept_r`
+    * (NULL when all rows share one t — den = 0). Partial days regress on
+    * the hours present; every aggregate is an exact integer, so the
+    * result is partition-order-free (hash-gate safe, q122).
+    *
+    * Scale shape: ONE map-side-combined groupBy over the grid — output is
+    * keys × days rows, no window sort, no join. The reference's analog is
+    * the linear leg of `detrend` fitted per window
+    * (/root/reference/xcorr/signal/detrend.py:17-76); here the fit itself
+    * is the product.
+    */
+  def dailyTrend(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val t = hour(col(tsCol)).cast("long")
+    df.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"), sum(t).as("st"), sum(x).as("sx"),
+        sum(t * t).as("stt"), sum(t * x).as("stx"))
+      .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+      .withColumn("slope_num", col("n") * col("stx") - col("st") * col("sx"))
+      .withColumn("icept_num", col("sx") * col("stt") - col("st") * col("stx"))
+      .withColumn("slope_r",
+        when(col("den") =!= 0, round(col("slope_num") / col("den").cast("double"), 6)))
+      .withColumn("icept_r",
+        when(col("den") =!= 0, round(col("icept_num") / col("den").cast("double"), 6)))
+  }
 }

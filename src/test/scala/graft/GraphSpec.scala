@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+/** Hand-computed gates for the PageRank centrality op (q123): the exact
+  * double recursion on a star graph, isolated-node fixpoint, direction/
+  * duplicate insensitivity, and guard rails.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ranks(edges: Seq[(String, String)], nodes: Seq[String],
+                    iters: Int, d: Double = 0.85): Map[String, Double] = {
+    import spark.implicits._
+    Graph.pageRank(nodes.toDF("id"), "id", edges.toDF("a", "b"), "a", "b",
+        iterations = iters, d = d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRank: star graph matches the hand-run double recursion; isolated node is 1-d") {
+    // star: a-b, a-c, a-d; e isolated. deg(a)=3, deg(b/c/d)=1.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"))
+    val nodes = Seq("a", "b", "c", "d", "e")
+    // run the identical IEEE recursion on the driver
+    var ra = 1.0; var rl = 1.0 // leaf ranks stay equal by symmetry
+    for (_ <- 1 to 3) {
+      val ra2 = (1.0 - 0.85) + 0.85 * (rl / 1.0 + rl / 1.0 + rl / 1.0)
+      val rl2 = (1.0 - 0.85) + 0.85 * (ra / 3.0)
+      ra = ra2; rl = rl2
+    }
+    val got = ranks(edges, nodes, iters = 3)
+    assert(got("a") == ra)
+    assert(Seq("b", "c", "d").forall(k => got(k) == rl))
+    assert(got("e") == (1.0 - 0.85)) // isolated fixpoint, exactly
+    assert(got("a") > got("b")) // hub is most central
+  }
+
+  test("pageRank: edge direction, duplicates and self-loops don't change the result") {
+    val base = ranks(Seq(("a", "b"), ("b", "c")), Seq("a", "b", "c"), iters = 4)
+    val messy = ranks(
+      Seq(("b", "a"), ("a", "b"), ("c", "b"), ("a", "a")),
+      Seq("a", "b", "c"), iters = 4)
+    assert(base == messy)
+    // path graph: middle node most central, ends equal by symmetry
+    assert(base("b") > base("a") && base("a") == base("c"))
+  }
+
+  test("pageRank: guards reject bad damping and iteration counts") {
+    import spark.implicits._
+    val n = Seq("a").toDF("id"); val e = Seq(("a", "b")).toDF("a", "b")
+    assertThrows[IllegalArgumentException](
+      Graph.pageRank(n, "id", e, "a", "b", iterations = 0))
+    assertThrows[IllegalArgumentException](
+      Graph.pageRank(n, "id", e, "a", "b", d = 1.0))
+  }
+}

@@ -87,6 +87,83 @@ class SeriesStatsSpec extends AnyFunSuite {
       SeriesStats.seasonalDecompose(df, "k", "ts", "x", period = 3))
   }
 
+  test("laggedCorr: a shifted copy peaks at exactly its lag, with exact partials") {
+    // B is A delayed by one step: corr(x_a(t), x_b(t+1)) = 1 at lag +1
+    val xa = Seq(0L, 0L, 5L, 1L, 0L, 2L, 7L, 0L)
+    val rows = xa.zipWithIndex.map { case (v, i) => ("A", i, v) } ++
+      xa.zipWithIndex.map { case (v, i) => ("B", i + 1, v) }
+    val df = minuteDf(rows)
+    val out = SeriesStats.laggedCorr(df, "k", "ts", "x", maxLag = 2, stepSec = 60L)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(out.keySet == Set(-2, -1, 0, 1, 2))
+    val at1 = out(1)
+    assert(at1.getAs[Long]("n") == 8L)
+    assert(at1.getAs[Long]("sa") == xa.sum && at1.getAs[Long]("sb") == xa.sum)
+    assert(at1.getAs[Long]("sab") == xa.map(v => v * v).sum)
+    assert(at1.getAs[Double]("corr_r") == 1.0)
+    // every other lag correlates misaligned copies — strictly below 1
+    assert(Seq(-2, -1, 0, 2).forall { l =>
+      val c = out(l).getAs[java.lang.Double]("corr_r")
+      c == null || c.doubleValue() < 1.0
+    })
+  }
+
+  test("laggedCorr: anti-correlated pair hits -1 at lag 0; constant side is NULL") {
+    val rows = (0 to 5).flatMap { i =>
+      Seq(("A", i, i.toLong), ("B", i, 10L - i), ("C", i, 4L))
+    }
+    val out = SeriesStats.laggedCorr(minuteDf(rows), "k", "ts", "x",
+      maxLag = 0, stepSec = 60L).collect()
+    val ab = out.find(r => r.getAs[String]("key_a") == "A" &&
+      r.getAs[String]("key_b") == "B").get
+    assert(ab.getAs[Double]("corr_r") == -1.0)
+    // C is constant: denb = 0 -> NULL for (A,C) and (B,C)
+    assert(out.filter(_.getAs[String]("key_b") == "C")
+      .forall(_.getAs[java.lang.Double]("corr_r") == null))
+  }
+
+  test("dailyTrend: exact ramp recovers slope and intercept; den=0 day is NULL") {
+    // day 1: x = 2t + 3 over 24 hours; day 2: one lone hour (den = 0)
+    val rows = (0 to 23).map(h => ("A", h, 2L * h + 3L)) :+ (("A", 24, 9L))
+    import spark.implicits._
+    val hourly = rows.map { case (k, h, v) => (k, 1704067200L + h * 3600L, v) }
+      .toDF("k", "sec", "x")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("x"))
+    val out = SeriesStats.dailyTrend(hourly, "k", "ts", "x")
+      .orderBy("day").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 24L)
+    assert(out(0).getAs[Double]("slope_r") == 2.0)
+    assert(out(0).getAs[Double]("icept_r") == 3.0)
+    assert(out(1).getAs[Long]("den") == 0L)
+    assert(out(1).getAs[java.lang.Double]("slope_r") == null)
+  }
+
+  test("holt: hand-run recursion, exact ramp tracking, and per-key restart") {
+    // ramp 0,2,4,...: level converges toward the ramp, forecast = l + b
+    val df = minuteDf((0 to 4).map(i => ("A", i, 2L * i)) ++
+      Seq(("B", 0, 7L), ("B", 1, 7L)))
+    val out = SeriesStats.holt(df, "k", "ts", "x")
+      .orderBy("k", "ts").collect()
+    // replay the identical IEEE recursion on the driver
+    var l = 0.0; var b = 0.0
+    Seq(0L, 2L, 4L, 6L, 8L).zipWithIndex.foreach { case (x, i) =>
+      if (i == 0) { l = x.toDouble; b = 0.0 }
+      else {
+        val l2 = (x.toDouble + (l + b)) / 2.0
+        b = ((l2 - l) + b) / 2.0; l = l2
+      }
+      assert(out(i).getAs[Double]("level") == l, s"level at $i")
+      assert(out(i).getAs[Double]("trend") == b, s"trend at $i")
+      assert(out(i).getAs[Double]("forecast") == l + b, s"forecast at $i")
+    }
+    // key B restarts: constant series -> level 7, trend 0 at both rows
+    assert(out.drop(5).forall(r => r.getAs[Double]("level") == 7.0 &&
+      r.getAs[Double]("trend") == 0.0 && r.getAs[Double]("forecast") == 7.0))
+    assertThrows[IllegalArgumentException](
+      SeriesStats.holt(df.withColumnRenamed("x", "level"), "k", "ts", "level"))
+  }
+
   test("acf: constant series has zero denominator -> NULL acf") {
     val df = minuteDf((0 to 3).map(i => ("B", i, 7L)))
     val out = SeriesStats.acf(df, Seq("k"), "ts", "x", maxLag = 1).collect()
