@@ -3700,6 +3700,58 @@ object Queries {
             |    ORDER BY rank_r DESC, doc_id ASC) = 1 AS is_keep
             |FROM j""".stripMargin))
 
+  val q126 = Q("q126_zorder_layout",
+    // Morton/Z-order layout key (graft.functions.Zorder — a codegen'd
+    // BinaryExpression): z = interleave(series code, minute index), the
+    // sort key that makes parquet row-group min/max stats tight on BOTH
+    // the key and time axes (Delta/Iceberg OPTIMIZE ZORDER BY; the
+    // reference's one-axis analog is its (pair, year, doy) directory
+    // nesting). Gated as the per-2^24-z-block locality profile: row
+    // count, distinct keys and the exact mi/z extents per block — pure
+    // integer arithmetic; the oracle replays the identical 5-step
+    // magic-number spread chain in SQL.
+    (s, d) => {
+      val e = ev(s, d)
+      val codes = e.select("event_type").distinct()
+        .withColumn("code",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("event_type")) - 1).cast("long"))
+      // events.ts is NTZ; session TZ is pinned UTC, so the cast is identity.
+      // `div` = integer division (Column `/` would be double division)
+      e.selectExpr("event_type",
+          "unix_micros(cast(ts as timestamp)) div 60000000 as mi")
+        .join(broadcast(codes), "event_type")
+        .withColumn("z", graft.functions.Zorder(col("code"), col("mi")))
+        .groupBy(shiftright(col("z"), 24).as("zb"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_keys"),
+          min(col("mi")).as("min_mi"), max(col("mi")).as("max_mi"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+    },
+    Some(raw"""WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS mi
+              |  FROM events),
+              |c AS (SELECT event_type,
+              |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+              |  FROM (SELECT DISTINCT event_type FROM events)),
+              |j AS (SELECT m.event_type, m.mi, c.code FROM m JOIN c USING (event_type)),
+              |s0 AS (SELECT *, code & 4294967295 AS a0, mi & 4294967295 AS b0 FROM j),
+              |s1 AS (SELECT *, (a0 | (a0 << 16)) & 281470681808895 AS a1,
+              |    (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM s0),
+              |s2 AS (SELECT *, (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+              |    (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM s1),
+              |s3 AS (SELECT *, (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+              |    (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM s2),
+              |s4 AS (SELECT *, (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+              |    (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM s3),
+              |s5 AS (SELECT *, (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+              |    (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM s4),
+              |zt AS (SELECT event_type, mi, a5 | (b5 << 1) AS z FROM s5)
+              |SELECT z >> 24 AS zb, count(*) AS n,
+              |  count(DISTINCT event_type) AS n_keys,
+              |  min(mi) AS min_mi, max(mi) AS max_mi,
+              |  min(z) AS min_z, max(z) AS max_z
+              |FROM zt GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3710,6 +3762,6 @@ object Queries {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125
+    q120, q121, q122, q123, q124, q125, q126
   )
 }

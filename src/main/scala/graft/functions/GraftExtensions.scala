@@ -55,6 +55,13 @@ object GraftExtensions {
             s"graft_densify_float npts must be an integer literal, got $other")
         }
         DensifyFloat(args.head, npts)
+      }),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(getClass.getName, "graft_zorder"),
+      args => {
+        require(args.length == 2,
+          s"graft_zorder expects (a, b), got ${args.length} arguments")
+        Zorder.widened(args.head, args(1))
       }))
 
   /** Register into an ALREADY-RUNNING session (current + future queries). */

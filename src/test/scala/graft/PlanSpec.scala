@@ -530,4 +530,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"profiles are map literals, not a join:\n$p")
     assert(!p.contains("ScalaUDF"), s"scoring must be builtins:\n$p")
   }
+
+  test("q121 lagged corr: shifted-ts join is an equi-join (lag fan-out never nests), partial agg before the pair shuffle") {
+    val p = plan(Queries.q121.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"lag sweep degenerated to all-pairs:\n$p")
+    // the key_a < key_b predicate must ride the ts equi-join as a filter,
+    // not force a nested loop
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the shifted timestamp:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"pair aggregate must map-side combine:\n$p")
+  }
+
+  test("q122 daily trend: one map-side-combined groupBy — no join, no window sort") {
+    val p = plan(Queries.q122.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Window"), s"trend must be aggregate-only:\n$p")
+    assert(p.contains("partial"), s"normal equations must map-side combine:\n$p")
+  }
+
+  test("q123 pagerank: contribution joins are hash equi-joins, no nested loop, no UDF") {
+    val p = plan(Queries.q123.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"rank iteration degenerated to all-pairs:\n$p")
+    assert(!p.contains("ScalaUDF"), s"rank arithmetic must be builtins:\n$p")
+    // lineage truncation: iterations must not stack the winnow pipeline
+    // (the plan after 3 rounds reads the checkpointed rank scan, not a
+    // 3x-repeated fingerprint self-join)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD") ||
+      !p.contains("winnowfingerprints"),
+      s"iterations must start from the truncated rank table:\n$p")
+  }
 }
