@@ -234,7 +234,9 @@ object Bench {
         "q121_lagged_corr", "q123_pagerank",
         // the full keep/drop decision: star-contraction clusters +
         // PageRank + per-cluster argmax window in one plan
-        "q125_canonical_pick")
+        "q125_canonical_pick",
+        // positional phrase search: the term-postings join fan-out
+        "q128_phrase_search")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

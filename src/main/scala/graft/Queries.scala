@@ -3752,6 +3752,74 @@ object Queries {
               |  min(z) AS min_z, max(z) AS max_z
               |FROM zt GROUP BY 1""".stripMargin))
 
+  val q127 = Q("q127_session_paths",
+    // top-k session paths (graft.ops.Funnel.sessionPaths): q14's ≤30 min
+    // sessionization, each session's first 3 event types '>'-joined in
+    // (ts, event_id) total order, path frequencies + distinct users,
+    // top-10 by (n_sessions desc, path) — the Sankey/flow query. Exact
+    // integers and strings end-to-end; the engine's array_sort-over-
+    // structs assembly equals the oracle's ordered string_agg because
+    // both replay the same total order.
+    (s, d) => graft.ops.Funnel.sessionPaths(ev(s, d), "user_id", "ts",
+      "event_id", "event_type", gapSec = 1800L, maxSteps = 3, k = 10),
+    Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+           |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           |    OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000
+           |   THEN 0
+           |   WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |   THEN 0 ELSE 1 END AS new_s
+           |  FROM events),
+           |se AS (SELECT user_id, ts, event_id, event_type,
+           |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           |  FROM g),
+           |st AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+           |    ORDER BY ts, event_id) AS step FROM se),
+           |p AS (SELECT user_id, sid,
+           |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           |  FROM st WHERE step <= 3 GROUP BY 1, 2),
+           |c AS (SELECT path, count(*) AS n_sessions,
+           |    count(DISTINCT user_id) AS n_users FROM p GROUP BY 1)
+           |SELECT path, n_sessions, n_users,
+           |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INTEGER) AS rank
+           |FROM c QUALIFY rank <= 10""".stripMargin))
+
+  val q128 = Q("q128_phrase_search",
+    // exact phrase search over a positional index (graft.ops.Retrieval
+    // .phraseSearch): posexplode both sides, ONE term equi-join, anchor
+    // arithmetic (pos − offset), full occurrence ⇔ votes == phrase
+    // length. Output per (phrase, doc): occurrence count + first anchor —
+    // exact integers. Three probe phrases of lengths 2/2/3 exercise the
+    // duplicate-term and multi-offset paths.
+    (s, d) => {
+      import s.implicits._
+      val phrases = Seq(("p1", "fast table"), ("p2", "table table"),
+        ("p3", "scan slow fast")).toDF("q_id", "phrase")
+      graft.ops.Retrieval.phraseSearch(docs(s, d), "doc_id", "text",
+        phrases, "q_id", "phrase")
+    },
+    Some(raw"""WITH ph(q_id, phrase) AS (VALUES ('p1', 'fast table'),
+              |    ('p2', 'table table'), ('p3', 'scan slow fast')),
+              |dtk AS (SELECT doc_id, list_filter(
+              |    regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+              |    w -> w != '') AS t FROM documents),
+              |dt AS (SELECT doc_id, unnest(range(1, len(t) + 1)) - 1 AS pos,
+              |    unnest(t) AS w FROM dtk),
+              |qtk AS (SELECT q_id, list_filter(
+              |    regexp_split_to_array(trim(phrase), '\s+'),
+              |    w -> w != '') AS t FROM ph),
+              |qt AS (SELECT q_id, unnest(range(1, len(t) + 1)) - 1 AS i,
+              |    unnest(t) AS w FROM qtk),
+              |ql AS (SELECT q_id, len(t) AS plen FROM qtk),
+              |v AS (SELECT q.q_id, d.doc_id, d.pos - q.i AS anchor,
+              |    count(*) AS votes
+              |  FROM dt d JOIN qt q USING (w)
+              |  GROUP BY 1, 2, 3 HAVING anchor >= 0)
+              |SELECT v.q_id, v.doc_id, count(*) AS n_hits,
+              |  min(anchor) AS first_pos
+              |FROM v JOIN ql USING (q_id) WHERE votes = plen
+              |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3762,6 +3830,6 @@ object Queries {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126
+    q120, q121, q122, q123, q124, q125, q126, q127, q128
   )
 }

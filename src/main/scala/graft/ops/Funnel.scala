@@ -133,4 +133,56 @@ object Funnel {
         explode(expr(s"sequence(1, stage_reached)")).as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
+
+  /** Top-k session paths: sessionize per user (same ≤ gapSec rule as the
+    * q14 operator, ties broken by the id column), take each session's
+    * first `maxSteps` event types in time order, and rank the resulting
+    * path strings by frequency — the "what do users actually do"
+    * navigation query behind every Sankey/flow dashboard.
+    *
+    * Output per kept path: `path` ('>'-joined), `n_sessions`, `n_users`
+    * (distinct), `rank` — ordered by (n_sessions desc, path asc), rank ≤
+    * k. All counts exact integers; the path string is assembled from an
+    * `array_sort` over (ts, id, type) structs, so element order is the
+    * total event order and partitioning cannot reorder it (the oracle's
+    * `string_agg ... ORDER BY ts, id` is the same total order).
+    *
+    * Scale shape: ONE user-keyed window shuffle carries both the gap
+    * flags and the per-session step index; the per-session collect sees ≤
+    * maxSteps rows (filtered BEFORE the agg); the path table is bounded
+    * by distinct paths (≤ |types|^maxSteps, tiny vs events); the final
+    * top-k is one window over that bounded table. No self-joins.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String, gapSec: Long,
+                   maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, s"maxSteps/k must be >= 1, got $maxSteps/$k")
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    val sess = events
+      .withColumn("__gap", tsUs - lag(tsUs, 1).over(w))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") <= gapSec * 1000000L, 0)
+          .otherwise(1))
+      .withColumn("__sid", sum(col("__new")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__step", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol), col("__sid"))
+          .orderBy(col(tsCol), col(idCol))))
+      .where(col("__step") <= maxSteps)
+    val paths = sess.groupBy(col(userCol), col("__sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(idCol),
+          col(typeCol).as("t")))), x => x("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col(userCol)).as("n_users"))
+    paths.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_sessions").desc, col("path").asc)))
+      .where(col("rank") <= k)
+  }
 }

@@ -70,4 +70,48 @@ object Retrieval {
     val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col(idCol))
     fused.withColumn("rank", row_number().over(w)).where(col("rank") <= topN)
   }
+
+  /** Exact PHRASE search over a positional index — the consecutive-terms
+    * query the bag-of-words legs above cannot answer: a doc matches a
+    * phrase iff every phrase term appears at consecutive token positions.
+    *
+    * Distributed shape (the classic positional-postings plan): posexplode
+    * both sides into (id, pos, term) / (q_id, i, term) rows, ONE equi-join
+    * on the term, and anchor arithmetic — a row matching phrase offset i
+    * at doc position pos votes for anchor `pos − i`; an anchor with
+    * exactly phrase-length votes is a full occurrence (each (i, pos) pair
+    * is unique, so count(*) counts matched offsets). One map-side-combined
+    * agg per (q, doc, anchor), one per (q, doc).
+    *
+    * The phrase side is tiny (broadcast); join fan-out is Σ_term df(term)
+    * over phrase terms — the inherent posting-list cost. At corpus scale,
+    * pre-filter candidates on the phrase's RAREST term before the full
+    * join (the standard optimization) — here the join IS that plan for
+    * every term at once, and AQE splits a skewed stop-term key.
+    *
+    * Output per (q_id, doc): `n_hits` (distinct anchors), `first_pos`
+    * (min anchor, 0-based) — exact integers.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame, qIdCol: String,
+                   phraseCol: String): DataFrame = {
+    def toks(df: DataFrame, id: Column, alias: String, text: String) =
+      df.select(id.as(alias),
+        posexplode(expr(s"filter(split(trim($text), '\\\\s+'), w -> w != '')"))
+          .as(Seq(s"${alias}_pos", "__w")))
+    val dt = toks(docs, col(idCol), "__doc", textCol)
+    val qt = toks(phrases, col(qIdCol), "q_id", phraseCol)
+    val qlen = phrases.select(col(qIdCol).as("q_id"),
+      expr(s"size(filter(split(trim($phraseCol), '\\\\s+'), w -> w != ''))")
+        .cast("long").as("__len"))
+    dt.join(broadcast(qt), "__w")
+      .groupBy(col("q_id"), col("__doc"),
+        (col("__doc_pos") - col("q_id_pos")).cast("long").as("anchor"))
+      .agg(count(lit(1)).as("votes"))
+      .where(col("anchor") >= 0)
+      .join(broadcast(qlen), "q_id")
+      .where(col("votes") === col("__len"))
+      .groupBy(col("q_id"), col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+  }
 }

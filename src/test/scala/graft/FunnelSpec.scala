@@ -149,4 +149,38 @@ class FunnelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(tight(5L) == 1 && tight(1L) == 3)
   }
+
+  // ----------------------------------------------------------- session paths
+
+  test("sessionPaths: gap split, step cap, tie order by id, top-k rank") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    val ev = Seq(
+      // user 1, session 1: A,B,C,D within 30 min — path capped at A>B>C
+      (1L, t(0L), 10L, "A"), (1L, t(1000L), 11L, "B"),
+      (1L, t(2000L), 12L, "C"), (1L, t(3000L), 13L, "D"),
+      // > 30 min gap -> session 2: lone D
+      (1L, t(3000L + 1801L * 1000L), 14L, "D"),
+      // user 2: same-ts tie broken by event_id -> A>B; then a new session A>B
+      (2L, t(0L), 20L, "A"), (2L, t(0L), 21L, "B"),
+      (2L, t(7200L * 1000L), 22L, "A"), (2L, t(7200L * 1000L + 1L), 23L, "B"),
+      // user 3: another A>B session
+      (3L, t(0L), 30L, "A"), (3L, t(500L), 31L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gapSec = 1800L, maxSteps = 3, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("path")).toSeq ==
+      Seq("A>B", "A>B>C", "D"))
+    val ab = out(0)
+    assert(ab.getAs[Long]("n_sessions") == 3L) // two from user 2, one from user 3
+    assert(ab.getAs[Long]("n_users") == 2L)
+    assert(ab.getAs[Int]("rank") == 1)
+    // ties between A>B>C and D (1 session each) break by path asc
+    assert(out(1).getAs[String]("path") == "A>B>C" && out(1).getAs[Int]("rank") == 2)
+    // k cuts the tail
+    val top1 = Funnel.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gapSec = 1800L, maxSteps = 3, k = 1).collect()
+    assert(top1.length == 1 && top1.head.getAs[String]("path") == "A>B")
+  }
 }

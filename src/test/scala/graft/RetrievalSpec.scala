@@ -78,4 +78,23 @@ class RetrievalSpec extends AnyFunSuite {
     try assert(rows(Queries.q98.fn(spark, d)) == a)
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
+
+  test("phraseSearch: consecutive-only matches, overlapping repeats, duplicate phrase terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),      // "a b" at 0 and 3; "b c a" at 1
+      (2L, "b a c"),          // has all terms of "a b" but never consecutive
+      (3L, "x x x"),          // "x x" overlaps: anchors 0 and 1
+      (4L, ""), (5L, "a")     // empty + too short
+    ).toDF("doc_id", "text")
+    val ph = Seq(("q1", "a b"), ("q2", "b c a"), ("q3", "x x"))
+      .toDF("q_id", "phrase")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text", ph, "q_id", "phrase")
+      .collect().map(r => (r.getAs[String]("q_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos"))).toMap
+    assert(out == Map(
+      ("q1", 1L) -> ((2L, 0L)),   // two "a b" occurrences, first at 0
+      ("q2", 1L) -> ((1L, 1L)),   // the 3-term phrase at anchor 1
+      ("q3", 3L) -> ((2L, 0L)))) // overlapping "x x" counts both anchors
+  }
 }
