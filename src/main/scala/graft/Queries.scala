@@ -3820,6 +3820,53 @@ object Queries {
               |FROM v JOIN ql USING (q_id) WHERE votes = plen
               |GROUP BY 1, 2""".stripMargin))
 
+  val q129 = Q("q129_lerp_join",
+    // linear-interpolating as-of join (graft.ops.AsofJoin.lerp): probes
+    // every 90 min across each key's span read the hourly series BETWEEN
+    // samples — bracketing grid points via one union+sort window (prev
+    // carry + strict-next lookahead share the sort), exact BIGINT
+    // num/den_us, value_r one division round-6 (exact-on-grid probes
+    // return the grid value exactly, the same CASE order as the oracle's
+    // double ASOF join).
+    (s, d) => {
+      val g = hourCountSeries(s, d)
+      val spans = g.groupBy(col("event_type"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val probes = spans.select(col("event_type"),
+        explode(expr("sequence(t0, t1, interval 90 minutes)")).as("pts"))
+      ntz(graft.ops.AsofJoin.lerp(probes, g, Seq("event_type"),
+        "pts", "ts", "x"), "pts", "prev_ts", "next_ts")
+    },
+    Some(raw"""WITH $hourSeriesDuck,
+              |sp AS (SELECT event_type, min(ts) AS t0, max(ts) AS t1
+              |  FROM f GROUP BY 1),
+              |p AS (SELECT event_type,
+              |    unnest(generate_series(t0, t1, INTERVAL 90 MINUTE)) AS pts
+              |  FROM sp),
+              |pv AS (SELECT p.event_type, p.pts, f.ts AS prev_ts, f.x AS prev_x
+              |  FROM p ASOF LEFT JOIN f
+              |    ON p.event_type = f.event_type AND p.pts >= f.ts),
+              |nx AS (SELECT p.event_type, p.pts, f.ts AS next_ts, f.x AS next_x
+              |  FROM p ASOF LEFT JOIN f
+              |    ON p.event_type = f.event_type AND p.pts < f.ts),
+              |j AS (SELECT pv.event_type, pv.pts, pv.prev_ts, pv.prev_x,
+              |    nx.next_ts, nx.next_x
+              |  FROM pv JOIN nx ON pv.event_type = nx.event_type
+              |    AND pv.pts = nx.pts)
+              |SELECT event_type, pts, prev_ts, prev_x, next_ts, next_x,
+              |  CASE WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL THEN
+              |    prev_x * (epoch_us(next_ts) - epoch_us(pts))
+              |      + next_x * (epoch_us(pts) - epoch_us(prev_ts)) END AS num,
+              |  CASE WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL THEN
+              |    epoch_us(next_ts) - epoch_us(prev_ts) END AS den_us,
+              |  CASE WHEN prev_ts = pts THEN round(CAST(prev_x AS DOUBLE), 6)
+              |    WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL THEN
+              |      round((prev_x * (epoch_us(next_ts) - epoch_us(pts))
+              |        + next_x * (epoch_us(pts) - epoch_us(prev_ts)))
+              |        / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE), 6)
+              |  END AS value_r
+              |FROM j""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3830,6 +3877,6 @@ object Queries {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129
   )
 }

@@ -396,6 +396,32 @@ class OpsSpec extends AnyFunSuite {
       3L -> ((None, Some(28L))), 4L -> ((None, None))))
   }
 
+  test("lerp join: midpoint average, exact-on-grid, out-of-span nulls, integer pieces") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val grid = Seq(("A", t(0), 10L), ("A", t(100), 30L), ("A", t(200), 0L))
+      .toDF("k", "gts", "x")
+    val probes = Seq(("A", t(50)), ("A", t(100)), ("A", t(175)),
+      ("A", t(200)), ("B", t(50))).toDF("k", "pts")
+    val out = graft.ops.AsofJoin.lerp(probes, grid, Seq("k"), "pts", "gts", "x")
+      .collect().map { r =>
+        (r.getAs[String]("k"), r.getAs[java.sql.Timestamp]("pts").getTime / 1000L) ->
+          ((Option(r.getAs[java.lang.Long]("num")).map(_.toLong),
+            Option(r.getAs[java.lang.Long]("den_us")).map(_.toLong),
+            Option(r.getAs[java.lang.Double]("value_r")).map(_.toDouble)))
+      }.toMap
+    // t=50: halfway between 10 and 30 -> 20; num = 10*50e6 + 30*50e6
+    assert(out(("A", 50L)) == ((Some(2000000000L), Some(100000000L), Some(20.0))))
+    // t=100: exactly on grid -> the grid value, via the exact branch
+    assert(out(("A", 100L))._3 == Some(30.0))
+    // t=175: 3/4 of the way from 30 down to 0 -> 7.5
+    assert(out(("A", 175L))._3 == Some(7.5))
+    // t=200: on the LAST grid point (no next) -> still exact
+    assert(out(("A", 200L)) == ((None, None, Some(0.0))))
+    // key B has no grid at all -> all pieces null
+    assert(out(("B", 50L)) == ((None, None, None)))
+  }
+
   test("asof join: seeded random data == brute-force reference (with and without tolerance)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
