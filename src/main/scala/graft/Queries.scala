@@ -3867,6 +3867,45 @@ object Queries {
               |  END AS value_r
               |FROM j""".stripMargin))
 
+  val q130 = Q("q130_twap",
+    // time-weighted average per (event_type, day) over the IRREGULAR raw
+    // event stream (graft.ops.SeriesStats.twap): step-function integral
+    // from first observation to day end, same-ts ties ordered by
+    // event_id. n/span_us exact BIGINTs (span telescopes to day_end −
+    // first_ts); twap_r round-6 (per-row value·dt products are single
+    // IEEE multiplies; the sum carries ~1e-16 reorder noise only).
+    (s, d) => ntz(graft.ops.SeriesStats.twap(ev(s, d), "event_type", "ts",
+      "event_id", "value"), "day"),
+    Some(raw"""WITH w AS (SELECT event_type, date_trunc('day', ts) AS day,
+              |    value, epoch_us(ts) AS tu,
+              |    lead(epoch_us(ts)) OVER (PARTITION BY event_type, date_trunc('day', ts)
+              |      ORDER BY ts, event_id) AS nxt,
+              |    epoch_us(date_trunc('day', ts)) + 86400000000 AS de
+              |  FROM events),
+              |dtd AS (SELECT event_type, day, value,
+              |    coalesce(nxt, de) - tu AS dt FROM w)
+              |SELECT event_type, day, count(*) AS n,
+              |  CAST(sum(dt) AS BIGINT) AS span_us,
+              |  round(sum(value * dt) / sum(dt), 6) AS twap_r
+              |FROM dtd GROUP BY 1, 2""".stripMargin))
+
+  val q131 = Q("q131_gini_diversity",
+    // behavioral diversity per user (graft.ops.Funnel.giniDiversity):
+    // Gini impurity of the event-type mix — the exact-rational stand-in
+    // for entropy (ln is not bit-portable; the q74 lesson). All pieces
+    // exact BIGINTs; gini_r one division round-6. Two map-side-combined
+    // groupBys, no join.
+    (s, d) => graft.ops.Funnel.giniDiversity(ev(s, d), "user_id", "event_type"),
+    Some(raw"""WITH c AS (SELECT user_id, event_type, count(*) AS c
+              |  FROM events GROUP BY 1, 2),
+              |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+              |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_sq
+              |  FROM c GROUP BY 1)
+              |SELECT user_id, n, n_types, sum_sq,
+              |  n*n - sum_sq AS gini_num, n*n AS gini_den,
+              |  round((n*n - sum_sq) / CAST(n*n AS DOUBLE), 6) AS gini_r
+              |FROM g""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3877,6 +3916,7 @@ object Queries {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
+    q130, q131
   )
 }

@@ -185,4 +185,29 @@ object Funnel {
           .orderBy(col("n_sessions").desc, col("path").asc)))
       .where(col("rank") <= k)
   }
+
+  /** Behavioral diversity per entity as GINI IMPURITY of its event-type
+    * mix: 1 − Σ pᵢ² — the exact-rational stand-in for Shannon entropy
+    * (whose log is not bit-portable across engines; Gini ranks mixes the
+    * same way for dashboard purposes and is a pure integer ratio). Output
+    * per key: `n` events, `n_types`, the exact BIGINT pieces `sum_sq`
+    * (Σ cᵢ²), `gini_num` = n² − Σ cᵢ², `gini_den` = n², and round-6
+    * `gini_r` — 0 for a single-type entity, → 1 − 1/k for a uniform
+    * k-type mix.
+    *
+    * Scale shape: two map-side-combined groupBys ((key, type) then key) —
+    * no join, no window; output is one row per entity.
+    */
+  def giniDiversity(events: DataFrame, keyCol: String,
+                    typeCol: String): DataFrame = {
+    val c = events.groupBy(col(keyCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+    c.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("__c") * col("__c")).as("sum_sq"))
+      .withColumn("gini_num", col("n") * col("n") - col("sum_sq"))
+      .withColumn("gini_den", col("n") * col("n"))
+      .withColumn("gini_r",
+        round(col("gini_num") / col("gini_den").cast("double"), 6))
+  }
 }

@@ -475,6 +475,41 @@ object SeriesStats {
         (col("level") + col("trend")).as("forecast"))
   }
 
+  /** Time-weighted average (TWAP) per (key, day) over an IRREGULAR event
+    * stream — the step-function integral ∫value dt / ∫dt from each day's
+    * first observation to the day end, the standard reading of a sampled
+    * metric when samples are NOT equally spaced (a plain avg() over-weights
+    * bursts; the reference's waveform world never needs this because its
+    * traces are regular — this is the raw-events-side counterpart of its
+    * gap-filled regular grid, Ingest.series).
+    *
+    * Per row: `dt_us` = µs to the next event in the same (key, day), the
+    * last event carrying to the day boundary (same-ts ties ordered by
+    * `idCol`; earlier tie rows get dt 0). Output per (key, day): exact
+    * `n`/`span_us` BIGINTs (span telescopes to day_end − first_ts) and
+    * `twap_r` = round(Σ value·dt / span, 6) — the only float is the
+    * value-weighted sum (per-row products are single IEEE multiplies;
+    * the cross-row sum carries ~1e-16 relative reorder noise, far below
+    * round-6 at TWAP magnitude — the q55/q123 float-sum precedent).
+    *
+    * Scale shape: ONE (key, day) window sort provides the lead, then a
+    * map-side-combined groupBy of the same keys — no join, no grid.
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), date_trunc("day", col(tsCol)))
+      .orderBy(col(tsCol), col(idCol))
+    val tUs = unix_micros(col(tsCol).cast("timestamp"))
+    val dayEndUs = unix_micros(
+      date_trunc("day", col(tsCol)).cast("timestamp")) + 86400000000L
+    val dt = coalesce(lead(tUs, 1).over(w), dayEndUs) - tUs
+    df.select(col(keyCol), date_trunc("day", col(tsCol)).as("day"),
+        col(valueCol).cast("double").as("__v"), dt.as("__dt"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("__dt")).as("span_us"),
+        round(sum(col("__v") * col("__dt")) / sum(col("__dt")), 6).as("twap_r"))
+  }
+
   /** Per-(key, day) ordinary-least-squares trend of an hourly series
     * against the hour-of-day regressor t ∈ [0, 23]: the "is this metric
     * rising or falling within the day, and how fast" scan. Output per

@@ -150,6 +150,24 @@ class FunnelSpec extends AnyFunSuite {
     assert(tight(5L) == 1 && tight(1L) == 3)
   }
 
+  test("giniDiversity: single-type is 0, uniform k-type is 1 - 1/k, exact pieces") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    val ev = Seq((1L, "A"), (1L, "A"), (1L, "A"),               // pure
+      (2L, "A"), (2L, "B"), (2L, "C"), (2L, "D"),               // uniform 4
+      (3L, "A"), (3L, "A"), (3L, "A"), (3L, "B"))               // skewed
+      .toDF("user_id", "event_type")
+    val out = Funnel.giniDiversity(ev, "user_id", "event_type")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Double]("gini_r") == 0.0)
+    assert(out(1L).getAs[Long]("n_types") == 1L)
+    assert(out(2L).getAs[Double]("gini_r") == 0.75) // 1 - 1/4, exact in binary
+    // user 3: n=4, counts 3,1 -> num = 16 - 10 = 6, den = 16 -> 0.375
+    assert(out(3L).getAs[Long]("gini_num") == 6L &&
+      out(3L).getAs[Long]("gini_den") == 16L)
+    assert(out(3L).getAs[Double]("gini_r") == 0.375)
+  }
+
   // ----------------------------------------------------------- session paths
 
   test("sessionPaths: gap split, step cap, tie order by id, top-k rank") {

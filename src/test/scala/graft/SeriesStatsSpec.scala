@@ -164,6 +164,27 @@ class SeriesStatsSpec extends AnyFunSuite {
       SeriesStats.holt(df.withColumnRenamed("x", "level"), "k", "ts", "level"))
   }
 
+  test("twap: burst does not over-weight; span telescopes; same-ts tie contributes zero") {
+    import spark.implicits._
+    // day = 86400 s. Key A: value 10 for the first half-day (one event at
+    // t=0), then a 100-event burst of value 90 in the last second of the
+    // day -> plain avg ~= 89.2, TWAP ~= 10 (the burst holds ~1 s of time)
+    val dayStart = 1704067200L
+    val rows = Seq(("A", dayStart, 1L, 10.0)) ++
+      (0 until 100).map(i => ("A", dayStart + 86399L, 100L + i, 90.0))
+    val df = rows.toDF("k", "sec", "id", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("v"))
+    val out = SeriesStats.twap(df, "k", "ts", "id", "v").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 101L)
+    assert(r.getAs[Long]("span_us") == 86400L * 1000000L) // first event at day start
+    // integral: 10 * 86399 s + 90 * 1 s over 86400 s
+    val want = (10.0 * 86399e6 + 90.0 * 1e6) / 86400e6
+    assert(math.abs(r.getAs[Double]("twap_r") - want) < 1e-6)
+    assert(r.getAs[Double]("twap_r") < 11.0) // NOT the burst-dominated avg
+  }
+
   test("acf: constant series has zero denominator -> NULL acf") {
     val df = minuteDf((0 to 3).map(i => ("B", i, 7L)))
     val out = SeriesStats.acf(df, Seq("k"), "ts", "x", maxLag = 1).collect()
