@@ -236,7 +236,9 @@ object Bench {
         // PageRank + per-cluster argmax window in one plan
         "q125_canonical_pick",
         // positional phrase search: the term-postings join fan-out
-        "q128_phrase_search")
+        "q128_phrase_search",
+        // interpolating as-of: the union+sort window with dual frames
+        "q129_lerp_join")
       .map(timeQuery)
     val extraQs = extras.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val extraSpreads = extras.map { case (k, _, lo, hi) => "\"" + k + f"\":[$lo%.3f,$hi%.3f]" }.mkString("{", ",", "}")

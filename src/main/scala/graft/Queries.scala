@@ -3642,8 +3642,12 @@ object Queries {
     // q47's transitive-closure CTE with q123's unrolled iterations.
     (s, d) => {
       val ds = docs(s, d)
+      // both consumers (clusters AND pageRank) lineage-truncate their
+      // inputs; checkpointing the SHARED pair table first means the
+      // winnow fingerprint pipeline runs once, not twice (bench: q125
+      // 7.2 → ~4 s)
       val pairs = graft.ops.Winnow.candidatePairs(ds, "doc_id", "text",
-        k = 5, w = 4, minShared = 2, maxDf = 50)
+        k = 5, w = 4, minShared = 2, maxDf = 50).localCheckpoint()
       val cl = graft.ops.Dedup.clusters(pairs, "a", "b", ds, "doc_id")
       val pr = graft.ops.Graph.pageRank(ds, "doc_id", pairs, "a", "b",
           iterations = 3, d = 0.85)
@@ -3906,6 +3910,29 @@ object Queries {
               |  round((n*n - sum_sq) / CAST(n*n AS DOUBLE), 6) AS gini_r
               |FROM g""".stripMargin))
 
+  val q132 = Q("q132_fuzzy_pairs",
+    // edit-distance-1 fuzzy pairs via SymSpell deletion-neighborhood
+    // blocking (graft.ops.Dedup.fuzzyPairs): one equi-join on the
+    // {self} ∪ {one-deletion} variant sets of 16-char prefixes (fan-out
+    // exactly 17 per doc, never an all-pairs edit-distance join), then
+    // exact levenshtein verification — integer DP, bit-portable. The
+    // typo/near-miss complement to the shingle dedup family.
+    (s, d) => graft.ops.Dedup.fuzzyPairs(docs(s, d), "doc_id", "text",
+      prefixLen = 16),
+    Some(raw"""WITH t AS (SELECT doc_id, substr(trim(text), 1, 16) AS s
+              |  FROM documents
+              |  WHERE text IS NOT NULL AND length(trim(text)) >= 16),
+              |v AS (SELECT doc_id, s, unnest(list_distinct(list_append(
+              |    list_transform(range(1, length(s) + 1),
+              |      i -> substr(s, 1, i - 1) || substr(s, i + 1)), s))) AS var
+              |  FROM t),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+              |    a.s AS s1, b.s AS s2
+              |  FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+              |SELECT d1, d2, s1, s2,
+              |  CAST(levenshtein(s1, s2) AS INTEGER) AS dist
+              |FROM cand WHERE levenshtein(s1, s2) <= 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3917,6 +3944,6 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131
+    q130, q131, q132
   )
 }

@@ -367,4 +367,48 @@ object Dedup {
         sum(col("run_len")).as("matched"))
       .where(col("max_run") >= minRun)
   }
+
+  /** Edit-distance-1 fuzzy pairs over fixed-length prefixes — SymSpell
+    * deletion-neighborhood blocking (Garbe 2012, public algorithm): two
+    * strings within Levenshtein distance 1 necessarily share a member of
+    * each other's {self} ∪ {one-deletion variants} set, so ONE equi-join
+    * on the variant captures every true pair with a fan-out of exactly
+    * prefixLen+1 variants per doc — never an all-pairs or edit-distance
+    * theta join. Candidates are then verified with the exact
+    * `levenshtein` built-in (integer DP — bit-portable, unlike float
+    * scores). This is the typo/near-miss complement to the token-level
+    * dedup family (shingles miss single-character edits inside a token).
+    *
+    * Output per pair (d1 < d2): the two prefixes and the verified
+    * distance. Scale notes: the variant join is skew-prone on common
+    * prefixes (a shared boilerplate head puts many docs in one variant
+    * key) — AQE splits skewed keys, and a df-cap anti-join (the q36
+    * discipline) can pre-drop variants above a frequency bound when a
+    * corpus has mass-duplicated heads; at that point exact-hash dedup
+    * already owns those pairs.
+    */
+  def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
+                 prefixLen: Int = 16): DataFrame = {
+    require(prefixLen >= 2, s"prefixLen must be >= 2, got $prefixLen")
+    val base = docs
+      .where(col(textCol).isNotNull &&
+        length(trim(col(textCol))) >= prefixLen)
+      .select(col(idCol).as("__id"),
+        substring(trim(col(textCol)), 1, prefixLen).as("__s"))
+    val variants = base.select(col("__id"), col("__s"),
+      explode(expr(
+        s"""array_distinct(array_append(
+           |  transform(sequence(1, length(__s)),
+           |    i -> concat(substring(__s, 1, i - 1),
+           |                substring(__s, i + 1, $prefixLen))),
+           |  __s))""".stripMargin)).as("__var"))
+    val a = variants.select(col("__id").as("d1"), col("__s").as("s1"),
+      col("__var"))
+    val b = variants.select(col("__id").as("d2"), col("__s").as("s2"),
+      col("__var"))
+    a.join(b, Seq("__var")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .where(col("dist") <= 1)
+  }
 }

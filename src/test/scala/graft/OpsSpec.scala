@@ -396,6 +396,22 @@ class OpsSpec extends AnyFunSuite {
       3L -> ((None, Some(28L))), 4L -> ((None, None))))
   }
 
+  test("fuzzyPairs: substitution/identical prefixes caught, distance-2 rejected, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick crown fox leaps"),  // 1 substitution inside the 16-prefix
+      (3L, "the quick brown fox runs"),   // identical 16-prefix to doc 1 (dist 0)
+      (4L, "thx quick crxwn fox"),        // 2 edits from doc 2's prefix -> rejected
+      (5L, "short"), (6L, null.asInstanceOf[String])) // filtered out
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.fuzzyPairs(docs, "doc_id", "text", prefixLen = 16)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Int]("dist")).toMap
+    assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1))
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
   test("lerp join: midpoint average, exact-on-grid, out-of-span nulls, integer pieces") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
