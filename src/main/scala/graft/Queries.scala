@@ -3933,6 +3933,52 @@ object Queries {
               |  CAST(levenshtein(s1, s2) AS INTEGER) AS dist
               |FROM cand WHERE levenshtein(s1, s2) <= 1""".stripMargin))
 
+  val q133 = Q("q133_triangles",
+    // triangle counts + local clustering coefficient (graft.ops.Graph
+    // .triangles) over the winnow near-dup graph: canonical a<b<c wedge
+    // join + closing-edge probe (two hash equi-joins), per-node corner
+    // explode — exact integers; coeff_r = 2·tri/(deg·(deg−1)) round-6,
+    // NULL below deg 2. Reads template families (near-cliques, coeff→1)
+    // apart from boilerplate hubs (stars, coeff→0) — the complement of
+    // q123's centrality.
+    (s, d) => {
+      val ds = docs(s, d)
+      val pairs = graft.ops.Winnow.candidatePairs(ds, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
+      graft.ops.Graph.triangles(ds, "doc_id", pairs, "a", "b")
+    },
+    Some(s"""WITH $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |fp AS (SELECT DISTINCT doc_id AS id,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp
+            |  FROM win),
+            |rare AS (SELECT fp FROM fp GROUP BY fp
+            |  HAVING count(*) BETWEEN 2 AND 50),
+            |pr AS (SELECT x.id AS a, y.id AS b
+            |  FROM fp x JOIN rare USING (fp) JOIN fp y USING (fp)
+            |  WHERE x.id < y.id
+            |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2),
+            |deg AS (SELECT id, count(*) AS deg FROM (
+            |    SELECT a AS id FROM pr UNION ALL SELECT b FROM pr)
+            |  GROUP BY 1),
+            |tri AS (SELECT e1.a, e1.b, e2.b AS c
+            |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+            |  JOIN pr e3 ON e1.a = e3.a AND e2.b = e3.b),
+            |pn AS (SELECT id, count(*) AS tri_n FROM (
+            |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+            |    UNION ALL SELECT c FROM tri)
+            |  GROUP BY 1)
+            |SELECT d.doc_id, coalesce(deg.deg, 0) AS deg,
+            |  coalesce(pn.tri_n, 0) AS tri_n,
+            |  CASE WHEN coalesce(deg.deg, 0) >= 2 THEN
+            |    round(2 * coalesce(pn.tri_n, 0)
+            |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) END AS coeff_r
+            |FROM documents d
+            |LEFT JOIN deg ON d.doc_id = deg.id
+            |LEFT JOIN pn ON d.doc_id = pn.id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3944,6 +3990,6 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132
+    q130, q131, q132, q133
   )
 }

@@ -53,6 +53,27 @@ class GraphSpec extends AnyFunSuite {
     assert(base("b") > base("a") && base("a") == base("c"))
   }
 
+  test("triangles: clique vs star, per-corner counts, isolated nodes, direction-insensitive") {
+    import spark.implicits._
+    // K4 clique on a,b,c,d (4 triangles, 3 per node, coeff 1) + star
+    // hub s with leaves l1..l3 (0 triangles, coeff 0 at the hub) + isolated z
+    val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+    val star = Seq(("s","l1"),("l2","s"),("s","l3")) // mixed direction
+    val nodes = Seq("a","b","c","d","s","l1","l2","l3","z").toDF("id")
+    val out = Graph.triangles(nodes, "id",
+        (k4 ++ star).toDF("x", "y"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("tri_n"),
+          Option(r.getAs[java.lang.Double]("coeff_r")).map(_.toDouble)))).toMap
+    for (n <- Seq("a","b","c","d"))
+      assert(out(n) == ((3L, 3L, Some(1.0))), s"clique node $n")
+    assert(out("s") == ((3L, 0L, Some(0.0))))
+    for (l <- Seq("l1","l2","l3")) assert(out(l) == ((1L, 0L, None)))
+    assert(out("z") == ((0L, 0L, None)))
+    // total triangles = sum of corners / 3 = 4
+    assert(out.values.map(_._2).sum == 12L)
+  }
+
   test("pageRank: guards reject bad damping and iteration counts") {
     import spark.implicits._
     val n = Seq("a").toDF("id"); val e = Seq(("a", "b")).toDF("a", "b")
