@@ -3979,6 +3979,97 @@ object Queries {
             |LEFT JOIN deg ON d.doc_id = deg.id
             |LEFT JOIN pn ON d.doc_id = pn.id""".stripMargin))
 
+  /** q134/q135 shared oracle prefix: re-derive every deterministic-media
+    * BODY byte from (asset, index) arithmetic (the q66 discipline — audio
+    * bytes are the BE s16 hi/lo split), then the 4-byte rolling-hash CDC
+    * boundaries and per-chunk integer fingerprints.
+    */
+  private val cdcChunksDuck: String =
+    raw"""ids AS (SELECT unnest(generate_series(0, 199)) AS i),
+         |dims AS (SELECT i, CASE i % 3
+         |    WHEN 0 THEN (16 + (7*i)%17) * (16 + (5*i)%17)
+         |    WHEN 1 THEN 2 * (512 + (31*i)%512)
+         |    ELSE (2 + (13*i)%15) * (8 + (3*i)%9) * (8 + (11*i)%9) END AS blen
+         |  FROM ids),
+         |bts AS (SELECT i, unnest(generate_series(0, blen - 1)) AS j FROM dims),
+         |bv AS (SELECT i, j, CASE WHEN i % 3 = 1 THEN
+         |      -- BE s16 of u - 32768: two's complement flips the hi bit,
+         |      -- so hi = ((u + 32768) % 65536) // 256, lo = u % 256
+         |      CASE WHEN j % 2 = 0
+         |           THEN (((11*i + 17*(j//2)) % 65536 + 32768) % 65536) // 256
+         |           ELSE ((11*i + 17*(j//2)) % 65536) % 256 END
+         |    ELSE (7*i + 31*j) % 256 END AS b
+         |  FROM bts),
+         |rb AS (SELECT i, j, b,
+         |    lag(b, 1) OVER w AS b1, lag(b, 2) OVER w AS b2,
+         |    lag(b, 3) OVER w AS b3
+         |  FROM bv WINDOW w AS (PARTITION BY i ORDER BY j)),
+         |be AS (SELECT rb.i, rb.j, rb.b,
+         |    CASE WHEN rb.j >= 3 AND (rb.b3*16974593 + rb.b2*66049
+         |        + rb.b1*257 + rb.b) % 1000000007 % 32 = 0 THEN 1
+         |      WHEN rb.j = d.blen - 1 THEN 1 ELSE 0 END AS is_end
+         |  FROM rb JOIN dims d ON rb.i = d.i),
+         |ck AS (SELECT i, j, b, CAST(coalesce(sum(is_end)
+         |    OVER (PARTITION BY i ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS chunk_idx
+         |  FROM be),
+         |cs AS (SELECT i, chunk_idx, min(j) AS s, count(*) AS len,
+         |    CAST(sum(b) AS BIGINT) AS fp_sum
+         |  FROM ck GROUP BY 1, 2),
+         |fps AS (SELECT ck.i, ck.chunk_idx, cs.s, cs.len, cs.fp_sum,
+         |    CAST(sum((ck.j - cs.s + 1) * ck.b) % 1000000007 AS BIGINT) AS fp_pos
+         |  FROM ck JOIN cs ON ck.i = cs.i AND ck.chunk_idx = cs.chunk_idx
+         |  GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
+  val q134 = Q("q134_cdc_chunks",
+    // content-defined chunking over the raw media bodies (graft.ops
+    // .Multimodal.cdcChunks): boundaries where the 4-byte 257-base
+    // rolling hash ≡ 0 (mod 32), per-chunk position-weighted + plain
+    // byte-sum fingerprints — all exact integers, one pass per blob. The
+    // oracle re-derives every body byte from the deterministic table's
+    // arithmetic and replays the identical boundary/fingerprint math.
+    (s, d) => graft.ops.Multimodal.cdcChunks(
+      graft.ops.Multimodal.deterministic(s, 200), mask = 32),
+    Some(s"""WITH $cdcChunksDuck
+            |SELECT i AS asset_id, CAST(chunk_idx AS INT) AS chunk_idx,
+            |  CAST(s AS INT) AS start, CAST(len AS INT) AS len,
+            |  fp_pos, fp_sum
+            |FROM fps""".stripMargin))
+
+  val q135 = Q("q135_cdc_dedup",
+    // chunk-level dedup over q134's CDC chunks: identical (len, fp_pos,
+    // fp_sum) chunks across assets collapse to one stored copy — the
+    // storage win whole-blob hashing cannot see (every blob here is
+    // unique, yet arithmetic bodies share many content-aligned
+    // segments). Exact integers: copies, distinct assets, total bytes
+    // deduped, keeper = min (asset, chunk).
+    (s, d) => {
+      val ch = graft.ops.Multimodal.cdcChunks(
+        graft.ops.Multimodal.deterministic(s, 200), mask = 32)
+      ch.groupBy(col("len"), col("fp_pos"), col("fp_sum"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("asset_id")).as("n_assets"),
+          // composite (asset, chunk) keeper as one BIGINT — min over a
+          // struct is not portable to the oracle engine
+          min(col("asset_id") * 1000000L + col("chunk_idx")).as("__k"))
+        .where(col("n_copies") > 1)
+        .select(col("len"), col("fp_pos"), col("fp_sum"), col("n_copies"),
+          col("n_assets"), expr("__k div 1000000L").as("keeper_asset"),
+          (col("__k") % 1000000L).cast("int").as("keeper_chunk"),
+          ((col("n_copies") - 1) * col("len")).as("bytes_saved"))
+    },
+    Some(s"""WITH $cdcChunksDuck,
+            |g AS (SELECT len, fp_pos, fp_sum, count(*) AS n_copies,
+            |    count(DISTINCT i) AS n_assets,
+            |    min(i * 1000000 + chunk_idx) AS k
+            |  FROM fps GROUP BY 1, 2, 3 HAVING count(*) > 1)
+            |SELECT CAST(len AS INT) AS len, fp_pos, fp_sum, n_copies,
+            |  n_assets, k // 1000000 AS keeper_asset,
+            |  CAST(k % 1000000 AS INT) AS keeper_chunk,
+            |  (n_copies - 1) * len AS bytes_saved
+            |FROM g""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -3990,6 +4081,6 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133
+    q130, q131, q132, q133, q134, q135
   )
 }

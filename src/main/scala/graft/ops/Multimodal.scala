@@ -343,4 +343,68 @@ object Multimodal {
       }
       .toDF("asset_id", "kind", "features")
   }
+
+  /** Content-defined chunking (CDC) over the raw BODY bytes — the
+    * storage/dedup primitive for binary media (Muthitacharoen et al.
+    * 2001, LBFS; FastCDC 2016): chunk boundaries are set by the CONTENT
+    * (a rolling hash over the last 4 bytes hitting `rh % mask == 0`),
+    * not by fixed offsets, so inserting bytes shifts only the chunks it
+    * touches and identical segments produce identical chunks at ANY
+    * byte offset — exactly why two assets sharing a media segment dedup
+    * at the chunk level when whole-blob hashing ([[graft.ops.Dedup]]
+    * `exact`) sees two distinct blobs.
+    *
+    * Per chunk: `start`/`len` (body-relative), `fp_pos` = Σ (t+1)·bᵗ
+    * mod 1e9+7 (t = offset IN the chunk — position-sensitive, so
+    * reordered bytes differ) and `fp_sum` = Σ bᵗ — pure integer
+    * fingerprints a SQL oracle replays byte-for-byte from the
+    * [[deterministic]] table's arithmetic bodies. One pass per blob, no
+    * allocation beyond the output rows; chunking parallelizes per asset
+    * (mapPartitions), the dedup groupBy afterwards is the only shuffle.
+    *
+    * @param mask boundary when the 4-byte rolling hash ≡ 0 (mod mask) —
+    *             expected chunk length ≈ mask bytes
+    */
+  def cdcChunks(media: DataFrame, mask: Int = 32): DataFrame = {
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val P = 1000000007L
+    media.select(col("asset_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val h = parseHeader(bytes)
+          val off = h.bodyOffset
+          val n = bytes.length - off
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Long, Long)]
+          var start = 0
+          var fpPos = 0L
+          var fpSum = 0L
+          var idx = 0
+          var j = 0
+          while (j < n) {
+            val b = (bytes(off + j) & 0xFF).toLong
+            val t = (j - start).toLong
+            fpPos = (fpPos + (t + 1) * b) % P
+            fpSum = fpSum + b
+            // 4-byte rolling hash (257-base polynomial, same constants as
+            // the winnow k-gram hash), defined once 4 bytes exist
+            val boundary = j >= 3 && {
+              val b0 = (bytes(off + j - 3) & 0xFF).toLong
+              val b1 = (bytes(off + j - 2) & 0xFF).toLong
+              val b2 = (bytes(off + j - 1) & 0xFF).toLong
+              ((b0 * 16974593L + b1 * 66049L + b2 * 257L + b) % P) % mask == 0
+            }
+            if (boundary || j == n - 1) {
+              out += ((id, idx, start, j - start + 1, fpPos, fpSum))
+              idx += 1; start = j + 1; fpPos = 0L; fpSum = 0L
+            }
+            j += 1
+          }
+          out
+        }
+      }
+      .toDF("asset_id", "chunk_idx", "start", "len", "fp_pos", "fp_sum")
+  }
 }

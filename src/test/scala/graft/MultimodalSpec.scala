@@ -200,4 +200,40 @@ class MultimodalSpec extends AnyFunSuite {
     val c = cands.collect()
     c.foreach(r => assert(buckets(r.getLong(0)) == buckets(r.getLong(1))))
   }
+
+  test("cdcChunks: chunks tile each body exactly; fingerprints replay; cross-asset dups exist") {
+    import graft.ops.Multimodal
+    val media = Multimodal.deterministic(spark, 30)
+    val chunks = Multimodal.cdcChunks(media, mask = 32).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start"), r.getAs[Int]("len"),
+        r.getAs[Long]("fp_pos"), r.getAs[Long]("fp_sum")))
+    val bodies = media.collect().map { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val off = Multimodal.parseHeader(bytes).bodyOffset
+      r.getAs[Long]("asset_id") -> bytes.drop(off)
+    }.toMap
+    // tiling: contiguous starts, lengths sum to the body length
+    for ((id, body) <- bodies) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.nonEmpty && cs.head._3 == 0)
+      assert(cs.map(_._4).sum == body.length, s"asset $id tiling")
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"asset $id gap")
+        case _ =>
+      }
+      // fingerprints replay from the raw body bytes
+      for ((_, _, s, l, fpPos, fpSum) <- cs) {
+        val seg = body.slice(s, s + l).map(_ & 0xFF)
+        assert(fpSum == seg.map(_.toLong).sum)
+        assert(fpPos == seg.zipWithIndex
+          .map { case (b, t) => (t + 1).toLong * b }.sum % 1000000007L)
+      }
+    }
+    // the arithmetic bodies share content-aligned segments: chunk-level
+    // dedup must find duplicates even though every BLOB is unique
+    val groups = chunks.groupBy(c => (c._4, c._5, c._6))
+    assert(groups.exists { case (_, g) => g.map(_._1).distinct.length > 1 },
+      "expected cross-asset duplicate chunks")
+  }
 }
