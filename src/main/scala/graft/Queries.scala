@@ -4070,6 +4070,70 @@ object Queries {
             |  (n_copies - 1) * len AS bytes_saved
             |FROM g""".stripMargin))
 
+  val q136 = Q("q136_dispersion",
+    // per-(event_type, day) dispersion profile of the hourly counts
+    // (graft.ops.SeriesStats.dispersion): exact n/Σx/Σx² + the BIGINT
+    // variance numerator, round-6 mean/variance/Fano/CV² — the
+    // burstiness dashboard (Fano 1 = Poisson, ≫1 = bursty). One
+    // map-side-combined groupBy.
+    (s, d) => ntz(graft.ops.SeriesStats.dispersion(
+      hourCountSeries(s, d), "event_type", "ts", "x"), "day"),
+    Some(raw"""WITH $hourSeriesDuck,
+              |gg AS (SELECT event_type, date_trunc('day', ts) AS day,
+              |    count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              |    CAST(sum(x * x) AS BIGINT) AS sxx
+              |  FROM f GROUP BY 1, 2)
+              |SELECT event_type, day, n, sx, sxx,
+              |  n*sxx - sx*sx AS var_num,
+              |  round(sx / CAST(n AS DOUBLE), 6) AS mean_r,
+              |  CASE WHEN n >= 2 THEN
+              |    round((n*sxx - sx*sx) / CAST(n*(n-1) AS DOUBLE), 6) END AS var_r,
+              |  CASE WHEN n >= 2 AND sx > 0 THEN
+              |    round((n*sxx - sx*sx) / CAST((n-1)*sx AS DOUBLE), 6) END AS fano_r,
+              |  CASE WHEN n >= 2 AND sx > 0 THEN
+              |    round((n*sxx - sx*sx) * n / CAST((n-1)*sx*sx AS DOUBLE), 6) END AS cv2_r
+              |FROM gg""".stripMargin))
+
+  val q137 = Q("q137_top_movers",
+    // day-over-day top movers (graft.ops.SeriesStats.topMovers): per-key
+    // daily event counts, lag-1 window for the previous ACTIVE day,
+    // exact delta + round-6 relative change, per-day top-5 by (|delta|,
+    // key). Bounded by keys × days — all small-table work after one
+    // count groupBy.
+    (s, d) => ntz(graft.ops.SeriesStats.topMovers(ev(s, d), "event_type",
+      "ts", k = 5), "day", "prev_day"),
+    Some(raw"""WITH g AS (SELECT event_type, date_trunc('day', ts) AS day,
+              |    count(*) AS cnt FROM events GROUP BY 1, 2),
+              |l AS (SELECT event_type, day, cnt,
+              |    lag(day) OVER w AS prev_day, lag(cnt) OVER w AS prev_cnt
+              |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+              |d AS (SELECT *, cnt - prev_cnt AS delta,
+              |    round((cnt - prev_cnt) / CAST(prev_cnt AS DOUBLE), 6) AS pct_r
+              |  FROM l WHERE prev_cnt IS NOT NULL)
+              |SELECT event_type, day, cnt, prev_day, prev_cnt, delta, pct_r,
+              |  CAST(row_number() OVER (PARTITION BY day
+              |    ORDER BY abs(delta) DESC, event_type) AS INTEGER) AS rank
+              |FROM d QUALIFY rank <= 5""".stripMargin))
+
+  val q138 = Q("q138_user_lifecycle",
+    // daily user lifecycle (graft.ops.Funnel.userLifecycle): per active
+    // day, distinct actives, NEW users (first active day), last-seen
+    // users (retrospective churn label) and returning = active − new.
+    // One distinct collapse + per-user span agg + day join — exact
+    // integers end-to-end.
+    (s, d) => ntz(graft.ops.Funnel.userLifecycle(ev(s, d), "user_id", "ts"),
+      "day"),
+    Some(raw"""WITH ud AS (SELECT DISTINCT user_id,
+              |    date_trunc('day', ts) AS day FROM events),
+              |sp AS (SELECT user_id, min(day) AS fd, max(day) AS ld
+              |  FROM ud GROUP BY 1)
+              |SELECT ud.day, count(*) AS n_active,
+              |  CAST(sum(CASE WHEN ud.day = sp.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+              |  CAST(sum(CASE WHEN ud.day = sp.ld THEN 1 ELSE 0 END) AS BIGINT) AS n_last_seen,
+              |  count(*) - CAST(sum(CASE WHEN ud.day = sp.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+              |FROM ud JOIN sp USING (user_id)
+              |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -4081,6 +4145,6 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135
+    q130, q131, q132, q133, q134, q135, q136, q137, q138
   )
 }

@@ -198,6 +198,34 @@ object Funnel {
     * Scale shape: two map-side-combined groupBys ((key, type) then key) —
     * no join, no window; output is one row per entity.
     */
+  /** Daily user lifecycle: per active day, how many users were NEW (this
+    * is their first active day), RETURNING (active before and after...
+    * precisely: active today and not new), and CHURNED (this is their
+    * LAST active day in the observed range — a retrospective label, only
+    * meaningful on closed data or behind a maturity horizon, which is
+    * why it is emitted as its own column rather than folded into a
+    * "health" score). `n_active` counts distinct users touching the day.
+    *
+    * Scale shape: one distinct (user, day) collapse, one per-user
+    * min/max agg (2 longs per user), one join back on the day — all
+    * map-side-combined groupBys + an AQE-sized equi-join; output is one
+    * row per active day.
+    */
+  def userLifecycle(events: DataFrame, userCol: String,
+                    tsCol: String): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val span = ud.groupBy(col("__u"))
+      .agg(min(col("day")).as("__first"), max(col("day")).as("__last"))
+    ud.join(span, "__u")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") === col("__last"), 1L).otherwise(0L)).as("n_last_seen"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
   def giniDiversity(events: DataFrame, keyCol: String,
                     typeCol: String): DataFrame = {
     val c = events.groupBy(col(keyCol), col(typeCol))

@@ -510,6 +510,63 @@ object SeriesStats {
         round(sum(col("__v") * col("__dt")) / sum(col("__dt")), 6).as("twap_r"))
   }
 
+  /** Per-(key, day) dispersion profile of an integer series: the exact
+    * normal pieces (`n, sx, sxx`), the variance numerator
+    * `var_num = n·Σx² − (Σx)²` (BIGINT — ≥ 0, exact under any
+    * partitioning), and the round-6 readable ratios every capacity
+    * dashboard wants: `mean_r`, `var_r` (sample variance,
+    * var_num / (n·(n−1))), `fano_r` (variance-to-mean — the burstiness
+    * index: 1 for Poisson arrivals, ≫1 for bursty traffic) and `cv2_r`
+    * (squared coefficient of variation, scale-free). NULLs where the
+    * denominator is 0 (n < 2, or zero mean for the ratios).
+    *
+    * Scale shape: ONE map-side-combined groupBy — no window, no join.
+    */
+  def dispersion(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    df.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("mean_r", round(col("sx") / col("n").cast("double"), 6))
+      .withColumn("var_r", when(col("n") >= 2,
+        round(col("var_num") / (col("n") * (col("n") - 1)).cast("double"), 6)))
+      .withColumn("fano_r", when(col("n") >= 2 && col("sx") > 0,
+        round(col("var_num") / ((col("n") - 1) * col("sx")).cast("double"), 6)))
+      .withColumn("cv2_r", when(col("n") >= 2 && col("sx") > 0,
+        round(col("var_num") * col("n") /
+          ((col("n") - 1) * col("sx") * col("sx")).cast("double"), 6)))
+  }
+
+  /** Day-over-day top movers: per-(key, day) counts, the previous day's
+    * count via ONE lag window (consecutive-day or not — the lag is by
+    * row, so a silent day simply compares against the last ACTIVE day;
+    * `prev_day` is emitted so readers can tell), the exact delta, and
+    * the round-6 relative change. Top `k` rows per day by
+    * (|delta| desc, key) — deterministic. The "what moved since
+    * yesterday" dashboard query.
+    *
+    * Scale shape: one groupBy (bounded by keys × days), one key-window
+    * lag over that SMALL table, one per-day top-k window.
+    */
+  def topMovers(df: DataFrame, keyCol: String, tsCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val byDay = df.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val lagged = byDay
+      .withColumn("prev_day", lag(col("day"), 1).over(wk))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(wk))
+      .where(col("prev_cnt").isNotNull)
+      .withColumn("delta", col("cnt") - col("prev_cnt"))
+      .withColumn("pct_r",
+        round(col("delta") / col("prev_cnt").cast("double"), 6))
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(abs(col("delta")).desc, col(keyCol))
+    lagged.withColumn("rank", row_number().over(wd)).where(col("rank") <= k)
+  }
+
   /** Per-(key, day) ordinary-least-squares trend of an hourly series
     * against the hour-of-day regressor t ∈ [0, 23]: the "is this metric
     * rising or falling within the day, and how fast" scan. Output per

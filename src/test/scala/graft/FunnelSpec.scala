@@ -150,6 +150,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(tight(5L) == 1 && tight(1L) == 3)
   }
 
+  test("userLifecycle: new/returning/last-seen per day, single-day user counts in both") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    // u1 active d0,d1,d2; u2 only d1; u3 d1,d2 — multiple events collapse
+    val ev = Seq((1L, 0L), (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 1L), (3L, 1L), (3L, 2L)).map { case (u, di) =>
+      (u, new java.sql.Timestamp((1704067200L + di * 86400L) * 1000L))
+    }.toDF("user_id", "ts")
+    val out = Funnel.userLifecycle(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_last_seen"), r.getAs[Long]("n_returning")))
+    // d0: u1 new; d1: u1 returning, u2 new+last-seen, u3 new;
+    // d2: u1 and u3 returning, both last-seen
+    assert(out.toSeq == Seq((1L, 1L, 0L, 0L), (3L, 2L, 1L, 1L), (2L, 0L, 2L, 2L)))
+  }
+
   test("giniDiversity: single-type is 0, uniform k-type is 1 - 1/k, exact pieces") {
     import spark.implicits._
     import graft.ops.Funnel

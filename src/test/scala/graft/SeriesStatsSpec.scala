@@ -185,6 +185,42 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("twap_r") < 11.0) // NOT the burst-dominated avg
   }
 
+  test("dispersion: Poisson-like unit Fano, constant zero variance, zero-mean NULLs") {
+    // one day of hourly values per key
+    val rows = Seq.tabulate(4)(i => ("A", i, Seq(2L, 4L, 2L, 4L)(i))) ++
+      Seq.tabulate(3)(i => ("B", i, 7L)) ++ Seq.tabulate(2)(i => ("C", i, 0L))
+    val out = SeriesStats.dispersion(minuteDf(rows), "k", "ts", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = out("A") // mean 3, sample var 4/3, fano = var/mean
+    assert(a.getAs[Long]("var_num") == 4L * 40L - 12L * 12L) // n·Σx² − (Σx)² = 16
+    assert(a.getAs[Double]("mean_r") == 3.0)
+    assert(a.getAs[Double]("fano_r") == math.rint(16.0 / 36.0 * 1e6) / 1e6)
+    assert(out("B").getAs[Double]("var_r") == 0.0 &&
+      out("B").getAs[Double]("fano_r") == 0.0)
+    assert(out("C").getAs[java.lang.Double]("fano_r") == null) // zero mean
+  }
+
+  test("topMovers: lag is by active day, delta exact, per-day rank caps at k") {
+    import spark.implicits._
+    // key A: day1 10 events, day2 30; key B: day1 5, day3 5 (silent day2)
+    val rows = (1 to 10).map(i => ("A", 0, i.toLong)) ++
+      (1 to 30).map(i => ("A", 1, 100L + i)) ++
+      (1 to 5).map(i => ("B", 0, 200L + i)) ++
+      (1 to 5).map(i => ("B", 2, 300L + i))
+    val df = rows.toDF("k", "dayi", "id")
+      .select(col("k"),
+        timestamp_seconds(lit(1704067200L) + col("dayi") * 86400L).as("ts"))
+    val out = SeriesStats.topMovers(df, "k", "ts", k = 5)
+      .orderBy("day", "rank").collect()
+    // A day2: 10 -> 30; B day3 compares against its last ACTIVE day (day1)
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("k") == "A" && out(0).getAs[Long]("delta") == 20L
+      && out(0).getAs[Double]("pct_r") == 2.0)
+    assert(out(1).getAs[String]("k") == "B" && out(1).getAs[Long]("delta") == 0L)
+    val top1 = SeriesStats.topMovers(df, "k", "ts", k = 1).collect()
+    assert(top1.forall(_.getAs[Int]("rank") == 1))
+  }
+
   test("acf: constant series has zero denominator -> NULL acf") {
     val df = minuteDf((0 to 3).map(i => ("B", i, 7L)))
     val out = SeriesStats.acf(df, Seq("k"), "ts", "x", maxLag = 1).collect()
