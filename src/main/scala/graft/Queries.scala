@@ -4134,6 +4134,32 @@ object Queries {
               |FROM ud JOIN sp USING (user_id)
               |GROUP BY 1""".stripMargin))
 
+  val q139 = Q("q139_step_latency",
+    // time-to-convert distribution for the view→click funnel edge
+    // (graft.ops.Funnel.stepLatency): first-view anchor, first strictly-
+    // later click, per anchor-day cohort — entered/converted counts and
+    // exact min/max µs latency, p50/p95 over WHOLE SECONDS round-6 (q28
+    // interpolation parity holds at second magnitude; µs-scale values
+    // ~1e12 differ by 1 ulp cross-engine — caught by the sf0.1 replay).
+    (s, d) => ntz(graft.ops.Funnel.stepLatency(ev(s, d), "user_id", "ts",
+      "event_type", from = "view", to = "click"), "day"),
+    Some(raw"""WITH a AS (SELECT user_id, min(epoch_us(ts)) AS a_us
+              |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+              |  GROUP BY 1),
+              |c AS (SELECT a.user_id, min(epoch_us(e.ts) - a.a_us) AS lat
+              |  FROM a JOIN events e ON e.user_id = a.user_id
+              |    AND e.event_type = 'click' AND epoch_us(e.ts) > a.a_us
+              |  GROUP BY 1),
+              |j AS (SELECT a.user_id, a.a_us, c.lat
+              |  FROM a LEFT JOIN c ON a.user_id = c.user_id)
+              |SELECT date_trunc('day', make_timestamp(a_us)) AS day,
+              |  count(*) AS n_entered, count(lat) AS n_converted,
+              |  CAST(min(lat) AS BIGINT) AS min_lat_us,
+              |  CAST(max(lat) AS BIGINT) AS max_lat_us,
+              |  round(quantile_cont(lat // 1000000, 0.5), 6) AS p50_s_r,
+              |  round(quantile_cont(lat // 1000000, 0.95), 6) AS p95_s_r
+              |FROM j GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -4145,6 +4171,6 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135, q136, q137, q138
+    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139
   )
 }

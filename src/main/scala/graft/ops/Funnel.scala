@@ -198,6 +198,43 @@ object Funnel {
     * Scale shape: two map-side-combined groupBys ((key, type) then key) —
     * no join, no window; output is one row per entity.
     */
+  /** Time-to-convert distribution for one funnel edge: per user, anchor
+    * at the FIRST `from` event, convert at the first `to` event STRICTLY
+    * after it (the [[orderedFunnel]] ordering rule on a single edge),
+    * then roll the latency up per anchor-day cohort: entered/converted
+    * counts and exact min/max latency (µs BIGINTs), plus round-6
+    * p50/p95 over WHOLE SECONDS (`percentile` ↔ `quantile_cont`, the q28
+    * interpolation parity — seconds keep the magnitude low enough that
+    * round-6 absorbs the last-ulp interpolation arithmetic; µs-scale
+    * values ~1e12 would need bit-identical interpolation, measured to
+    * differ by 1 ulp cross-engine). The "how long does signup→purchase
+    * take, and is it getting worse" query.
+    *
+    * Scale shape: one map-side-combined anchor agg, one user equi-join
+    * against the `to` events (AQE-sized) with a min fold, one left join
+    * back, one day groupBy. The exact percentile aggregates one day's
+    * converters per group — the report grain, not the event grain.
+    */
+  def stepLatency(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, from: String, to: String): DataFrame = {
+    require(from != to, s"from and to must differ, got '$from' twice")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val a = events.where(col(typeCol) === from && col(userCol).isNotNull)
+      .groupBy(col(userCol)).agg(min(us).as("a_us"))
+    val b = events.where(col(typeCol) === to && col(userCol).isNotNull)
+      .select(col(userCol), us.as("b_us"))
+    val conv = a.join(b, Seq(userCol))
+      .where(col("b_us") > col("a_us"))
+      .groupBy(col(userCol)).agg(min(col("b_us") - col("a_us")).as("lat"))
+    a.join(conv, Seq(userCol), "left")
+      .groupBy(date_trunc("day", timestamp_micros(col("a_us"))).as("day"))
+      .agg(count(lit(1)).as("n_entered"),
+        count(col("lat")).as("n_converted"),
+        min(col("lat")).as("min_lat_us"), max(col("lat")).as("max_lat_us"),
+        round(expr("percentile(lat div 1000000, 0.5)"), 6).as("p50_s_r"),
+        round(expr("percentile(lat div 1000000, 0.95)"), 6).as("p95_s_r"))
+  }
+
   /** Daily user lifecycle: per active day, how many users were NEW (this
     * is their first active day), RETURNING (active before and after...
     * precisely: active today and not new), and CHURNED (this is their

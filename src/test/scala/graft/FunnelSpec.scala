@@ -150,6 +150,28 @@ class FunnelSpec extends AnyFunSuite {
     assert(tight(5L) == 1 && tight(1L) == 3)
   }
 
+  test("stepLatency: strictly-after anchor, earliest conversion, non-converters counted") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 3L, "click"),  // converts at +3 s
+      (2L, 0L, "click"), (2L, 1L, "view"),                     // click BEFORE view: no conversion
+      (3L, 10L, "view"),                                       // never clicks
+      (4L, 0L, "view"), (4L, 0L, "click"), (4L, 2L, "click")   // same-ts click excluded; +2 s
+    ).map { case (u, sec, t) =>
+      (u, new java.sql.Timestamp((1704067200L + sec) * 1000L), t)
+    }.toDF("user_id", "ts", "event_type")
+    val out = Funnel.stepLatency(ev, "user_id", "ts", "event_type",
+      from = "view", to = "click").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_entered") == 4L)
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Long]("min_lat_us") == 2000000L)
+    assert(r.getAs[Long]("max_lat_us") == 3000000L)
+    assert(r.getAs[Double]("p50_s_r") == 2.5) // midpoint of {2 s, 3 s}
+  }
+
   test("userLifecycle: new/returning/last-seen per day, single-day user counts in both") {
     import spark.implicits._
     import graft.ops.Funnel
