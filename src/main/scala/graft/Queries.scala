@@ -4160,6 +4160,29 @@ object Queries {
               |  round(quantile_cont(lat // 1000000, 0.95), 6) AS p95_s_r
               |FROM j GROUP BY 1""".stripMargin))
 
+  val q140 = Q("q140_props_stats",
+    // semi-structured column extraction: pull the integer `k` out of the
+    // JSON `props` string with a regexp (codegen'd regexp_extract — the
+    // portable cross-engine idiom; JSON-path functions differ between
+    // engines) and aggregate exact per-type stats. Spark's cast('' as
+    // long) and the oracle's NULLIF(…, '')::BIGINT both null absent
+    // matches, so malformed/missing props degrade identically.
+    (s, d) => ev(s, d)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k")),
+    Some(raw"""WITH x AS (SELECT event_type,
+              |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+              |  FROM events)
+              |SELECT event_type, count(*) AS n, count(k) AS n_k,
+              |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,
+              |  max(k) AS max_k, count(DISTINCT k) AS n_distinct_k
+              |FROM x GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -4171,6 +4194,6 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139
+    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140
   )
 }
