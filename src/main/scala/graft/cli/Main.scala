@@ -306,7 +306,12 @@ object Main {
     * winnow (MOSS fingerprints; keys k, w, min_shared, max_df),
     * id_col, text_col, ngram, n_hashes, rows_per_band. Output one row per
     * document: (doc_id, cluster_id, keep) — keep marks the canonical
-    * (minimum-id) member of each near-dup group.
+    * member of each near-dup group, chosen by `keep_by`:
+    * `min_id` (default — the cluster label itself) or `centrality`
+    * (PageRank over the same candidate graph, most-central wins with
+    * round-6 rank order and id tiebreak — the q125 semantics; a template
+    * family keeps its hub, not whichever member happens to sort first;
+    * keys `iterations`, `damping`).
     */
   def dedup(spark: SparkSession, c: Conf): String = {
     import graft.ops.Dedup
@@ -328,9 +333,26 @@ object Main {
           .select(col("d1"), col("doc_id").as("d2"))
       case m => throw new IllegalArgumentException(s"unknown dedup mode '$m'")
     }
-    Dedup.clusters(edges, "d1", "d2", in, idCol)
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .write.mode("overwrite").parquet(c("output"))
+    val clustered = Dedup.clusters(edges, "d1", "d2", in, idCol)
+    val kept = c.get("keep_by", "min_id") match {
+      case "min_id" =>
+        clustered.withColumn("keep", col("doc_id") === col("cluster_id"))
+      case "centrality" =>
+        val pr = graft.ops.Graph.pageRank(in, idCol,
+            edges, "d1", "d2",
+            iterations = c.int("iterations", 3),
+            d = c.get("damping", "0.85").toDouble)
+          .select(col(idCol).as("doc_id"), round(col("rank"), 6).as("rank_r"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("rank_r").desc, col("doc_id").asc)
+        // rank_r rides along so downstream audits can check the argmax
+        clustered.join(pr, "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+      case kb => throw new IllegalArgumentException(
+        s"unknown keep_by '$kb' (have: min_id, centrality)")
+    }
+    kept.write.mode("overwrite").parquet(c("output"))
     s"dedup -> ${c("output")}"
   }
 

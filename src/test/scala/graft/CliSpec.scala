@@ -193,6 +193,29 @@ class CliSpec extends AnyFunSuite {
     assert(wl.where(col("keep")).count() ==
       wl.select(col("cluster_id")).distinct().count())
 
+    // keep_by=centrality: still one keeper per cluster, but the keeper is
+    // the most-central member (max rank_r, then min id) — checked as a
+    // property over the real corpus clusters, not a hand-tuned fixture
+    val cDir = out()
+    cli.Main.run("dedup", conf("input" -> docs, "output" -> cDir,
+      "mode" -> "winnow", "min_shared" -> "3", "keep_by" -> "centrality"))
+    val cent = spark.read.parquet(cDir)
+    assert(cent.count() == nDocs, "one row per document (centrality keeper)")
+    assert(cent.where(col("keep")).count() ==
+      cent.select(col("cluster_id")).distinct().count(), "one keeper per cluster")
+    // keeper argmax law: no cluster member may outrank its keeper (or tie
+    // it with a smaller id)
+    val k2 = cent.where(col("keep"))
+      .select(col("cluster_id"), col("rank_r").as("k_rank"), col("doc_id").as("k_id"))
+    val viol = cent.join(k2, "cluster_id")
+      .where(col("rank_r") > col("k_rank") ||
+        (col("rank_r") === col("k_rank") && col("doc_id") < col("k_id")))
+    assert(viol.count() == 0, "a member outranks its cluster's keeper")
+    // the winnow corpus clusters are non-trivial at sf0.001 — make the
+    // property vacuous-proof
+    assert(cent.groupBy(col("cluster_id")).count()
+      .where(col("count") > 1).count() > 0, "no multi-doc clusters to test")
+
     val events = "/root/testdata/sf0.001/events.parquet"
     val refDir = out()
     spark.read.parquet(events)

@@ -549,6 +549,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"normal equations must map-side combine:\n$p")
   }
 
+  test("q130 twap: one day-window lead feeds one partial aggregate — no join, no UDF") {
+    val p = plan(Queries.q130.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Join"), s"twap must not join:\n$p")
+    assert(p.contains("partial"), s"integral must map-side combine:\n$p")
+    assert(!p.contains("ScalaUDF"), s"dt arithmetic must be builtins:\n$p")
+  }
+
+  test("q132 fuzzy pairs: variant self-join is a hash equi-join, never an edit-distance theta join") {
+    val p = plan(Queries.q132.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"deletion-neighborhood blocking degenerated to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the variant:\n$p")
+    assert(!p.contains("ScalaUDF"), s"levenshtein must be the builtin:\n$p")
+  }
+
+  test("q134 cdc: chunking is one mapPartitions pass — zero exchange before the output") {
+    val p = plan(Queries.q134.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+  }
+
+  test("q128 phrase search: postings join is equi on the term, phrase side broadcast") {
+    val p = plan(Queries.q128.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"phrase match degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"phrase side must broadcast:\n$p")
+  }
+
   test("q123 pagerank: contribution joins are hash equi-joins, no nested loop, no UDF") {
     val p = plan(Queries.q123.fn(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
