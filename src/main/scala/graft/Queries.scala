@@ -4183,6 +4183,79 @@ object Queries {
               |  max(k) AS max_k, count(DISTINCT k) AS n_distinct_k
               |FROM x GROUP BY 1""".stripMargin))
 
+  val q141 = Q("q141_corpus_overlap",
+    // corpus-to-corpus overlap (graft.ops.Dedup.corpusOverlap): exact
+    // Jaccard of the two doc_id-parity halves' text-hash sets next to
+    // its 32-seed MinHash estimate (Broder agreement fraction, the same
+    // md5 min-hash domain as q37). One row: all counts exact BIGINTs,
+    // jac_r/est_r single round-6 divisions — the q48-style estimator-vs-
+    // truth surface at corpus granularity.
+    (s, d) => {
+      val ds = docs(s, d)
+      graft.ops.Dedup.corpusOverlap(
+        ds.where(col("doc_id") % 2 === 0),
+        ds.where(col("doc_id") % 2 === 1), "text", k = 32)
+    },
+    Some(raw"""WITH ha AS (SELECT DISTINCT md5(text) AS h FROM documents
+              |  WHERE text IS NOT NULL AND doc_id % 2 = 0),
+              |hb AS (SELECT DISTINCT md5(text) AS h FROM documents
+              |  WHERE text IS NOT NULL AND doc_id % 2 = 1),
+              |js AS (SELECT unnest(range(0, 32)) AS j),
+              |ma AS (SELECT j, min(md5(CAST(j AS VARCHAR) || '|' || h)) AS m_a
+              |  FROM ha, js GROUP BY 1),
+              |mb AS (SELECT j, min(md5(CAST(j AS VARCHAR) || '|' || h)) AS m_b
+              |  FROM hb, js GROUP BY 1),
+              |ag AS (SELECT CAST(sum(CASE WHEN ma.m_a = mb.m_b THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_agree
+              |  FROM ma JOIN mb USING (j)),
+              |tr AS (SELECT (SELECT count(*) FROM ha) AS n_a,
+              |    (SELECT count(*) FROM hb) AS n_b,
+              |    (SELECT count(*) FROM ha JOIN hb USING (h)) AS n_inter)
+              |SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+              |  CASE WHEN n_a + n_b - n_inter > 0 THEN
+              |    round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) END AS jac_r,
+              |  n_agree, CAST(32 AS BIGINT) AS k,
+              |  round(n_agree / 32.0, 6) AS est_r
+              |FROM tr, ag""".stripMargin))
+
+  val q142 = Q("q142_mix_drift",
+    // day-over-day event-mix drift (graft.ops.SeriesStats.mixDrift): the
+    // two-sample chi-square per cell collapsed to the exact integer
+    // ratio (o1·N2 − o2·N1)² / (N1·N2·(o1+o2)) — chi2_num/chi2_den are
+    // BIGINTs under any partitioning, cell_r one round-6 division, no
+    // expected-frequency floats. Types present on only one of the two
+    // days still form cells (o = 0 on the other side).
+    (s, d) => ntz(graft.ops.SeriesStats.mixDrift(ev(s, d), "event_type",
+      "ts"), "day", "prev_day"),
+    Some(raw"""WITH bd AS (SELECT date_trunc('day', ts) AS day, event_type,
+              |    count(*) AS o FROM events GROUP BY 1, 2),
+              |dy AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev_day
+              |  FROM (SELECT DISTINCT day FROM bd)),
+              |dp AS (SELECT * FROM dy WHERE prev_day IS NOT NULL),
+              |cur AS (SELECT dp.day, dp.prev_day, bd.event_type, bd.o AS o2
+              |  FROM dp JOIN bd USING (day)),
+              |prv AS (SELECT dp.day, dp.prev_day, bd.event_type, bd.o AS o1
+              |  FROM dp JOIN bd ON bd.day = dp.prev_day),
+              |cells AS (SELECT coalesce(cur.day, prv.day) AS day,
+              |    coalesce(cur.prev_day, prv.prev_day) AS prev_day,
+              |    coalesce(cur.event_type, prv.event_type) AS event_type,
+              |    CAST(coalesce(prv.o1, 0) AS BIGINT) AS o1,
+              |    CAST(coalesce(cur.o2, 0) AS BIGINT) AS o2
+              |  FROM cur FULL JOIN prv ON cur.day = prv.day
+              |    AND cur.prev_day = prv.prev_day
+              |    AND cur.event_type = prv.event_type),
+              |t AS (SELECT day, prev_day, CAST(sum(o1) AS BIGINT) AS n1,
+              |    CAST(sum(o2) AS BIGINT) AS n2
+              |  FROM cells GROUP BY 1, 2)
+              |SELECT c.day, c.prev_day, c.event_type, c.o1, c.o2,
+              |  t.n1, t.n2,
+              |  (c.o1*t.n2 - c.o2*t.n1) * (c.o1*t.n2 - c.o2*t.n1) AS chi2_num,
+              |  t.n1 * t.n2 * (c.o1 + c.o2) AS chi2_den,
+              |  CASE WHEN t.n1 * t.n2 * (c.o1 + c.o2) > 0 THEN
+              |    round((c.o1*t.n2 - c.o2*t.n1) * (c.o1*t.n2 - c.o2*t.n1)
+              |      / CAST(t.n1 * t.n2 * (c.o1 + c.o2) AS DOUBLE), 6) END AS cell_r
+              |FROM cells c JOIN t USING (day, prev_day)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -4194,6 +4267,7 @@ object Queries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140
+    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
+    q141, q142
   )
 }

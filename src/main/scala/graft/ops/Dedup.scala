@@ -387,6 +387,51 @@ object Dedup {
     * corpus has mass-duplicated heads; at that point exact-hash dedup
     * already owns those pairs.
     */
+  /** Corpus-to-corpus overlap: the EXACT Jaccard similarity of two
+    * document sets (by md5 text identity) side by side with its k-MinHash
+    * ESTIMATE (Broder 1997) — the q48-style evaluation surface that tells
+    * an operator how much to trust signature-level corpus comparisons
+    * before running them at a scale where the exact intersection is
+    * unaffordable. One row out: exact `n_a/n_b/n_inter/n_union/jac_r`
+    * and the estimator's `n_agree/k/est_r` (fraction of the k min-hashes
+    * — lexicographic min of md5(seed || h), the [[minhashLshCandidates]]
+    * hash domain — agreeing between the sides).
+    *
+    * Scale shape: the truth costs one distinct + one hash-join-sized
+    * intersection (this is the part that stops scaling — the point of
+    * the estimator); the estimate is one explode(k) + a
+    * map-side-combined (side, seed) min agg + a k-row comparison, and at
+    * 100 TB runs WITHOUT the truth columns (pass `exact = false`).
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                    k: Int = 32, exact: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = a.sparkSession
+    def hs(df: DataFrame) = df.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("h")).distinct()
+    val ha = hs(a)
+    val hb = hs(b)
+    def mins(df: DataFrame, side: String) = df
+      .withColumn("j", explode(array((0 until k).map(lit): _*)))
+      .groupBy(col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("h"))))
+        .as(s"m_$side"))
+    val agree = mins(ha, "a").join(mins(hb, "b"), Seq("j"), "full")
+      .agg(sum(when(col("m_a") === col("m_b"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("est_r", round(col("n_agree") / lit(k.toDouble), 6))
+    if (!exact) return agree
+    val na = ha.agg(count(lit(1)).as("n_a"))
+    val nb = hb.agg(count(lit(1)).as("n_b"))
+    val ni = ha.join(hb, "h").agg(count(lit(1)).as("n_inter"))
+    na.crossJoin(nb).crossJoin(ni).crossJoin(agree)
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jac_r", when(col("n_union") > 0,
+        round(col("n_inter") / col("n_union").cast("double"), 6)))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        col("jac_r"), col("n_agree"), col("k"), col("est_r"))
+  }
+
   def fuzzyPairs(docs: DataFrame, idCol: String, textCol: String,
                  prefixLen: Int = 16): DataFrame = {
     require(prefixLen >= 2, s"prefixLen must be >= 2, got $prefixLen")

@@ -567,6 +567,62 @@ object SeriesStats {
     lagged.withColumn("rank", row_number().over(wd)).where(col("rank") <= k)
   }
 
+  /** Day-over-day categorical-mix drift as the two-sample chi-square
+    * statistic, cell by cell — "did today's event-type mix change vs
+    * yesterday". The standard per-cell contribution
+    * (o₁−e₁)²/e₁ + (o₂−e₂)²/e₂ algebraically collapses to ONE exact
+    * integer ratio:
+    *
+    *   cell χ² = (o₁·N₂ − o₂·N₁)² / (N₁·N₂·(o₁+o₂))
+    *
+    * (o = the cell's two counts, N = the two day totals) — so `chi2_num`
+    * and `chi2_den` are exact BIGINTs under any partitioning and
+    * `cell_r` is a single round-6 division; no expected-frequency
+    * floats anywhere. Day-level χ² = the sum of cells (callers sum the
+    * rationals; ~k cells per day). Overflow headroom: |num| ≤
+    * (o·N)² — day totals up to ~3·10⁹ events with cell counts 10⁶ stay
+    * in range; shard bigger days first.
+    *
+    * Only cells whose type appears on at least one of the two days are
+    * emitted; days are paired with the previous ACTIVE day (prev_day
+    * emitted, the [[topMovers]] convention). Scale shape: one count
+    * groupBy, one full-outer day self-alignment via a (type)-keyed lag
+    * window over the SMALL daily table, one broadcast-sized totals join.
+    */
+  def mixDrift(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val byDay = df.groupBy(date_trunc("day", col(tsCol)).as("day"),
+        col(typeCol)).agg(count(lit(1)).as("o2"))
+    // align each (type, day) with the type's previous active day; a type
+    // absent today but present yesterday must still contribute a cell, so
+    // build the day axis from ALL days × the types active around them via
+    // a full self-join on the small daily table
+    val days = byDay.select(col("day")).distinct()
+      .withColumn("prev_day",
+        lag(col("day"), 1).over(Window.orderBy(col("day"))))
+      .where(col("prev_day").isNotNull)
+    // attach each pair's two days' cells, then full-outer on the type so
+    // a type present on only ONE of the two days still forms a cell
+    val cur = days.join(byDay, Seq("day"))
+      .select(col("day"), col("prev_day"), col(typeCol), col("o2"))
+    val prev = days.join(
+        byDay.select(col("day").as("prev_day"), col(typeCol),
+          col("o2").as("o1")), Seq("prev_day"))
+      .select(col("day"), col("prev_day"), col(typeCol), col("o1"))
+    val cells = cur.join(prev, Seq("day", "prev_day", typeCol), "full")
+      .select(col("day"), col("prev_day"), col(typeCol),
+        coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+    val totals = cells.groupBy(col("day"), col("prev_day"))
+      .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    cells.join(totals, Seq("day", "prev_day"))
+      .withColumn("d", col("o1") * col("n2") - col("o2") * col("n1"))
+      .withColumn("chi2_num", col("d") * col("d"))
+      .withColumn("chi2_den", col("n1") * col("n2") * (col("o1") + col("o2")))
+      .withColumn("cell_r", when(col("chi2_den") > 0,
+        round(col("chi2_num") / col("chi2_den").cast("double"), 6)))
+      .drop("d")
+  }
+
   /** Per-(key, day) ordinary-least-squares trend of an hourly series
     * against the hour-of-day regressor t ∈ [0, 23]: the "is this metric
     * rising or falling within the day, and how fast" scan. Output per

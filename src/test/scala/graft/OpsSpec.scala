@@ -396,6 +396,60 @@ class OpsSpec extends AnyFunSuite {
       3L -> ((None, Some(28L))), 4L -> ((None, None))))
   }
 
+  test("corpusOverlap: exact Jaccard, estimator pinned at the identical/disjoint poles") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val a = Seq("x", "y", "z").toDF("text")
+    val b = Seq("y", "z", "w").toDF("text")
+    val r = Dedup.corpusOverlap(a, b, "text", k = 16).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_inter") == 2L && r.getAs[Long]("n_union") == 4L)
+    assert(r.getAs[Double]("jac_r") == 0.5)
+    val agree = r.getAs[Long]("n_agree")
+    assert(agree >= 0L && agree <= 16L)
+    // identical corpora: every min-hash agrees, estimate exactly 1
+    val same = Dedup.corpusOverlap(a, a, "text", k = 16).collect().head
+    assert(same.getAs[Double]("jac_r") == 1.0 && same.getAs[Double]("est_r") == 1.0)
+    // disjoint corpora: zero intersection, zero min-hash agreement
+    val dis = Dedup.corpusOverlap(a, Seq("p", "q").toDF("text"), "text",
+      k = 16).collect().head
+    assert(dis.getAs[Long]("n_inter") == 0L && dis.getAs[Long]("n_agree") == 0L)
+    // estimate-only mode drops the exact columns (the 100 TB path)
+    val est = Dedup.corpusOverlap(a, b, "text", k = 16, exact = false)
+    assert(est.columns.sorted.sameElements(Array("est_r", "k", "n_agree")))
+  }
+
+  test("mixDrift: identical mixes are zero, one-sided types form cells, exact identity") {
+    import spark.implicits._
+    import graft.ops.SeriesStats
+    def t(dayI: Int, s: Int) =
+      new java.sql.Timestamp((1704067200L + dayI * 86400L + s) * 1000L)
+    // day0: A×2 B×2; day1: A×2 B×2 (same mix); day2: A×4 C×1 (drifted, B gone, C new)
+    val ev = (Seq.fill(2)("A") ++ Seq.fill(2)("B")).zipWithIndex.map { case (e, i) => (e, t(0, i)) } ++
+      (Seq.fill(2)("A") ++ Seq.fill(2)("B")).zipWithIndex.map { case (e, i) => (e, t(1, i)) } ++
+      (Seq.fill(4)("A") ++ Seq("C")).zipWithIndex.map { case (e, i) => (e, t(2, i)) }
+    val out = SeriesStats.mixDrift(ev.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("day").toString.take(10),
+        r.getAs[String]("event_type")) -> r).toMap
+    // day1 vs day0: identical mix -> every cell 0
+    assert(out(("2024-01-02", "A")).getAs[Long]("chi2_num") == 0L)
+    assert(out(("2024-01-02", "B")).getAs[Double]("cell_r") == 0.0)
+    // day2 vs day1: B present only on day1, C only on day2 — both cells exist
+    val bCell = out(("2024-01-03", "B"))
+    assert(bCell.getAs[Long]("o1") == 2L && bCell.getAs[Long]("o2") == 0L)
+    val cCell = out(("2024-01-03", "C"))
+    assert(cCell.getAs[Long]("o1") == 0L && cCell.getAs[Long]("o2") == 1L)
+    // exact identity on every cell: num = (o1·n2 − o2·n1)², den = n1·n2·(o1+o2)
+    out.values.foreach { r =>
+      val (o1, o2) = (r.getAs[Long]("o1"), r.getAs[Long]("o2"))
+      // n1/n2 are recoverable from the fixture: both day totals are 4 and 5
+      val (n1, n2) = (4L, if (r.getAs[java.sql.Timestamp]("day").toString.take(10) == "2024-01-03") 5L else 4L)
+      val d = o1 * n2 - o2 * n1
+      assert(r.getAs[Long]("chi2_num") == d * d)
+      assert(r.getAs[Long]("chi2_den") == n1 * n2 * (o1 + o2))
+    }
+  }
+
   test("fuzzyPairs: substitution/identical prefixes caught, distance-2 rejected, guards") {
     import spark.implicits._
     val docs = Seq(
