@@ -4256,6 +4256,57 @@ object Queries {
               |      / CAST(t.n1 * t.n2 * (c.o1 + c.o2) AS DOUBLE), 6) END AS cell_r
               |FROM cells c JOIN t USING (day, prev_day)""".stripMargin))
 
+  val q143 = Q("q143_pagerank_weighted",
+    // WEIGHTED PageRank over the winnow graph (graft.ops.Graph.pageRank
+    // with weightCol = n_shared): contribution w·rank/wdeg, so a doc tied
+    // to its family by many shared fingerprints pulls harder than a
+    // 2-fingerprint brush. Same 3-iteration unrolled-CTE oracle as q123
+    // with the weight riding the sym/deg/contribution algebra; ranks
+    // round-6 (float-sum reorder noise only).
+    (s, d) => {
+      val ds = docs(s, d)
+      val pairs = graft.ops.Winnow.candidatePairs(ds, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
+      graft.ops.Graph.pageRank(ds, "doc_id", pairs, "a", "b",
+          iterations = 3, d = 0.85, weightCol = Some("n_shared"))
+        .select(col("doc_id"), round(col("rank"), 6).as("rank_r"))
+    },
+    Some(s"""WITH $winnowHashesDuck,
+            |win AS (SELECT doc_id, m, hs,
+            |    unnest(range(least(4, m), m + 1)) AS e
+            |  FROM hs),
+            |fp AS (SELECT DISTINCT doc_id AS id,
+            |    list_min(list_slice(hs, greatest(1, e - 3), e)) AS fp
+            |  FROM win),
+            |rare AS (SELECT fp FROM fp GROUP BY fp
+            |  HAVING count(*) BETWEEN 2 AND 50),
+            |prw AS (SELECT x.id AS a, y.id AS b,
+            |    CAST(count(DISTINCT x.fp) AS BIGINT) AS w
+            |  FROM fp x JOIN rare USING (fp) JOIN fp y USING (fp)
+            |  WHERE x.id < y.id
+            |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2),
+            |sym AS (SELECT a AS src, b AS dst, w FROM prw
+            |  UNION ALL SELECT b, a, w FROM prw),
+            |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS dg
+            |  FROM sym GROUP BY 1),
+            |n0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS rk FROM documents),
+            |c1 AS (SELECT s.dst AS id, sum(s.w * r.rk / d.dg) AS c
+            |  FROM sym s JOIN n0 r ON s.src = r.id JOIN deg d ON s.src = d.src
+            |  GROUP BY 1),
+            |n1 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n0 n LEFT JOIN c1 c USING (id)),
+            |c2 AS (SELECT s.dst AS id, sum(s.w * r.rk / d.dg) AS c
+            |  FROM sym s JOIN n1 r ON s.src = r.id JOIN deg d ON s.src = d.src
+            |  GROUP BY 1),
+            |n2 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n1 n LEFT JOIN c2 c USING (id)),
+            |c3 AS (SELECT s.dst AS id, sum(s.w * r.rk / d.dg) AS c
+            |  FROM sym s JOIN n2 r ON s.src = r.id JOIN deg d ON s.src = d.src
+            |  GROUP BY 1),
+            |n3 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * coalesce(c.c, 0.0) AS rk
+            |  FROM n2 n LEFT JOIN c3 c USING (id))
+            |SELECT id AS doc_id, round(rk, 6) AS rank_r FROM n3""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
@@ -4268,6 +4319,6 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142
+    q141, q142, q143
   )
 }

@@ -42,6 +42,15 @@ object Graph {
     * [[Dedup.clusters]] discipline) so the plan does not grow with
     * iterations.
     *
+    * Weighted variant: pass `weightCol` (a positive integer edge weight,
+    * e.g. winnow's `n_shared`) and the recursion becomes
+    * rankₜ(v) = (1 − d) + d · Σ w(u,v)·rankₜ₋₁(u) / wdeg(u) with
+    * wdeg = Σ w over the node's edges — a doc tied to its family by 20
+    * shared fingerprints pulls harder than a 2-fingerprint brush; with
+    * all weights 1 this is exactly the unweighted recursion (spec-gated).
+    * Duplicate (src, dst) rows must carry one weight (distinct applies to
+    * the whole row; conflicting duplicate weights are the caller's bug).
+    *
     * @param nodes  one row per node id (absentees from `edges` come back
     *               ranked 1 − d); must have no duplicate ids
     * @param edges  undirected candidate pairs (e.g. [[Winnow.candidatePairs]]
@@ -49,17 +58,21 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, nodeCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, d: Double = 0.85): DataFrame = {
+               iterations: Int = 5, d: Double = 0.85,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(d > 0 && d < 1, s"damping must be in (0, 1), got $d")
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        w.as("w"))
       .where(col("src") =!= col("dst"))
     val sym = truncate(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    val deg = truncate(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))).distinct())
+    val deg = truncate(sym.groupBy(col("src")).agg(sum(col("w")).as("deg")))
     val ids = nodes.select(col(nodeCol).as("id"))
     var ranks = ids.withColumn("rank", lit(1.0))
     for (_ <- 1 to iterations) {
@@ -67,7 +80,7 @@ object Graph {
         .join(ranks, sym("src") === ranks("id"))
         .join(deg, "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("c"))
+        .agg(sum(col("w") * col("rank") / col("deg")).as("c"))
       ranks = truncate(ids
         .join(contribs, ids("id") === contribs("dst"), "left")
         .select(col("id"),

@@ -74,6 +74,35 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 12L)
   }
 
+  test("pageRank weighted: hand-run recursion; all-1 weights bit-equal the unweighted form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // a-b weight 3, a-c weight 1: b receives 3/4 of a's mass, c gets 1/4
+    val we = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("x", "y", "w")
+    val nodes = Seq("a", "b", "c").toDF("id")
+    val got = Graph.pageRank(nodes, "id", we, "x", "y",
+        iterations = 2, d = 0.85, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // replay the identical IEEE recursion (wdeg(a)=4, wdeg(b)=3, wdeg(c)=1)
+    var (ra, rb, rc) = (1.0, 1.0, 1.0)
+    for (_ <- 1 to 2) {
+      val ra2 = (1.0 - 0.85) + 0.85 * (3L * rb / 3L + 1L * rc / 1L)
+      val rb2 = (1.0 - 0.85) + 0.85 * (3L * ra / 4L)
+      val rc2 = (1.0 - 0.85) + 0.85 * (1L * ra / 4L)
+      ra = ra2; rb = rb2; rc = rc2
+    }
+    assert(got("a") == ra && got("b") == rb && got("c") == rc)
+    assert(got("b") > got("c")) // the heavier edge pulls harder
+    // weight 1 everywhere == the unweighted recursion, bit for bit
+    val e1 = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val u = Graph.pageRank(nodes, "id", e1, "x", "y", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w1 = Graph.pageRank(nodes, "id", e1.withColumn("w", lit(1L)),
+        "x", "y", iterations = 3, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(u == w1)
+  }
+
   test("pageRank: guards reject bad damping and iteration counts") {
     import spark.implicits._
     val n = Seq("a").toDF("id"); val e = Seq(("a", "b")).toDF("a", "b")
