@@ -578,6 +578,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"phrase side must broadcast:\n$p")
   }
 
+  test("q139 step latency: anchor agg + two equi-joins, exact percentile stays in the agg") {
+    val p = plan(Queries.q139.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"conversion join degenerated to all-pairs:\n$p")
+    assert(!p.contains("ScalaUDF"), s"latency arithmetic must be builtins:\n$p")
+  }
+
+  test("q142 mix drift: small-table windows and equi-joins only — no nested loop on the cell frame") {
+    val p = plan(Queries.q142.fn(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"cell alignment degenerated to all-pairs:\n$p")
+    assert(!p.contains("ScalaUDF"), s"chi-square algebra must be builtins:\n$p")
+  }
+
   test("q123 pagerank: contribution joins are hash equi-joins, no nested loop, no UDF") {
     val p = plan(Queries.q123.fn(spark, "/root/testdata/sf0.001"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
