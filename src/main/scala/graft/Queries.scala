@@ -2390,8 +2390,11 @@ object Queries {
             |    -- DuckDB list_sum([]) is NULL where Spark's aggregate fold
             |    -- is 0, hence the coalesce; but it must fire ONLY on the
             |    -- empty list — a NULL text is NULL on the engine side too
+            |    -- CAST: list_sum returns HUGEINT, which surfaces as float64
+            |    -- through the driver's type-sensitive hash (r5 q84 FAIL —
+            |    -- the round-1 q13/q14/q19 class); the engine side is BIGINT
             |    CASE WHEN ws IS NULL THEN NULL
-            |      ELSE coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+            |      ELSE CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
             |      END AS n_word_chars,
             |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
             |    len(list_filter(ws, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS n_stop
@@ -3050,8 +3053,11 @@ object Queries {
     Some(s"""WITH b AS (SELECT doc_id, (${duckBucket("doc_id")}) % 8 AS shard,
             |    CAST(len($tokensDuck) AS BIGINT) AS n_tok FROM documents),
             |o AS (SELECT doc_id, shard, n_tok,
-            |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+            |    -- CAST: the window sum is HUGEINT → float64 under the
+            |    -- driver's type-sensitive hash (r5 q106 FAIL); BIGINT here
+            |    -- keeps tok_offset and the // results integer on both sides
+            |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
             |  FROM b WHERE n_tok >= 1)
             |SELECT doc_id, shard, n_tok, tok_offset,
             |  tok_offset // 128 AS first_seq,
