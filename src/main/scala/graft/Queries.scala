@@ -34,7 +34,12 @@ object Queries {
   private def nat(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
   private def reg(s: SparkSession, dir: String) = s.read.parquet(s"$dir/region.parquet")
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  private def emb(s: SparkSession, dir: String) = {
+    // the embedding queries' dot kernels are the registered codegen
+    // expressions (graft_dot — see graft.functions.DotProduct)
+    graft.functions.GraftExtensions.register(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+  }
 
   /** DuckDB emits naive timestamps; Spark must too (TIMESTAMP_NTZ) so the
     * driver's value compare sees identical types. Session TZ is pinned UTC,
@@ -814,7 +819,9 @@ object Queries {
 
   // ---------------------------------------------------------------- D. embeddings
 
-  private val dotSpark = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  // codegen'd dot kernel, bit-equal to the aggregate(zip_with(...)) fold
+  // it replaces (graft.functions.DotProduct; registered in emb())
+  private val dotSpark = "graft_dot(%s, %s)"
   private def vCast = "transform(embedding, x -> cast(x as double))"
 
   val q40 = Q("q40_knn_brute",

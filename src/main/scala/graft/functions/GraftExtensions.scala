@@ -62,6 +62,20 @@ object GraftExtensions {
         require(args.length == 2,
           s"graft_zorder expects (a, b), got ${args.length} arguments")
         Zorder.widened(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(getClass.getName, "graft_dot"),
+      args => {
+        require(args.length == 2,
+          s"graft_dot expects (a, b), got ${args.length} arguments")
+        DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(getClass.getName, "graft_l2sq"),
+      args => {
+        require(args.length == 4,
+          s"graft_l2sq expects (a, b, off, len), got ${args.length} arguments")
+        L2Sq(args.head, args(1), args(2), args(3))
       }))
 
   /** Register into an ALREADY-RUNNING session (current + future queries). */

@@ -11,13 +11,27 @@ import graft.meta.Hasher
   * plane matrix is derived from a hash, so both engines — and both cluster
   * sizes — agree bit-for-bit).
   *
-  * All dot products are `aggregate(zip_with(...))` over double-cast arrays
-  * (codegen'd, deterministic left fold) — no UDFs.
+  * All dot products are the codegen'd [[graft.functions.DotProduct]] kernel
+  * (bit-equal left fold; see `registered` below) — no UDFs.
   */
 object Similarity {
 
+  /** All dot/L2 kernels are the codegen'd [[graft.functions.DotProduct]] /
+    * [[graft.functions.L2Sq]] expressions (registered as `graft_dot` /
+    * `graft_l2sq` so they are usable inside SQL lambda bodies, e.g. the
+    * codebook folds) — bit-equivalent to the aggregate(zip_with(...)) HOF
+    * spelling they replace, but whole-stage-codegen'd and allocation-free
+    * (HOFs are interpreted per row and materialize 3+ transient arrays per
+    * dot; see DotProduct scaladoc + OPTIMIZATION_r06.md for the q40/q81
+    * measurements).
+    */
+  private def registered(df: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df
+  }
+
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    expr(s"graft_dot($a, $b)")
 
   val castVec = "transform(embedding, x -> cast(x as double))"
 
@@ -25,7 +39,7 @@ object Similarity {
     * side — it is small by construction; the big side streams).
     */
   def cosineTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val q = e.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.crossJoin(broadcast(q))
@@ -47,10 +61,10 @@ object Similarity {
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val bitCols = planes(nPlanes, dim).map { plane =>
       val lit = plane.mkString("array(", "D,", "D)")
-      when(expr(s"aggregate(zip_with($castVec, $lit, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") >= 0,
+      when(expr(s"graft_dot($castVec, $lit)") >= 0,
         org.apache.spark.sql.functions.lit("1")).otherwise(org.apache.spark.sql.functions.lit("0"))
     }
-    embeddings.select(col("vec_id"), concat(bitCols.toIndexedSeq: _*).as("bucket"))
+    registered(embeddings).select(col("vec_id"), concat(bitCols.toIndexedSeq: _*).as("bucket"))
   }
 
   /** ANN candidate pairs: same-bucket self-join (vec_a < vec_b). At scale
@@ -86,7 +100,7 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64
   ): DataFrame = {
     val cand = lshCandidates(embeddings, nPlanes, dim).select(col("v1"), col("v2"))
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     cand
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
@@ -106,15 +120,15 @@ object Similarity {
     * the fold keeps the incumbent on equality) — same order as a
     * `row_number() over (order by cos desc, cent_id)` pick.
     */
-  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  def ivfAssign(e0: DataFrame, cents: DataFrame): DataFrame = {
+    val e = registered(e0)
     val cb = cents
       .agg(sort_array(collect_list(struct(col("cent_id"),
         col("cv"), sqrt(dot("cv", "cv")).as("cvn")))).as("cb"))
     val best =
       s"""aggregate(
          |  transform(cb, c -> struct(
-         |    aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
-         |      / (vn * c.cvn) AS cs,
+         |    graft_dot(v, c.cv) / (vn * c.cvn) AS cs,
          |    c.cent_id AS cid)),
          |  struct(CAST(-9e99 AS DOUBLE) AS cs, CAST(-1 AS BIGINT) AS cid),
          |  (acc, x) -> CASE WHEN x.cs > acc.cs THEN x ELSE acc END).cid""".stripMargin
@@ -138,7 +152,7 @@ object Similarity {
       nCentroids: Int = 8,
       nProbe: Int = 2
   ): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = ivfAssign(e, cents)
@@ -165,9 +179,7 @@ object Similarity {
     * `m` may be a lambda variable (slice offsets accept expressions).
     */
   private def subDistExpr(a: String, b: String, m: String, subDim: Int): String =
-    s"""aggregate(zip_with(slice($a, $m * $subDim + 1, $subDim),
-       |  slice($b, $m * $subDim + 1, $subDim), (x, y) -> (x - y) * (x - y)),
-       |  0D, (acc, p) -> acc + p)""".stripMargin
+    s"graft_l2sq($a, $b, CAST($m * $subDim AS INT), $subDim)"
 
   /** THE one-row id-sorted codebook aggregation — the single definition
     * every PQ stage (encode fold, LUT build) broadcasts, so the
@@ -199,7 +211,7 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame, nSub: Int = 8, k: Int = 16,
       dim: Int = 64): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     pqEncodeWith(embeddings, standInCodebook(e, k), nSub, dim)
   }
 
@@ -214,7 +226,7 @@ object Similarity {
       nSub: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val cb = codebookRow(codebook)
     val codes =
       s"""transform(sequence(0, ${nSub - 1}), m ->
@@ -254,7 +266,7 @@ object Similarity {
       nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val codebook = standInCodebook(e, k) // one table feeds encode AND LUT
     val enc = pqEncodeWith(embeddings, codebook, nSub, dim)
     val q = e.where(col("vec_id").isin(queryIds: _*))
@@ -284,7 +296,7 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], topK: Int,
       nCentroids: Int = 8, nProbe: Int = 2,
       nSub: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val coarse = standInCodebook(e, nCentroids)
     val codebook = standInCodebook(e, k)
     val lists = pqEncodeWith(embeddings, codebook, nSub, dim)
@@ -307,7 +319,7 @@ object Similarity {
       nSub: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
     val sd = dim / nSub
-    val q = queries.select(col("vec_id").as("q_id"), expr(castVec).as("qv"))
+    val q = registered(queries).select(col("vec_id").as("q_id"), expr(castVec).as("qv"))
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cent_id"))
     val probed = q.crossJoin(broadcast(coarse))
       .withColumn("cos", cosine("qv", "cv"))
@@ -342,7 +354,7 @@ object Similarity {
     val cand = codes.as("x").join(codes.as("y"),
         col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     cand
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
@@ -356,11 +368,10 @@ object Similarity {
     * broadcast-queries shape: the corpus streams, nothing shuffles.
     */
   def l2TopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val q = e.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val d = expr(
-      "aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+    val d = expr(s"graft_l2sq(qv, v, 0, ${Int.MaxValue})")
     val w = Window.partitionBy(col("q_id")).orderBy(col("l2sq"), col("neighbor_id"))
     e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
@@ -397,7 +408,7 @@ object Similarity {
     * rows (cent_id, dim, n, sum_fx, c_new round-9).
     */
   def kmeansRefine(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
-    val e = embeddings.select(col("vec_id"), expr(castVec).as("v"))
+    val e = registered(embeddings).select(col("vec_id"), expr(castVec).as("v"))
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = ivfAssign(e, cents)
