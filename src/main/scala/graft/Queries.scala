@@ -3660,7 +3660,7 @@ object Queries {
       // winnow fingerprint pipeline runs once, not twice (bench: q125
       // 7.2 → ~4 s)
       val pairs = graft.ops.Winnow.candidatePairs(ds, "doc_id", "text",
-        k = 5, w = 4, minShared = 2, maxDf = 50).localCheckpoint()
+        k = 5, w = 4, minShared = 2, maxDf = 50).localCheckpoint(eager = false)
       val cl = graft.ops.Dedup.clusters(pairs, "a", "b", ds, "doc_id")
       val pr = graft.ops.Graph.pageRank(ds, "doc_id", pairs, "a", "b",
           iterations = 3, d = 0.85)

@@ -231,21 +231,39 @@ object Dedup {
     // production setting), executor-local otherwise (in-sandbox default;
     // a lost executor would fail the job mid-iteration)
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // local checkpoints are LAZY (r6): the round's fingerprint action is
+    // the first full read, so marking lazily merges the materialization
+    // into that job — one job per round instead of two (reliable stays
+    // eager: non-eager reliable checkpoints recompute the lineage to
+    // write their files)
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
     var e = truncate(edges.select(col(d1).as("a"), col(d2).as("b"))
       .where(col("a") =!= col("b")).distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
       val mn = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      // r6: no trailing .distinct() — every round pipes this straight into
+      // smallStar, whose first step re-canonicalizes AND dedups
+      // ((greatest, least) + distinct), so the extra exchange bought
+      // nothing: duplicate (a, b) rows here only repeat inside that
+      // distinct's map-side partial. Set semantics per round are unchanged.
       sym.join(mn, "a").where(col("b") > col("a"))
         .select(col("b").as("a"), least(col("a"), col("mn")).as("b"))
-        .where(col("a") =!= col("b")).distinct()
+        .where(col("a") =!= col("b"))
     }
     def smallStar(e: DataFrame): DataFrame = {
+      // r6: no .distinct() on the canonicalized input — min() is
+      // duplicate-blind and the round's terminal distinct dedupes the
+      // output set, so the extra exchange only re-deduped rows the next
+      // exchange dedupes anyway. Duplicate multiplicity entering the join
+      // is bounded by largeStar's per-row fan-out of 1 (≤ 2|E| rows), at
+      // most doubling this round's shuffle bytes in exchange for one
+      // fewer full exchange per round — a win at every scale measured
+      // (per-round job time, OPTIMIZATION_r06.md).
       val or = e.select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v")).distinct()
+        least(col("a"), col("b")).as("v"))
       val mn = or.groupBy(col("u")).agg(min(col("v")).as("m"))
       or.join(mn, "u").select(col("v").as("a"), col("m").as("b"))
         .union(mn.select(col("u").as("a"), col("m").as("b")))
@@ -274,6 +292,10 @@ object Dedup {
         // anti-join pass at the end, never in the hot loop.
         converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
       }
+      // r6: e is superseded — nothing reads it after the check above, so
+      // free its checkpoint blocks instead of letting every round's edge
+      // snapshot stay resident for the session's lifetime
+      org.apache.spark.sql.GraftSqlShim.dropLocalCheckpoint(e)
       fp = nfp; e = next; it += 1
     }
     require(converged, s"clusters() did not converge in $maxIter rounds")

@@ -63,28 +63,53 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(d > 0 && d < 1, s"damping must be in (0, 1), got $d")
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // lazy local checkpoint (r6): the caller's action materializes the
+    // edge table in-line and later iterations read the cached blocks — no
+    // separate eager job (the Dedup.clusters discipline)
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         w.as("w"))
       .where(col("src") =!= col("dst"))
-    val sym = truncate(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
-        col("w"))).distinct())
-    val deg = truncate(sym.groupBy(col("src")).agg(sum(col("w")).as("deg")))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+      col("w"))).distinct()
+    // r6: deg is attached to the edge table ONCE, so each iteration is a
+    // single equi-join + one map-side-combined agg (was 2 joins/iter), and
+    // sym+deg truncate as ONE table (sym's src-hash exchange feeds both the
+    // degree agg and the join — ReusedExchange inside the one checkpoint
+    // job, so the pair pipeline is still scanned once)
+    val symdeg = truncate(sym.join(
+      sym.groupBy(col("src")).agg(sum(col("w")).as("deg")), "src"))
     val ids = nodes.select(col(nodeCol).as("id"))
     var ranks = ids.withColumn("rank", lit(1.0))
+    // r6: for small fixed iteration counts the rank recursion stays ONE
+    // lazy plan — a linear chain of (join + agg) over the checkpointed
+    // edge table, executed as a single job by the caller's action; the
+    // per-iteration eager localCheckpoint (a materialization + cached
+    // blocks per iteration, never freed) only pays for itself when the
+    // chain would otherwise grow deep, so it is kept for iterations > 8,
+    // now WITH the superseded iteration's blocks dropped.
+    val pinEvery = iterations > 8
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
-      val contribs = sym
-        .join(ranks, sym("src") === ranks("id"))
-        .join(deg, "src")
+      val contribs = symdeg
+        .join(ranks, symdeg("src") === ranks("id"))
         .groupBy(col("dst"))
         .agg(sum(col("w") * col("rank") / col("deg")).as("c"))
-      ranks = truncate(ids
+      val next = ids
         .join(contribs, ids("id") === contribs("dst"), "left")
         .select(col("id"),
-          (lit(1.0 - d) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank")))
+          (lit(1.0 - d) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
+      if (pinEvery) {
+        // EAGER here, unlike symdeg: the superseded iteration's blocks are
+        // dropped right below, so this pin must be fully materialized
+        // first (a lazy pin would still read them at its first action)
+        val pinned = if (reliable) next.checkpoint() else next.localCheckpoint()
+        prev.foreach(org.apache.spark.sql.GraftSqlShim.dropLocalCheckpoint)
+        prev = Some(pinned)
+        ranks = pinned
+      } else ranks = next
     }
     ranks.select(col("id").as(nodeCol), col("rank"))
   }

@@ -21,4 +21,19 @@ object GraftSqlShim {
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Drop the cached blocks of a `localCheckpoint()`ed Dataset the caller
+    * has finished with (iterative ops supersede one checkpoint with the
+    * next; without this every round's blocks stay resident for the life of
+    * the session — storage-memory pressure that surfaces as eviction/GC
+    * churn in long bench runs). The blocks are unrecoverable afterwards —
+    * only call once nothing will read the Dataset again. No-op for
+    * non-localCheckpoint plans (reliable checkpoints are files, not
+    * blocks).
+    */
+  def dropLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }
