@@ -76,6 +76,20 @@ object GraftExtensions {
         require(args.length == 4,
           s"graft_l2sq expects (a, b, off, len), got ${args.length} arguments")
         L2Sq(args.head, args(1), args(2), args(3))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(getClass.getName, "graft_shingles"),
+      args => {
+        require(args.length == 2,
+          s"graft_shingles expects (tokens, n), got ${args.length} arguments")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case e if e.foldable && e.dataType == IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles n must be an integer literal, got $other")
+        }
+        ShingleArray(args.head, n)
       }))
 
   /** Register into an ALREADY-RUNNING session (current + future queries). */

@@ -35,22 +35,22 @@ object Dedup {
     * array_distincts it per row; the DuckDB oracles mirror it. Any fix to
     * the shingle lambda lands here once.
     */
-  def shingleArrayExpr(toksCol: String, n: Int): String = {
-    // zip_with over slices, NOT slice($toksCol, i, n) inside the lambda:
-    // a lambda body that references the outer tokens array re-evaluates
-    // it per element once the optimizer inlines the tokens expression
-    // (predicate pushdown chains the substitution through every aliased
-    // column a filter touches) — O(tokens²) per row. zip_with arguments
-    // evaluate once per row, so this stays O(tokens) under any inlining.
-    val m = n - 1
-    def part(k: Int) = s"slice($toksCol, ${k + 1}, size($toksCol) - $m)"
-    val zipped = (1 until n).foldLeft(part(0))((acc, k) =>
-      s"zip_with($acc, ${part(k)}, (x, y) -> concat(x, ' ', y))")
-    s"CASE WHEN size($toksCol) < $n THEN array() ELSE $zipped END"
+  def shingleArrayExpr(toksCol: String, n: Int): String =
+    // r6: the codegen ShingleArray expression (one loop emitting the
+    // window concats directly) replaces the r5 zip_with-over-slices chain
+    // (interpreted, n slices + n−1 zip intermediates per row) —
+    // bit-equivalent including empty/NULL edges (ShingleSpec), still a
+    // single per-row pass immune to optimizer inlining. Callers must have
+    // run GraftExtensions.register on the session ([[registered]]).
+    s"graft_shingles($toksCol, $n)"
+
+  private def registered(df: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df
   }
 
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    registered(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n)
       .select(col("doc_id"),
         explode(expr(shingleArrayExpr("__toks", n))).as("sh"))
@@ -365,7 +365,7 @@ object Dedup {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     import org.apache.spark.sql.expressions.Window
     // duplicates KEPT (unlike shingles()): positions are the payload
-    val pos = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val pos = registered(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n)
       .select(col("doc_id"),
         posexplode(expr(shingleArrayExpr("__toks", n))).as(Seq("pos", "sh")))

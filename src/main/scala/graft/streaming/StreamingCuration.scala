@@ -47,6 +47,8 @@ object StreamingCuration {
         "Curation path (set join) for holdouts this large")
     val benchLit = typedLit(benchArr.sorted.toSeq)
 
+    // shingleArrayExpr resolves to the registered graft_shingles kernel
+    graft.functions.GraftExtensions.register(docs.sparkSession)
     val filtered = TextQuality.annotate(docs.where(!benchPred), textCol)
       .where(!col("is_repetitive") && col("n_words") >= minWords)
     val decontaminated = filtered
