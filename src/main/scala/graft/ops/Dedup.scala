@@ -54,6 +54,16 @@ object Dedup {
       .where(size(col("__toks")) >= n)
       .select(col("doc_id"),
         explode(expr(shingleArrayExpr("__toks", n))).as("sh"))
+      // r6: ONE exchange keyed on sh serves the whole downstream family
+      // (guide §2.4): hash(sh) co-locates equal (doc_id, sh) rows, so the
+      // distinct aggregates WITHOUT its own (doc_id, sh) exchange, and the
+      // sh-keyed consumers — the DF-cap groupBy(sh) and the candidate
+      // self-equi-join on sh — inherit the partitioning and run
+      // zero-exchange (plan diff in plans/r06/q36_*). It also pins the
+      // shingle explode to a single execution; before, each consumer
+      // without an intervening exchange re-ran the explode scan. Skew
+      // profile is unchanged: the pre-cap sh exchanges existed anyway.
+      .repartition(col("sh"))
       .distinct()
 
   /** Exact dedup groups: md5(text) → (hash, count, keeper = min id). */
@@ -364,11 +374,15 @@ object Dedup {
   ): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     import org.apache.spark.sql.expressions.Window
-    // duplicates KEPT (unlike shingles()): positions are the payload
+    // duplicates KEPT (unlike shingles()): positions are the payload.
+    // Same §2.4 exchange-sharing as shingles(): one sh-keyed exchange
+    // feeds the DF-cap groupBy and the positional self-join, and the
+    // posexplode scan runs exactly once.
     val pos = registered(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n)
       .select(col("doc_id"),
         posexplode(expr(shingleArrayExpr("__toks", n))).as(Seq("pos", "sh")))
+      .repartition(col("sh"))
     val hot = pos.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .where(col("dfc") > dfCap).select(col("sh"))
     val rare = pos.join(hot, Seq("sh"), "left_anti")

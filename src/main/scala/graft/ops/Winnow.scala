@@ -40,8 +40,12 @@ object Winnow {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, w: Int = 4,
                      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    // one fp-keyed exchange serves the distinct, the DF-cap groupBy(fp)
+    // and the candidate self-equi-join on fp (guide §2.4 — the
+    // Dedup.shingles discipline; plan diff in plans/r06/q116_*)
     val fp = fingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+      .select(col(idCol).as("id"), col("fp"))
+      .repartition(col("fp")).distinct()
     // document-frequency cap: the skew guard for the self-join below
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
@@ -49,7 +53,13 @@ object Winnow {
     kept.as("x").join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(countDistinct(col("x.fp")).as("n_shared"))
+      // count(*), not countDistinct: both join sides are distinct on
+      // (id, fp) by construction (fp.distinct() upstream, rare is one row
+      // per fp), so each shared hash contributes exactly one join row —
+      // same value, one aggregate phase instead of countDistinct's
+      // two-phase plan with its extra exchange (r6, plan diff in
+      // plans/r06/q116_winnow_pairs_*.txt)
+      .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
 }
