@@ -43,12 +43,17 @@ object TextQuality {
     * row, so the worst case stays O(words) no matter how many times the
     * optimizer duplicates the tree.
     */
-  private def gramsExpr(words: String, n: Int): String = {
-    val m = n - 1
-    def part(k: Int) = s"slice($words, ${k + 1}, size($words) - $m)"
-    val zipped = (1 until n).foldLeft(part(0))((acc, k) =>
-      s"zip_with($acc, ${part(k)}, (x, y) -> concat(x, ' ', y))")
-    s"CASE WHEN size($words) < $n THEN array() ELSE $zipped END"
+  private def gramsExpr(words: String, n: Int): String =
+    // r6: the codegen ShingleArray kernel (one loop, no slice/zip
+    // intermediates) — bit-equivalent to the zip_with-over-slices chain
+    // this built before (ShingleSpec), still immune to optimizer inlining
+    // since the kernel is a single expression over the words column.
+    // Sessions are registered at the public entry points below.
+    s"graft_shingles($words, $n)"
+
+  private def registered(df: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df
   }
 
   /** Max multiplicity of any element of an array column — the "top n-gram"
@@ -94,7 +99,7 @@ object TextQuality {
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = "__tq_words"
-    df.withColumn(w, expr(wordsExpr(textCol)))
+    registered(df).withColumn(w, expr(wordsExpr(textCol)))
       .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
       .withColumn("__tq_3g", expr(gramsExpr(w, 3)))
       .withColumn("__tq_2s", expr("array_sort(__tq_2g)"))
@@ -237,7 +242,7 @@ object TextQuality {
     */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val w = "__tq_words"
-    df.withColumn(w, expr(wordsExpr(textCol)))
+    registered(df).withColumn(w, expr(wordsExpr(textCol)))
       .withColumn("__tq_2g", expr(gramsExpr(w, 2)))
       .withColumn("__tq_ln", expr(linesExpr(textCol)))
       .withColumn("n_words", size(col(w)))
