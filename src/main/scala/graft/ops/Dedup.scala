@@ -248,8 +248,17 @@ object Dedup {
     // write their files)
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
+    // r6: no initial .distinct() — both call-site edge sources (groupBy
+    // outputs) are already unique, and for a caller that does pass
+    // duplicates round 0's terminal distinct removes them (the stars are
+    // duplicate-blind: min() ignores multiplicity and every round ends in
+    // a distinct); the only effect is that a duplicate-carrying input's
+    // round-0 fingerprint counts duplicates, which can never fake
+    // convergence (fingerprint equality only ever triggers the exact
+    // exceptAll confirmation). Saves the one exchange + dedup pass that
+    // re-deduped already-unique inputs.
     var e = truncate(edges.select(col(d1).as("a"), col(d2).as("b"))
-      .where(col("a") =!= col("b")).distinct())
+      .where(col("a") =!= col("b")))
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
