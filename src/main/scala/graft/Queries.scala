@@ -33,7 +33,12 @@ object Queries {
   private def cust(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
   private def nat(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
   private def reg(s: SparkSession, dir: String) = s.read.parquet(s"$dir/region.parquet")
-  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def docs(s: SparkSession, dir: String) = {
+    // the token/shingle queries resolve graft_tokens/graft_words/
+    // graft_shingles (codegen kernels, graft.functions)
+    graft.functions.GraftExtensions.register(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
   private def emb(s: SparkSession, dir: String) = {
     // the embedding queries' dot kernels are the registered codegen
     // expressions (graft_dot — see graft.functions.DotProduct)
@@ -652,7 +657,9 @@ object Queries {
 
   // ---------------------------------------------------------------- C. documents
 
-  private val tokensSpark = "split(trim(text), '\\\\s+')"
+  // codegen byte-pass tokenizer, bit-equal to split(trim(text), '\\s+')
+  // (graft.functions.TokenArray; registered in docs())
+  private val tokensSpark = "graft_tokens(text)"
   private val tokensDuck = raw"regexp_split_to_array(trim(text), '\s+')"
 
   val q30 = Q("q30_dedup_exact",
@@ -2596,7 +2603,7 @@ object Queries {
     // drop side of the threshold are exercised.
     (s, d) => graft.ops.Sketch.heavyHitters(
       docs(s, d).select(explode(expr(
-        raw"filter(split(trim(text), '\\s+'), w -> w != '')")).as("item")),
+        raw"graft_words(text)")).as("item")),
       "item", 30),
     Some(raw"""WITH w AS (SELECT unnest(list_filter($tokensDuck, x -> x <> '')) AS item
               |  FROM documents),
@@ -2648,7 +2655,7 @@ object Queries {
     // spec-gated (SketchSpec); the driver gate hashes the whole grid.
     (s, d) => graft.ops.Sketch.cmsCounts(
       docs(s, d).select(explode(expr(
-        raw"filter(split(trim(text), '\\s+'), w -> w != '')")).as("item")),
+        raw"graft_words(text)")).as("item")),
       "item", d = 4, wHex = 2),
     Some(raw"""WITH w AS (SELECT unnest(list_filter($tokensDuck, x -> x <> '')) AS item
               |  FROM documents),

@@ -90,7 +90,9 @@ object GraftExtensions {
             s"graft_shingles n must be an integer literal, got $other")
         }
         ShingleArray(args.head, n)
-      }))
+      }),
+    one("graft_tokens", TokenArray(_, dropEmpties = false)),
+    one("graft_words", TokenArray(_, dropEmpties = true)))
 
   /** Register into an ALREADY-RUNNING session (current + future queries). */
   def register(spark: SparkSession): Unit =

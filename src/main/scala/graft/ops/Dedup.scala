@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of a text column — the codegen byte-pass
+    * [[graft.functions.TokenArray]], bit-equivalent to
+    * `split(trim(text), '\\s+')` (TokenArraySpec) without the per-row
+    * regex Matcher (the r4 TokenCount finding, now for the paths that
+    * need the tokens themselves). */
+  def tokens(text: Column): Column = graft.functions.TokenArray(text)
 
   /** word `n`-gram shingles, distinct per (id, shingle).
     *
@@ -73,8 +77,8 @@ object Dedup {
 
   /** Prefix-fingerprint near-dup groups (first `k` tokens). */
   def prefixFingerprint(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame =
-    df.groupBy(md5(expr(
-        s"array_join(slice(split(trim($textCol), '\\\\s+'), 1, $k), ' ')")).as("fp"))
+    registered(df).groupBy(md5(expr(
+        s"array_join(slice(graft_tokens($textCol), 1, $k), ' ')")).as("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
       .where(col("n") > 1)
 

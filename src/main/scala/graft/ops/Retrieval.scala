@@ -39,7 +39,7 @@ object Retrieval {
     def terms(df: DataFrame, id: Column, alias: String) = df.select(
       id.as(alias),
       explode(expr(
-        s"array_distinct(filter(split(trim($textCol), '\\\\s+'), w -> w != ''))")).as("__w"))
+        s"array_distinct(graft_words($textCol))")).as("__w"))
     val dt = terms(docs, col(idCol), "__doc")
     val qt = terms(queries, col(qIdCol), "q_id")
     val ov = dt.join(broadcast(qt), "__w")
@@ -97,12 +97,12 @@ object Retrieval {
                    phraseCol: String): DataFrame = {
     def toks(df: DataFrame, id: Column, alias: String, text: String) =
       df.select(id.as(alias),
-        posexplode(expr(s"filter(split(trim($text), '\\\\s+'), w -> w != '')"))
+        posexplode(expr(s"graft_words($text)"))
           .as(Seq(s"${alias}_pos", "__w")))
     val dt = toks(docs, col(idCol), "__doc", textCol)
     val qt = toks(phrases, col(qIdCol), "q_id", phraseCol)
     val qlen = phrases.select(col(qIdCol).as("q_id"),
-      expr(s"size(filter(split(trim($phraseCol), '\\\\s+'), w -> w != ''))")
+      expr(s"size(graft_words($phraseCol))")
         .cast("long").as("__len"))
     dt.join(broadcast(qt), "__w")
       .groupBy(col("q_id"), col("__doc"),

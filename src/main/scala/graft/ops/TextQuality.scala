@@ -26,7 +26,9 @@ object TextQuality {
     * tokenization as the token-count / quality ops, graft.Queries q32/q33).
     */
   private def wordsExpr(textCol: String): String =
-    s"filter(split(trim($textCol), '\\\\s+'), w -> w != '')"
+    // r6: codegen byte-pass tokenizer, bit-equivalent to
+    // filter(split(trim(.), '\\s+'), w -> w != '') (TokenArraySpec)
+    s"graft_words($textCol)"
 
   /** n-grams as joined strings over a words array column; empty below n
     * words (sequence() would count DOWN on an empty range — guard, don't
@@ -215,7 +217,7 @@ object TextQuality {
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val w = "__gq_words"
-    df.withColumn(w, expr(wordsExpr(textCol)))
+    registered(df).withColumn(w, expr(wordsExpr(textCol)))
       .select(
         col(idCol),
         size(col(w)).as("n_words"),
