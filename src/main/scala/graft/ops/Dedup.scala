@@ -145,6 +145,13 @@ object Dedup {
       md5(concat(array_sort(array(members: _*)).cast("string"))).as(s"b$b")
     }
     val stacked = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
+    // r6 note: a .repartition(band, bv) to share one exchange across the
+    // self-join sides was MEASURED SLOWER here (q37 0.68 -> 0.98 s): in
+    // the small-scale broadcast regime the duplicated signature subtree
+    // executes concurrently with the stream side, while the extra
+    // exchange serializes the critical path; in the at-scale non-broadcast
+    // regime both sides shuffle identically and ReusedExchange already
+    // dedups the compute. Left as-is deliberately.
     val bands = sig.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id", s"stack($nBands, $stacked) as (band, bv)")
     bands.as("x").join(bands.as("y"),
@@ -182,19 +189,44 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
     require(bits <= 128, "md5 provides 128 bits")
     val nDig = (bits + 3) / 4
+    // r6: one fused digest+nibble expression per token row instead of
+    // md5-hex + nDig conv(substring) string conversions (bit-equivalent;
+    // Md5NibblesSpec) — the decode was ~half the signature-stage time
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("nb", graft.functions.Md5Nibbles(col("tok"), nDig))
       .select(col("doc_id") +: (1 to nDig).map(dd =>
-        conv(substring(col("h"), dd, 1), 16, 10).cast("int").as(s"d$dd")): _*)
-    val bitCols = (1 to bits).map { j =>
+        element_at(col("nb"), dd).as(s"d$dd")): _*)
+    // r6: PACKED bit counters instead of `bits` ±1 sums. The r5 agg had
+    // one sum(when(..., 1, -1)) buffer column per bit — 64 branchy update
+    // expressions whose generated update method dominated the signature
+    // stage (noop-isolated q38: ~1.4 s vs 0.55 s with the agg pruned).
+    // Each digit's 4 bit-counts now pack 2-per-long in 31-bit fields
+    // (counts increment by 0/1, so fields cannot carry below 2^31 rows
+    // per doc — the same 2^53/exactness class of bound the rollup relies
+    // on), giving nDig*2 + 1 plain integer sums. The sign is recovered
+    // exactly: s_j = Σ±1 = 2·c_j − n, so bit j is '1' iff 2·c_j >= n —
+    // integer arithmetic, bit-identical signatures (oracle + OpsSpec).
+    val F = 2147483648L // 2^31
+    val packs = (1 to nDig).flatMap { dd =>
+      val d = col(s"d$dd")
+      Seq(
+        sum(shiftright(d, 3).cast("long") * F +
+          (shiftright(d, 2) % 2).cast("long")).as(s"hi$dd"),
+        sum((shiftright(d, 1) % 2).cast("long") * F +
+          (d % 2).cast("long")).as(s"lo$dd"))
+    } :+ count(lit(1)).as("n")
+    val agg = toks.groupBy(col("doc_id")).agg(packs.head, packs.tail: _*)
+    val bitChars = (1 to bits).map { j =>
       val dd = (j - 1) / 4 + 1
-      val w = 1 << (3 - (j - 1) % 4)
-      sum(when((col(s"d$dd") / w).cast("int") % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+      val c = (3 - (j - 1) % 4) match { // weight exponent -> packed field
+        case 3 => shiftright(col(s"hi$dd"), 31)
+        case 2 => col(s"hi$dd").bitwiseAND(lit(2147483647L))
+        case 1 => shiftright(col(s"lo$dd"), 31)
+        case 0 => col(s"lo$dd").bitwiseAND(lit(2147483647L))
+      }
+      when(c * 2 >= col("n"), lit("1")).otherwise(lit("0"))
     }
-    toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to bits).map(j =>
-          when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+    agg.select(col("doc_id"), concat(bitChars: _*).as("simhash"))
   }
 
   /** Banded-Hamming near-dup candidates over simhash signatures: band the
@@ -337,6 +369,11 @@ object Dedup {
     require(bits % nBands == 0)
     val w = bits / nBands
     val stacked = (0 until nBands).map(b => s"$b, substring(simhash, ${w * b + 1}, $w)").mkString(", ")
+    // r6 note: the broadcast self-join computes the signature subtree
+    // twice, but the copies run CONCURRENTLY (build + stream) — pinning
+    // both sides to one shared exchange measured slower (q39 1.75 ->
+    // 2.23 s) by serializing an extra stage; at scale the non-broadcast
+    // regime reuses the identical exchanges anyway. Left as-is.
     val bands = sig.select(col("doc_id"), col("simhash"),
       expr(s"stack($nBands, $stacked) as (band, bits)"))
     val cand = bands.as("x").join(bands.as("y"),
