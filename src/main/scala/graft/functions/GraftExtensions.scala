@@ -92,7 +92,21 @@ object GraftExtensions {
         ShingleArray(args.head, n)
       }),
     one("graft_tokens", TokenArray(_, dropEmpties = false)),
-    one("graft_words", TokenArray(_, dropEmpties = true)))
+    one("graft_words", TokenArray(_, dropEmpties = true)),
+    (FunctionIdentifier("graft_md5int"),
+      new ExpressionInfo(getClass.getName, "graft_md5int"),
+      args => {
+        require(args.length == 2,
+          s"graft_md5int expects (str, nHex), got ${args.length} arguments")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case e if e.foldable && e.dataType == IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"graft_md5int nHex must be an integer literal, got $other")
+        }
+        Md5PrefixInt(args.head, n)
+      }))
 
   /** Register into an ALREADY-RUNNING session (current + future queries). */
   def register(spark: SparkSession): Unit =

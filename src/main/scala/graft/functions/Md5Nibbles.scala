@@ -55,10 +55,55 @@ object Md5NibblesUtil {
     }
     ArrayData.toArrayData(out)
   }
+
+  def prefixInt(s: UTF8String, nHex: Int): Int = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0
+    var i = 0
+    while (i < nHex) {
+      val b = d(i / 2) & 0xff
+      v = (v << 4) | (if (i % 2 == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
 }
 
 object Md5Nibbles {
   import org.apache.spark.sql.GraftSqlShim
   def apply(c: Column, n: Int): Column =
     GraftSqlShim.column(new Md5Nibbles(GraftSqlShim.expression(c), n))
+}
+
+/** Integer value of the first `nHex` hex digits of md5(input) — the
+  * sketch-family cell/bucket hash, fused. Bit-equivalent to
+  *
+  *   cast(conv(substr(md5(x), 1, nHex), 16, 10) as int)
+  *
+  * (nHex <= 7, so the value < 16^7 < 2^31 and the cast never wraps).
+  * Same motivation as [[Md5Nibbles]]: one digest + shifts per row in
+  * place of an md5 hex render + substr + string base conversion, with
+  * the MessageDigest reused per thread.
+  */
+case class Md5PrefixInt(child: Expression, nHex: Int) extends UnaryExpression {
+  require(nHex >= 1 && nHex <= 7, s"nHex must be in [1,7], got $nHex")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    Md5NibblesUtil.prefixInt(v.asInstanceOf[UTF8String], nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5NibblesUtil.prefixInt($c, $nHex)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixInt =
+    copy(child = newChild)
+}
+
+object Md5PrefixInt {
+  import org.apache.spark.sql.GraftSqlShim
+  def apply(c: Column, nHex: Int): Column =
+    GraftSqlShim.column(new Md5PrefixInt(GraftSqlShim.expression(c), nHex))
 }

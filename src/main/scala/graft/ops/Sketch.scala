@@ -71,9 +71,9 @@ object Sketch {
       s"""CASE WHEN $z = $WHexDigits THEN ${4 * WHexDigits + 1}
          | ELSE 4 * $z + (CASE WHEN $d >= '8' THEN 0 WHEN $d >= '4' THEN 1
          |                     WHEN $d >= '2' THEN 2 ELSE 3 END) + 1 END""".stripMargin
-    df.where(col(idCol).isNotNull)
+    registered(df).where(col(idCol).isNotNull)
       .select(keyCols.map(col) ++ Seq(
-        expr(s"cast(conv(substr($h, 1, $bHex), 16, 10) as int)").as("bucket"),
+        expr(s"graft_md5int(cast($idCol as string), $bHex)").as("bucket"),
         expr(rho).cast("int").as("rho")): _*)
   }
 
@@ -231,8 +231,15 @@ object Sketch {
     * @param wHex column-width in hex digits, in [1, 7] (w = 16^wHex)
     */
   /** Column-index expression: first `hex` hex digits of md5(r:item). */
+  private def registered(df: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df
+  }
+
   private def hashCol(r: Int, itemExpr: String, hex: Int): String =
-    s"cast(conv(substr(md5(concat('$r', ':', $itemExpr)), 1, $hex), 16, 10) as int)"
+    // r6: fused digest+prefix kernel, bit-equal to
+    // cast(conv(substr(md5(.), 1, hex), 16, 10) as int) (Md5NibblesSpec)
+    s"graft_md5int(concat('$r', ':', $itemExpr), $hex)"
 
   /** (row, col) cells for one item across all d hashes, as ONE exploded
     * array — a single input scan regardless of d (a per-hash union would
@@ -245,7 +252,7 @@ object Sketch {
   def cmsCounts(df: DataFrame, itemCol: String, d: Int = 4, wHex: Int = 2): DataFrame = {
     require(d >= 1, s"d must be >= 1, got $d")
     require(wHex >= 1 && wHex <= 7, s"wHex must be in [1,7], got $wHex")
-    df.where(col(itemCol).isNotNull)
+    registered(df).where(col(itemCol).isNotNull)
       .select(explode(expr(cellsExpr(d, s"cast($itemCol as string)", wHex))).as("__cell"))
       .groupBy(col("__cell.r").as("cms_row"), col("__cell.c").as("cms_col"))
       .agg(count(lit(1)).as("cnt"))
@@ -262,7 +269,7 @@ object Sketch {
     * Output: (item, est); est >= the true frequency, always.
     */
   def cmsEstimate(cms: DataFrame, queries: DataFrame, d: Int = 4, wHex: Int = 2): DataFrame = {
-    val cells = queries
+    val cells = registered(queries)
       .select(col("item"),
         explode(expr(cellsExpr(d, "cast(item as string)", wHex))).as("__cell"))
       .select(col("item"), col("__cell.r").as("cms_row"), col("__cell.c").as("cms_col"))
@@ -282,7 +289,7 @@ object Sketch {
   def bloomBits(df: DataFrame, itemCol: String, k: Int = 4, mHex: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(mHex >= 1 && mHex <= 7, s"mHex must be in [1,7], got $mHex")
-    df.where(col(itemCol).isNotNull)
+    registered(df).where(col(itemCol).isNotNull)
       .select(explode(expr(cellsExpr(k, s"cast($itemCol as string)", mHex))).as("__cell"))
       .select(col("__cell.c").as("bit")).distinct()
   }
@@ -295,7 +302,7 @@ object Sketch {
     */
   def bloomMightContain(bits: DataFrame, queries: DataFrame,
       k: Int = 4, mHex: Int = 4): DataFrame = {
-    val cells = queries
+    val cells = registered(queries)
       .select(col("item"),
         explode(expr(cellsExpr(k, "cast(item as string)", mHex))).as("__cell"))
       .select(col("item"), col("__cell.c").as("bit"))

@@ -37,6 +37,19 @@ class Md5NibblesSpec extends AnyFunSuite {
       (0 until 4).map(i => Integer.parseInt(hex.substring(i, i + 1), 16)))
   }
 
+  test("Md5PrefixInt == cast(conv(substr(md5(x), 1, n), 16, 10) as int) for n in 1..7") {
+    graft.functions.GraftExtensions.register(spark)
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    for (n <- 1 to 7) {
+      val bad = toks.select(
+          expr(s"graft_md5int(tok, $n)").as("fast"),
+          expr(s"cast(conv(substr(md5(tok), 1, $n), 16, 10) as int)").as("conv"))
+        .where(col("fast") =!= col("conv"))
+      assert(bad.count() == 0, s"n=$n")
+    }
+  }
+
   test("simhash signatures equal the r5 per-bit ±1-sum formulation bitwise") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val now = graft.ops.Dedup.simhash(docs, "doc_id", "text", bits = 64)
