@@ -296,8 +296,23 @@ object Dedup {
     var e = truncate(edges.select(col(d1).as("a"), col(d2).as("b"))
       .where(col("a") =!= col("b")))
 
+    // r6: scale-adaptive round partitioning (guide §2.2/§2.5 — derive the
+    // exchange width from the data, not the session constant): every round
+    // works on ≤ 2|E| small fixed-width rows, so its hash exchanges are
+    // explicitly repartitioned to ceil(|E| / 4M) partitions (~128 MB each
+    // at ~32 B/row) — a tiny graph contracts in single-task stages (at
+    // bench scale the dominant round cost was constant-width task-launch
+    // overhead per exchange, ~3 exchanges x session-width tasks per round
+    // on KB-sized data), a 100 TB edge table still fans out past the
+    // session default. Set from the round-0 fingerprint's edge count; the
+    // edge set only shrinks across rounds.
+    var roundParts = 1
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("b"), col("a")).toDF("a", "b"))
+        .repartition(roundParts, col("a"))
+      // zero further exchange: the min-agg and the self-join both cluster
+      // by `a`, satisfied by the explicit hash(a, roundParts) above
       val mn = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
       // r6: no trailing .distinct() — every round pipes this straight into
       // smallStar, whose first step re-canonicalizes AND dedups
@@ -319,10 +334,14 @@ object Dedup {
       // (per-round job time, OPTIMIZATION_r06.md).
       val or = e.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
+        .repartition(roundParts, col("u"))
       val mn = or.groupBy(col("u")).agg(min(col("v")).as("m"))
       or.join(mn, "u").select(col("v").as("a"), col("m").as("b"))
         .union(mn.select(col("u").as("a"), col("m").as("b")))
-        .where(col("a") =!= col("b")).distinct()
+        .where(col("a") =!= col("b"))
+        // the terminal dedup clusters by (a, b): repartition explicitly so
+        // the distinct aggregates at the round width, not the session's
+        .repartition(roundParts, col("a"), col("b")).distinct()
     }
     def fingerprint(e: DataFrame): (Long, BigDecimal) = {
       // order-insensitive digest: count + sum of row hashes (summed in the
@@ -334,11 +353,16 @@ object Dedup {
     }
 
     var fp = fingerprint(e)
+    // ~4M edge rows (~128 MB) per round partition, never zero
+    roundParts = math.max(1L, (fp._1 + (4 << 20) - 1) / (4 << 20)).toInt
     var converged = e.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
+      val tR0 = System.nanoTime()
       val next = truncate(smallStar(largeStar(e)))
       val nfp = fingerprint(next)
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        println(f"[clusters] round $it: ${(System.nanoTime() - tR0) / 1e9}%.3f s, edges ${nfp._1}")
       if (nfp == fp) {
         // The fingerprint is probabilistic (count + xxhash64 sum): a
         // collision between consecutive DIFFERENT edge sets would
