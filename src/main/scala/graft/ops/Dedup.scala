@@ -56,19 +56,24 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     registered(df).select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n)
+      // r6: per-doc dedup happens MAP-SIDE (guide §2.3 — drop duplicate
+      // rows before they cross the exchange): the old shape exploded the
+      // raw shingle array and ran .distinct() after the shuffle, paying
+      // shuffle bytes for every repeated shingle plus a full post-shuffle
+      // hash aggregate over the exploded table. array_distinct dedups
+      // inside the row (the distinct-on-(doc_id, sh) set is exactly the
+      // union of per-row distinct sets), so the aggregate disappears and
+      // the exchange carries only unique (doc_id, sh) rows.
       .select(col("doc_id"),
-        explode(expr(shingleArrayExpr("__toks", n))).as("sh"))
-      // r6: ONE exchange keyed on sh serves the whole downstream family
-      // (guide §2.4): hash(sh) co-locates equal (doc_id, sh) rows, so the
-      // distinct aggregates WITHOUT its own (doc_id, sh) exchange, and the
-      // sh-keyed consumers — the DF-cap groupBy(sh) and the candidate
-      // self-equi-join on sh — inherit the partitioning and run
-      // zero-exchange (plan diff in plans/r06/q36_*). It also pins the
+        explode(array_distinct(expr(shingleArrayExpr("__toks", n)))).as("sh"))
+      // ONE exchange keyed on sh serves the whole downstream family
+      // (guide §2.4): the sh-keyed consumers — the DF-cap groupBy(sh) and
+      // the candidate self-equi-join on sh — inherit the partitioning and
+      // run zero-exchange (plan diff in plans/r06/q36_*). It also pins the
       // shingle explode to a single execution; before, each consumer
       // without an intervening exchange re-ran the explode scan. Skew
       // profile is unchanged: the pre-cap sh exchanges existed anyway.
       .repartition(col("sh"))
-      .distinct()
 
   /** Exact dedup groups: md5(text) → (hash, count, keeper = min id). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -40,12 +40,19 @@ object Winnow {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, w: Int = 4,
                      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
-    // one fp-keyed exchange serves the distinct, the DF-cap groupBy(fp)
-    // and the candidate self-equi-join on fp (guide §2.4 — the
-    // Dedup.shingles discipline; plan diff in plans/r06/q116_*)
-    val fp = fingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp"))
-      .repartition(col("fp")).distinct()
+    // r6: per-doc fp dedup happens MAP-SIDE (guide §2.3 — the same
+    // array_distinct-before-explode move as Dedup.shingles): the kernel's
+    // (pos, fp) selections are distinct, but dropping pos leaves duplicate
+    // fp values per doc; deduping inside the row means the exchange
+    // carries only unique (id, fp) rows and the post-shuffle distinct
+    // aggregate disappears. One fp-keyed exchange then serves the DF-cap
+    // groupBy(fp) and the candidate self-equi-join on fp (guide §2.4;
+    // plan diff in plans/r06/q116_*)
+    val fp = df.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          WinnowFingerprints(coalesce(col(textCol), lit("")), k, w),
+          s => s.getField("fp")))).as("fp"))
+      .repartition(col("fp"))
     // document-frequency cap: the skew guard for the self-join below
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
