@@ -341,6 +341,98 @@ class CliSpec extends AnyFunSuite {
       "expired days must stay answerable from the surviving tiers")
   }
 
+  test("streamrollup: retention expiry MID-stream-lifetime — later input appends exactly-once and tiered reads stay correct") {
+    // the 100 TB operating mode (round-5 verdict item 6): a live rollup
+    // stream whose 1m tier is expired by retention BETWEEN micro-batch
+    // waves, then receives MORE input. Two stores consume the identical
+    // two-phase input; only `ret` runs the expiry between the phases. If
+    // the expiry damaged the stream's exactly-once log, phase 2 would
+    // re-ingest (or drop) rows in `ret` and its 1h/1d tiers would diverge
+    // from the control's; if it damaged serving, the day-level tiered
+    // reads would diverge.
+    import org.apache.spark.sql.functions.{col, unix_micros, min => smin, max => smax, sum => ssum, min => mmin}
+    val inDir = Files.createTempDirectory("srr-in").toString + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val later = Files.createTempDirectory("srr-later").toString
+    // time-ordered chunk files, first half now, second half staged for
+    // phase 2 (the CliSpec kill/restart fixture shape)
+    locally {
+      val t = Transcripts.generate(spark, 3, 1600).toDF().cache()
+      val mm = t.agg(smin(unix_micros(col("ts").cast("timestamp"))),
+        smax(unix_micros(col("ts").cast("timestamp")))).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
+      for (i <- 0 until 8) {
+        val a = lo + i * ((hi - lo) / 8 + 1)
+        val b = math.min(lo + (i + 1) * ((hi - lo) / 8 + 1), hi)
+        val chunkDir = Files.createTempDirectory(s"srr-chunk$i").toString
+        t.where(unix_micros(col("ts").cast("timestamp")).between(a, b - 1))
+          .coalesce(1).write.mode("overwrite").parquet(chunkDir)
+        val part = new java.io.File(chunkDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst =
+          if (i < 4) java.nio.file.Paths.get(inDir, f"chunk-$i%02d.parquet")
+          else java.nio.file.Paths.get(later, f"chunk-$i%02d.parquet")
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      t.unpersist()
+    }
+    val ret = Files.createTempDirectory("srr-ret").toString
+    val ctl = Files.createTempDirectory("srr-ctl").toString
+    // phase 1: both stores ingest the first wave
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> ret, "lateness" -> "0 seconds"))
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> ctl, "lateness" -> "0 seconds"))
+    // mid-lifetime expiry on ret ONLY (keep_days=0: every sealed 1m day
+    // older than the newest goes); ctl keeps everything
+    import graft.jobs.RetentionJob
+    val msg = cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> ret, "lateness" -> "0 seconds",
+      "retention_keep_days" -> "0"))
+    assert(msg.contains("retention: expired"), msg)
+    val retDaysMid = RetentionJob.partitionDays(spark, s"$ret/tier_1m")
+    val ctlDaysMid = RetentionJob.partitionDays(spark, s"$ctl/tier_1m")
+    assert(retDaysMid.size < ctlDaysMid.size,
+      s"expiry must drop sealed 1m days mid-lifetime: $retDaysMid vs $ctlDaysMid")
+    // phase 2: the later wave arrives; both streams resume their
+    // checkpoints over the grown directory
+    new java.io.File(later).listFiles().sortBy(_.getName).foreach { f =>
+      Files.move(f.toPath, java.nio.file.Paths.get(inDir, f.getName))
+    }
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> ret, "lateness" -> "0 seconds"))
+    cli.Main.run("streamrollup", conf(
+      "input" -> inDir, "output" -> ctl, "lateness" -> "0 seconds"))
+    // exactly-once across the expiry: the sealed higher tiers must be
+    // row-identical between the expired store and the control
+    for (tier <- Seq("tier_1h", "tier_1d")) {
+      val a = spark.read.parquet(s"$ret/$tier")
+      val b = spark.read.parquet(s"$ctl/$tier")
+      val cols = b.columns.toSeq.sorted
+      val diff = a.select(cols.map(col): _*).union(b.select(cols.map(col): _*))
+        .groupBy(cols.map(col): _*).count().where(col("count") =!= 2)
+      assert(a.count() == b.count() && diff.count() == 0,
+        s"$tier diverged across the mid-lifetime expiry")
+    }
+    // serving: day-level aggregates of the tiered read agree (ret serves
+    // expired days from coarser tiers, so per-day SUMS are the common
+    // comparable surface, not raw chunk_start rows)
+    def dayAgg(store: String) = RetentionJob.tieredRead(spark, store)
+      .groupBy(col("day"), col("conv_id"), col("metric"))
+      .agg(ssum(col("n")).as("n"), ssum(col("sum")).as("s"),
+        mmin(col("min")).as("mn"), smax(col("max")).as("mx"))
+    val da = dayAgg(ret); val db = dayAgg(ctl)
+    assert(da.exceptAll(db).count() == 0 && db.exceptAll(da).count() == 0,
+      "tiered day-level reads diverged across the mid-lifetime expiry")
+    // and the expired days stayed expired (phase 2 only adds newer days)
+    val retDaysEnd = RetentionJob.partitionDays(spark, s"$ret/tier_1m")
+    assert((ctlDaysMid.toSet -- retDaysMid.toSet)
+      .forall(d => !retDaysEnd.contains(d)),
+      "phase 2 must not resurrect expired 1m days")
+  }
+
   test("curate command: split-partitioned output equals the library pipeline; external bench mode") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
